@@ -1,0 +1,263 @@
+"""Deduplication operators over a document corpus.
+
+Beyond-reference surface (BASELINE.json north-star): the operators a
+100 TB training-data pipeline needs. All hashing is built from ``md5``
+hex strings — available and bit-identical in Spark and DuckDB — so every
+operator here is exactly oracle-checkable, and everything stays JVM-side
+(built-in functions + higher-order lambdas; no Python UDFs).
+
+Scale design notes (per operator):
+
+- exact: hash-groupBy on md5(text) — one shuffle on a 32-hex key,
+  partial aggregation map-side. At 100 TB group keys are tiny vs text.
+- MinHash+LSH: signatures are per-row column arithmetic (no shuffle);
+  candidate generation EXPLODES (band_id, band_key) and self-joins on
+  the band bucket — the join key is (band_id, band_key) so co-location
+  is by bucket, never all-pairs. Skewed buckets (boilerplate docs) are
+  the known hazard → AQE skew-join handles moderate skew; salt or cap
+  bucket size for degenerate corpora.
+- SimHash: 60-bit fingerprint from token hashes, candidates via 4-band
+  15-bit prefix buckets (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 identical band),
+  verify with bit_count(xor) ≤ 3.
+- n-gram Jaccard: exact pairwise verifier with a semantics-preserving
+  size-ratio prefilter (J ≥ t ⇒ min/max sizes ≥ t) — at scale, feed it
+  LSH candidates instead of all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared tokenization (portable: lower → regex-split on whitespace)
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text: str = "text"):
+    """lower-cased whitespace tokens; '' → [''] quirk matches DuckDB."""
+    return F.split(F.trim(F.lower(F.col(text))), r"\s+")
+
+
+def word_ngrams(tokens, n: int = 3):
+    """Distinct n-word shingles as space-joined strings.
+
+    Built with sequence+transform (JVM higher-order fns, no UDF):
+    shingle_i = concat_ws(' ', tokens[i], …, tokens[i+n-1]). Docs with
+    fewer than n tokens yield an empty shingle set (guarded — Spark's
+    ``sequence(0, -1)`` would otherwise count *down*).
+    """
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(tokens, i + F.lit(k) + 1) for k in range(n)]
+    )
+    return F.when(
+        F.size(tokens) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# D1 exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Exact dedup via md5-hash groupBy.
+
+    Returns one row per distinct text: canonical (min) doc_id + number
+    of copies. ``dup_count > 1`` rows are the duplicates to drop.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text)).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# D2 MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MINHASH_K = 16
+LSH_BANDS = 4  # 4 bands × 4 rows
+
+
+def minhash_signature(docs: DataFrame, text: str = "text", k: int = MINHASH_K,
+                      ngram: int = 3) -> DataFrame:
+    """k-permutation MinHash over word 3-gram shingles.
+
+    h_i(s) = md5('{i}:' + s); the signature element is the lexicographic
+    MIN of the hex digests — a valid uniform min-hash family, chosen
+    because string-min over md5-hex is engine-portable.
+    """
+    shingles = word_ngrams(tokens_col(text), ngram)
+    sig = [
+        F.array_min(
+            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return docs.select("doc_id", *sig)
+
+
+def lsh_bands(sig_df: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band_id, band_key): band_key = md5 of its rows' minhashes."""
+    rows_per_band = k // bands
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("band_key"),
+        )
+        for b in range(bands)
+    ])
+    return (
+        sig_df.select("doc_id", F.explode(band_structs).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_key")
+    )
+
+
+def minhash_lsh_candidates(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥ 1 LSH band bucket.
+
+    The self-join key is (band_id, band_key) — bucket-local, not
+    all-pairs; distinct() collapses pairs that collide in >1 band.
+    """
+    b = lsh_bands(minhash_signature(docs, text))
+    left = b.alias("a")
+    right = b.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3 SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # 15 hex chars → fits a signed 64-bit int portably
+
+
+def _token_hash(tok):
+    """Portable 60-bit integer hash: first 15 hex chars of md5."""
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash over distinct tokens (unit weights).
+
+    bit_j(doc) = 1 iff sum over tokens of ±1 (sign of hash bit j) > 0.
+    Pure column arithmetic: one fold per bit over the token-hash array.
+    """
+    hashes = F.transform(
+        F.array_distinct(tokens_col(text)), _token_hash
+    )
+    def bit_sum(j: int):
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+    fp = F.lit(0).cast("long")
+    for j in range(bits):
+        fp = fp + F.when(bit_sum(j) > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return docs.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, text: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Candidates via 4 bands of 15 bits (pigeonhole for ≤ 3 flips), then
+    exact hamming verification with bit_count(a XOR b).
+    """
+    fp = simhash(docs, text)
+    bands = 4
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    band_arr = F.array(*[
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("band_val"),
+        )
+        for b in range(bands)
+    ])
+    banded = fp.select("doc_id", "simhash", F.explode(band_arr).alias("band")).select(
+        "doc_id", "simhash", "band.band_id", "band.band_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text: str = "text", n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (the verifier operator).
+
+    Size-ratio prefilter is semantics-preserving: J(A,B) ≤ min/max of
+    |A|,|B|, so pairs failing the ratio can never reach the threshold.
+    All-pairs here (fine at document-dim scale); at 100 TB compose with
+    :func:`minhash_lsh_candidates` to bound the pair space.
+    """
+    grams = docs.select(
+        "doc_id", word_ngrams(tokens_col(text), n).alias("grams")
+    ).withColumn("n_grams", F.size("grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.n_grams"), F.col("b.n_grams"))
+            >= F.greatest(F.col("a.n_grams"), F.col("b.n_grams")) * threshold
+        ),
+    )
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

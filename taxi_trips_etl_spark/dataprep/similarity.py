@@ -1,0 +1,156 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Beyond-reference surface (BASELINE.json north-star): approximate-
+nearest-neighbor primitives for a training-data pipeline.
+
+- :func:`cosine_topk_bruteforce` — the exactness baseline: query-set ×
+  corpus join, cosine via JVM higher-order folds (zip_with + aggregate,
+  no Python), per-query top-k window. At 100 TB the corpus side stays
+  partitioned; the (small) query set is broadcast, so the "cross" join
+  is really a broadcast-nested-loop producing |Q|·|C| scored rows that
+  immediately collapse through a per-query top-k — no shuffle of the
+  corpus itself.
+- :func:`cosine_topk_lsh` — the scale path: sign-LSH bucketing
+  (axis-aligned hyperplanes over the first ``planes`` dimensions →
+  deterministic and engine-portable), candidates limited to the query's
+  bucket, then exact cosine re-rank. Recall trades with bucket width;
+  production would use random hyperplanes + multi-probe, which changes
+  only the bucket expression.
+
+All arithmetic is double-precision with a fixed fold order, so Spark
+and the DuckDB oracle (``list_cosine_similarity``) agree to ~1e-15;
+scores are rounded to 6 dp in the output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two numeric arrays (JVM-side fold)."""
+    ad, bd = _as_double(a), _as_double(b)
+    return _dot(ad, bd) / (F.sqrt(_dot(ad, ad)) * F.sqrt(_dot(bd, bd)))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: queries = rows with id < query_ids_below.
+
+    Output: (query_id, neighbor_id, cosine, knn_rank) — rank by score
+    desc with neighbor-id tiebreak for full determinism.
+    """
+    q = embeddings.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+        )
+    )
+
+
+def sign_bucket(vec: Column, planes: int = 16) -> Column:
+    """Deterministic sign-LSH bucket: '10110…' over the first N dims."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, 1, planes),
+            lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 3,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates share the query's sign-LSH bucket.
+
+    Same output shape as the brute-force baseline; recall < 1 by
+    design. The candidate join key is the bucket string → at scale this
+    is a hash join on bucket, not a cross join.
+    """
+    with_bucket = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = with_bucket.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("q_bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+        )
+    )

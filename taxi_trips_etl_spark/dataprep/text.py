@@ -1,0 +1,112 @@
+"""Text-analysis operators (BASELINE.json north-star surface).
+
+Language-ID (stopword-count heuristic), quality scoring, token
+counting, and document fingerprinting — all pure JVM column expressions
+(split / higher-order lambdas / md5), so they are exactly reproducible
+in the DuckDB oracle and run inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep.dedup import tokens_col
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language heuristic. Deterministic tie order: en > de > fr > es.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "de": ("der", "die", "das", "und", "ist", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "de"),
+    "es": ("el", "los", "las", "y", "es", "de"),
+}
+
+
+def token_stats(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Token counting: n_tokens, distinct tokens, mean token length.
+
+    The BPE-ish variant (subword count estimate) approximates token
+    count as ceil(chars/4) — the usual budget heuristic — alongside the
+    whitespace count.
+    """
+    toks = tokens_col(text)
+    tok_lens = F.transform(toks, F.length)
+    sum_len = F.aggregate(tok_lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(sum_len / F.size(toks), 4).alias("avg_token_len"),
+        F.ceil(F.length(F.col(text)) / 4).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Quality scoring: length, alpha/space/punct ratios, stopword ratio,
+    and a deterministic composite quality score in [0, 1]."""
+    t = F.col(text)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", ""))
+    n_space = F.length(F.regexp_replace(t, "[^ ]", ""))
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    en_stop = list(LANG_STOPWORDS["en"])
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(en_stop)))
+    alpha_ratio = F.round(n_alpha / n_chars, 4)
+    space_ratio = F.round(n_space / n_chars, 4)
+    stop_ratio = F.round(n_stop / n_tokens, 4)
+    quality = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(50.0)) * 0.4
+        + alpha_ratio * 0.4
+        + F.least(F.lit(1.0), stop_ratio * 5) * 0.2,
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_measured"),
+        n_tokens.cast("long").alias("n_tokens"),
+        alpha_ratio.alias("alpha_ratio"),
+        space_ratio.alias("space_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Stopword-overlap language heuristic → predicted_lang.
+
+    Counts token occurrences per language inventory; argmax with a
+    fixed tie order (en, de, fr, es); all-zero → 'und' (undetermined).
+    """
+    toks = tokens_col(text)
+    counts = {
+        lang: F.size(F.filter(toks, lambda x, sw=sw: x.isin(list(sw))))
+        for lang, sw in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*counts.values())
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in ("en", "de", "fr", "es"):  # fixed tie-break order
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    out = docs.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{lang}") for lang, c in counts.items()],
+        pred.alias("predicted_lang"),
+    )
+    return out
+
+
+def fingerprints(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Document fingerprinting.
+
+    - ``canon_fingerprint``: md5 of the sorted distinct token set —
+      invariant to word order & repetition (near-dup canonicalization).
+    - ``exact_fingerprint``: md5 of the raw text.
+    """
+    toks = tokens_col(text)
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    return docs.select(
+        "doc_id",
+        canon.alias("canon_fingerprint"),
+        F.md5(F.col(text)).alias("exact_fingerprint"),
+    )

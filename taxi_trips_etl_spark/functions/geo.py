@@ -1,0 +1,168 @@
+"""Geo functions: WKT centroid (F6) and hex-cell indexing (F7).
+
+Reference surface (SURVEY.md §2.8/§2.10): ``ST_CENTROID(zone_geom)`` and
+``carto-os.carto.H3_FROMGEOGPOINT(point, 9)``
+(/root/reference/taxi_trips_etl_packages/queries/enrichment_query.py:10,17).
+
+Neither ``shapely`` nor ``h3`` is available in this environment, so both
+are implemented in pure Python:
+
+- :func:`wkt_centroid` — hand-rolled WKT POLYGON/MULTIPOLYGON parser +
+  shoelace (planar) centroid. BigQuery's ST_CENTROID is *spherical*;
+  for taxi-zone-sized polygons the planar/spherical divergence is
+  far below one hex cell — documented deviation (SURVEY.md §7 risks).
+- :func:`latlng_to_cell` — a deterministic axial hex-grid index ("hx"
+  cells), API-compatible with ``h3.latlng_to_cell(lat, lng, res)``:
+  nearby points share a cell, resolution controls cell size, output is
+  an opaque string id. It is NOT the H3 icosahedral indexing (the h3
+  wheel is absent here); swap :func:`latlng_to_cell` for
+  ``h3.latlng_to_cell`` in production and nothing else changes.
+
+Scale placement: these run ONLY on the zone dimension (~260 rows in the
+reference's data) *before* it is broadcast — never per-trip. The 100 TB
+fact table never crosses into Python for geo work.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# WKT parsing + planar centroid (F6)
+# ---------------------------------------------------------------------------
+
+_NUM = r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?"
+_COORD_RE = re.compile(rf"({_NUM})\s+({_NUM})")
+
+
+def _parse_rings(wkt_body: str) -> list[list[tuple[float, float]]]:
+    """Extract coordinate rings from the body of a (MULTI)POLYGON."""
+    rings: list[list[tuple[float, float]]] = []
+    for ring_txt in re.findall(r"\(([^()]+)\)", wkt_body):
+        pts = [(float(x), float(y)) for x, y in _COORD_RE.findall(ring_txt)]
+        if len(pts) >= 3:
+            rings.append(pts)
+    return rings
+
+
+def _ring_area_centroid(ring: list[tuple[float, float]]) -> tuple[float, float, float]:
+    """Signed shoelace area + area-weighted centroid of one ring."""
+    a = cx = cy = 0.0
+    n = len(ring)
+    for i in range(n):
+        x0, y0 = ring[i]
+        x1, y1 = ring[(i + 1) % n]
+        cross = x0 * y1 - x1 * y0
+        a += cross
+        cx += (x0 + x1) * cross
+        cy += (y0 + y1) * cross
+    a *= 0.5
+    if abs(a) < 1e-12:
+        # Degenerate ring: fall back to vertex mean.
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        return 0.0, sum(xs) / len(xs), sum(ys) / len(ys)
+    return a, cx / (6.0 * a), cy / (6.0 * a)
+
+
+def wkt_centroid(wkt: str | None) -> tuple[float, float] | None:
+    """Planar centroid (lon, lat) of a WKT POLYGON / MULTIPOLYGON.
+
+    Exterior rings carry positive weight, holes (negative shoelace
+    sign after the first ring of a polygon) subtract — the standard
+    even-odd handling falls out of the signed areas as long as WKT
+    follows the usual exterior-CCW/hole-CW convention.
+    """
+    if not wkt:
+        return None
+    body = wkt.strip()
+    if not body.upper().startswith(("POLYGON", "MULTIPOLYGON")):
+        m = _COORD_RE.search(body)  # POINT fallback
+        return (float(m.group(1)), float(m.group(2))) if m else None
+    total_a = sx = sy = 0.0
+    rings = _parse_rings(body)
+    if not rings:
+        return None
+    for ring in rings:
+        a, cx, cy = _ring_area_centroid(ring)
+        total_a += a
+        sx += cx * a
+        sy += cy * a
+    if abs(total_a) < 1e-12:
+        pts = [p for ring in rings for p in ring]
+        return (
+            sum(p[0] for p in pts) / len(pts),
+            sum(p[1] for p in pts) / len(pts),
+        )
+    return (sx / total_a, sy / total_a)
+
+
+# ---------------------------------------------------------------------------
+# Hex-grid cell index (F7)
+# ---------------------------------------------------------------------------
+
+# Edge length in degrees at resolution 0; each resolution divides by ~2.6
+# (h3's aperture-7 ratio is sqrt(7)≈2.646 — we mimic the sizing curve so
+# resolution numbers feel familiar; res 9 ≈ 2e-3 deg ≈ 200 m).
+_RES0_EDGE_DEG = 10.0
+_APERTURE = math.sqrt(7.0)
+
+
+def _edge_for_res(res: int) -> float:
+    return _RES0_EDGE_DEG / (_APERTURE**res)
+
+
+def latlng_to_cell(lat: float, lng: float, res: int = 9) -> str:
+    """Deterministic hex-cell id for a (lat, lng) at a resolution.
+
+    Pointy-top axial hex grid over the equirectangular plane: convert
+    (lng, lat) to fractional axial coords, cube-round to the nearest
+    hex center, emit ``hx{res}_{q}_{r}``.
+    """
+    size = _edge_for_res(res)
+    x, y = lng, lat
+    q = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size
+    r = (2.0 / 3.0 * y) / size
+    # Cube rounding (q + r + s = 0).
+    s = -q - r
+    rq, rr, rs = round(q), round(r), round(s)
+    dq, dr, ds = abs(rq - q), abs(rr - r), abs(rs - s)
+    if dq > dr and dq > ds:
+        rq = -rr - rs
+    elif dr > ds:
+        rr = -rq - rs
+    return f"hx{res}_{int(rq)}_{int(rr)}"
+
+
+def centroid_cell(wkt: str | None, res: int = 9) -> str | None:
+    """F6∘F7 composed: WKT geometry → centroid → hex cell id."""
+    c = wkt_centroid(wkt)
+    if c is None:
+        return None
+    lon, lat = c
+    return latlng_to_cell(lat, lon, res)
+
+
+# ---------------------------------------------------------------------------
+# Spark UDF wrappers (applied dim-side only)
+# ---------------------------------------------------------------------------
+
+
+def hex_cell_udf(res: int = 9):
+    """UDF: (lat, lng) → cell id string."""
+    return F.udf(lambda lat, lng: None if lat is None or lng is None
+                 else latlng_to_cell(float(lat), float(lng), res), StringType())
+
+
+def wkt_centroid_to_cell_udf(res: int = 9):
+    """UDF: WKT string → hex cell of its centroid.
+
+    The fused form of enrichment_query.py:10,17
+    (``H3_FROMGEOGPOINT(ST_CENTROID(zone_geom), 9)``). One Python call
+    per *zone*, not per trip: apply to the dimension before broadcast.
+    """
+    return F.udf(lambda wkt: centroid_cell(wkt, res), StringType())

@@ -1,0 +1,99 @@
+"""Source readers (SURVEY.md §2.1, S1-S3).
+
+Reference behavior being re-expressed (cited for parity checks):
+
+- S1 object-store listing with date layout + ``000`` name prefix:
+  ``/root/reference/taxi_trips_etl.py:29-35`` lists blobs under
+  ``YYYY/MM/DD/`` and keeps names starting with ``000``.
+  Spark-native: a path glob pushed into the scan — the driver never
+  enumerates files itself, the Hadoop listing is distributed and the
+  scan reads every matched file in one job (vs. the reference's one
+  load-job *per file*).
+- S2/S3 parquet & csv loads with schema autodetect or explicit schema:
+  ``/root/reference/taxi_trips_etl.py:43-74``.
+
+At 100 TB the thing that matters is that listing+reading stays one
+declarative scan: partition discovery, filter pushdown and column
+pruning then all happen inside Catalyst (check ``PushedFilters`` /
+``ReadSchema`` in ``.explain``).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def day_glob(base: str, ds: str, file_prefix: str = "000") -> str:
+    """Path glob for one day's files: ``base/YYYY/MM/DD/000*``.
+
+    Mirrors the reference's prefix filter (taxi_trips_etl.py:33-35,
+    constants.py:28-29) as a glob the scan can consume directly.
+    """
+    y, m, d = ds.split("-")
+    return os.path.join(base, y, m, d, f"{file_prefix}*")
+
+
+def list_day_files(base: str, ds: str, file_prefix: str = "000") -> list[str]:
+    """Driver-side listing used only for the short-circuit gate (O2).
+
+    The *data* path never uses this — reads go through :func:`day_glob`
+    so listing is distributed. This exists purely to answer "is there
+    anything to process today?" like the reference's
+    ShortCircuitOperator (taxi_trips_etl.py:84-85, 199-207).
+    """
+    return sorted(_glob.glob(day_glob(base, ds, file_prefix)))
+
+
+def read_parquet(
+    spark: SparkSession, path: str | list[str], schema: StructType | None = None
+) -> DataFrame:
+    """S2: parquet load; schema comes from the footer unless forced."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*(path if isinstance(path, list) else [path]))
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str | list[str],
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """S3: CSV with header-skip + autodetect-or-explicit schema.
+
+    ``skip_leading_rows=1`` (taxi_trips_etl.py:45) ≡ ``header=True``;
+    ``autodetect=True`` (taxi_trips_etl.py:47-51) ≡ ``inferSchema``.
+    """
+    reader = spark.read.option("header", header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path if isinstance(path, list) else [path])
+
+
+def read_day_batch(
+    spark: SparkSession,
+    base: str,
+    ds: str,
+    fmt: str = "parquet",
+    schema: StructType | None = None,
+    file_prefix: str = "000",
+) -> DataFrame:
+    """S1+S2/S3 composed: one scan over the day's matched files.
+
+    The reference loads each file with its own BigQuery job, first
+    TRUNCATE then APPEND (taxi_trips_etl.py:36-40, 77-80). One globbed
+    scan has identical table semantics and parallelizes per-file.
+    """
+    path = day_glob(base, ds, file_prefix)
+    if fmt == "parquet":
+        return read_parquet(spark, path, schema)
+    if fmt == "csv":
+        return read_csv(spark, path, schema)
+    raise ValueError(f"unsupported format: {fmt}")
