@@ -99,7 +99,11 @@ def minhash_signature(docs: DataFrame, text: str = "text", k: int = MINHASH_K,
         ).alias(f"mh{i}")
         for i in range(k)
     ]
-    return docs.select("doc_id", *sig)
+    # Docs too short to shingle have no signature (and would otherwise
+    # all collide on md5('') band keys) — exclude them.
+    return docs.select("doc_id", F.size(shingles).alias("_n"), *sig).filter(
+        F.col("_n") > 0
+    ).drop("_n")
 
 
 def lsh_bands(sig_df: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
@@ -239,9 +243,11 @@ def ngram_jaccard_pairs(
     All-pairs here (fine at document-dim scale); at 100 TB compose with
     :func:`minhash_lsh_candidates` to bound the pair space.
     """
-    grams = docs.select(
-        "doc_id", word_ngrams(tokens_col(text), n).alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
+    grams = (
+        docs.select("doc_id", word_ngrams(tokens_col(text), n).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+        .filter(F.col("n_grams") > 0)
+    )
     a, b = grams.alias("a"), grams.alias("b")
     pairs = a.join(
         b,

@@ -80,10 +80,13 @@ def language_id(docs: DataFrame, text: str = "text") -> DataFrame:
     fixed tie order (en, de, fr, es); all-zero → 'und' (undetermined).
     """
     toks = tokens_col(text)
-    counts = {
-        lang: F.size(F.filter(toks, lambda x, sw=sw: x.isin(list(sw))))
-        for lang, sw in LANG_STOPWORDS.items()
-    }
+
+    def count_in(words: list[str]):
+        # NB: the lambda must be unary — F.filter infers arity, so a
+        # captured-default second parameter would bind the array index.
+        return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+    counts = {lang: count_in(list(sw)) for lang, sw in LANG_STOPWORDS.items()}
     best = F.greatest(*counts.values())
     pred = F.when(best <= 0, F.lit("und"))
     for lang in ("en", "de", "fr", "es"):  # fixed tie-break order

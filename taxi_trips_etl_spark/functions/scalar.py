@@ -53,8 +53,12 @@ def timestamp_diff_minutes(end: Column, start: Column) -> Column:
     deviation, chosen because it is exactly expressible in both Spark
     and the DuckDB oracle (``floor((epoch(b)-epoch(a))/60)``).
     """
+    # Cast via TIMESTAMP first: TIMESTAMP_NTZ (parquet isAdjustedToUTC
+    # =false) cannot cast straight to BIGINT; with a UTC session the
+    # NTZ→TZ hop is value-preserving and matches DuckDB's naive epoch().
     return F.floor(
-        (end.cast("long") - start.cast("long")) / F.lit(60)
+        (end.cast("timestamp").cast("long") - start.cast("timestamp").cast("long"))
+        / F.lit(60)
     ).cast("long")
 
 

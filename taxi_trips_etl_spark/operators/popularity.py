@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from taxi_trips_etl_spark.functions.scalar import route_struct
 
 
-def _ranked_counts(df: DataFrame, keys: list[str], cnt_alias: str, limit: int) -> DataFrame:
+def ranked_counts(df: DataFrame, keys: list[str], cnt_alias: str, limit: int) -> DataFrame:
     """GROUP BY keys → count(*) → global RANK desc → popularity ≤ limit."""
     w = Window.orderBy(F.col(cnt_alias).desc())
     return (
@@ -51,17 +51,17 @@ def most_populars(enriched: DataFrame, limit: int = 100) -> DataFrame:
     Output mirrors taxi_trips_etl.py:165-176: ``route`` STRUCT (F8),
     per-list counts, and the shared ``popularity`` rank.
     """
-    routes = _ranked_counts(
+    routes = ranked_counts(
         enriched, ["h3_pickup", "h3_dropoff"], "route_count", limit
     ).select(
         route_struct(F.col("h3_pickup"), F.col("h3_dropoff")),
         "route_count",
         "popularity",
     )
-    dropoffs = _ranked_counts(enriched, ["h3_dropoff"], "dropoff_count", limit).select(
+    dropoffs = ranked_counts(enriched, ["h3_dropoff"], "dropoff_count", limit).select(
         F.col("h3_dropoff").alias("dropoff_hexagon"), "dropoff_count", "popularity"
     )
-    pickups = _ranked_counts(enriched, ["h3_pickup"], "pickup_count", limit).select(
+    pickups = ranked_counts(enriched, ["h3_pickup"], "pickup_count", limit).select(
         F.col("h3_pickup").alias("pickup_hexagon"), "pickup_count", "popularity"
     )
     # J4: INNER JOIN … USING(popularity) ×2 — tiny inputs (≤3×limit rows

@@ -106,14 +106,23 @@ def taxi_models(spark: SparkSession, enriched: DataFrame, out_dir: str | None = 
 
     @reg.model("daily_trip_metrics")
     def daily(reg: ModelRegistry) -> DataFrame:
+        # Money is aggregated as exact integer cents (then divided once
+        # for the average): float sums of cent-quantized values land
+        # exactly on .005 rounding boundaries, where engines disagree —
+        # integer sums are portable and exact at any scale/parallelism.
+        cents = F.round(F.col("total_amount") * 100).cast("long")
         return (
             reg.ref("tripss")
             .groupBy("pickup_date")
             .agg(
+                F.count(F.lit(1)).alias("n_trips"),
                 F.avg("drive_time").alias("avg_drive_time"),
                 F.sum("drive_time").alias("total_drive_time"),
-                F.avg("total_amount").alias("avg_amount"),
-                F.sum("total_amount").alias("total_amount"),
+                F.sum(cents).alias("total_amount_cents"),
+            )
+            .withColumn(
+                "avg_amount",
+                F.col("total_amount_cents").cast("double") / 100.0 / F.col("n_trips"),
             )
             .orderBy(F.col("pickup_date").desc())
         )

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -102,8 +103,13 @@ def run_taxi_pipeline(
     from taxi_trips_etl_spark.sources.writers import write_partitioned_by_run_date
 
     def load(ctx: dict[str, Any]):
-        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        # O2 gate: no input rows → None short-circuits downstream.
+        # O2 gate (taxi_trips_etl.py:84-85): nothing to load → short-
+        # circuit cleanly, both for a missing path and for zero rows.
+        path = f"{sf_dir}/lineitem.parquet"
+        if not os.path.exists(path):
+            log.info("no input at %s → short-circuit", path)
+            return None
+        li = spark.read.parquet(path)
         return trips_from_lineitem(li) if not li.isEmpty() else None
 
     def normalize(ctx: dict[str, Any]):

@@ -1,0 +1,965 @@
+"""Query registry: every implemented operator as (Spark builder, DuckDB oracle).
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver contract), ``bench.py`` and the test suite. Each entry maps a
+SURVEY.md §2 operator (or a north-star dataprep operator) onto the
+driver testdata tables; the oracle is ANSI-ish SQL DuckDB runs on the
+same parquet.
+
+Portability rules that keep the value-hash comparison exact:
+
+- output columns are only BIGINT / DOUBLE / VARCHAR; timestamps are
+  rendered ``yyyy-MM-dd HH:mm:ss`` strings on both sides;
+- money/cent-quantized doubles are NEVER float-summed-then-rounded
+  (their sums land exactly on .005 boundaries where engines' round()
+  disagrees) — they are summed as exact integer cents, with averages
+  produced by one IEEE division on identical operands;
+- every hash is md5-hex (bit-identical in Spark and DuckDB);
+- ties are either included via RANK (deterministic) or broken by an
+  explicit unique key before any LIMIT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep import dedup, multimodal, similarity, text
+from taxi_trips_etl_spark.functions.scalar import daypart, timestamp_diff_minutes
+from taxi_trips_etl_spark.operators.normalize import normalize_trips
+from taxi_trips_etl_spark.operators.popularity import ranked_counts
+from taxi_trips_etl_spark.plans.models import taxi_models
+from taxi_trips_etl_spark.sources.taxi_testdata import (
+    N_ZONES,
+    trips_from_lineitem,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _utc(spark: SparkSession) -> None:
+    """Timestamp rendering must agree with DuckDB's naive reading."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and truncate to micros exactly
+    (integer ``div`` — a double division would lose precision at 1e18).
+    DuckDB truncates nanos→micros the same way on read."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _ts_str(col: F.Column, alias: str) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+def _norm_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_trips(trips_from_lineitem(_t(spark, sf_dir, "lineitem")))
+
+
+# DuckDB twin of sources/taxi_testdata.trips_from_lineitem + the
+# normalization predicate (normalization_query.py:3-9 semantics).
+TRIPS_SQL = f"""
+    SELECT
+        l_shipdate + to_seconds(CAST(l_orderkey % 86400 AS BIGINT)) AS pickup_datetime,
+        l_shipdate + to_seconds(CAST(l_orderkey % 86400 AS BIGINT))
+            + to_minutes(CAST(l_quantity AS BIGINT)) AS dropoff_datetime,
+        CAST(CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                  WHEN l_orderkey % 11 = 0 THEN 0
+                  ELSE (l_linenumber % 5) + 1 END AS BIGINT) AS passenger_count,
+        CASE WHEN l_orderkey % 13 = 0 THEN 0.0 ELSE l_quantity END AS trip_distance,
+        l_extendedprice - l_tax * 1000.0 AS fare_amount,
+        l_partkey % {N_ZONES} AS pickup_location_id,
+        l_suppkey % {N_ZONES} AS dropoff_location_id
+    FROM lineitem
+"""
+
+NORM_SQL = f"""
+    SELECT * FROM ({TRIPS_SQL})
+    WHERE pickup_datetime != dropoff_datetime
+      AND passenger_count != 0 AND passenger_count IS NOT NULL
+      AND trip_distance != 0 AND trip_distance IS NOT NULL
+      AND fare_amount != 0
+"""
+
+DAYPART_SQL = """
+    CASE WHEN {t} >= '06:00:00' AND {t} < '12:00:00' THEN 'Morning'
+         WHEN {t} >= '12:00:00' AND {t} < '18:00:00' THEN 'Noon'
+         WHEN {t} >= '18:00:00' AND {t} <= '23:59:59' THEN 'Evening'
+         WHEN {t} < '06:00:00' THEN 'Night' END
+"""
+
+TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+GRAMS_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len({TOKS_SQL}) - 2),
+               i -> concat_ws(' ', {TOKS_SQL}[i], {TOKS_SQL}[i+1], {TOKS_SQL}[i+2])
+           )) AS grams
+    FROM documents
+    WHERE len({TOKS_SQL}) >= 3
+"""
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _utc(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ===========================================================================
+# Relational core (SURVEY.md §2.2-§2.8) on the derived taxi data model
+# ===========================================================================
+
+
+@register(
+    "normalize_filter",
+    f"""
+    SELECT strftime(pickup_datetime, '%Y-%m-%d %H:%M:%S') AS pickup_ts,
+           strftime(dropoff_datetime, '%Y-%m-%d %H:%M:%S') AS dropoff_ts,
+           passenger_count, trip_distance, fare_amount,
+           pickup_location_id, dropoff_location_id
+    FROM ({NORM_SQL})
+    """,
+)
+def q_normalize_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2: the reference normalization predicate (keep-good-rows)."""
+    return _norm_trips(spark, sf_dir).select(
+        _ts_str(F.col("pickup_datetime"), "pickup_ts"),
+        _ts_str(F.col("dropoff_datetime"), "dropoff_ts"),
+        "passenger_count",
+        "trip_distance",
+        "fare_amount",
+        "pickup_location_id",
+        "dropoff_location_id",
+    )
+
+
+@register(
+    "daypart_case",
+    f"""
+    SELECT {DAYPART_SQL.format(t="strftime(ts, '%H:%M:%S')")} AS daypart,
+           count(*) AS event_count
+    FROM events GROUP BY 1
+    """,
+)
+def q_daypart_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F3: the no-ELSE daypart CASE over extracted TIME strings."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(daypart(F.col("ts")).alias("daypart"))
+        .agg(F.count(F.lit(1)).alias("event_count"))
+    )
+
+
+@register(
+    "window_dedup_rank",
+    """
+    SELECT user_id, event_id, CAST(strlen(props) AS BIGINT) AS props_len
+    FROM (SELECT *, rank() OVER (PARTITION BY user_id
+                                 ORDER BY strlen(props) DESC) AS finish_rank
+          FROM events)
+    WHERE finish_rank = 1
+    """,
+)
+def q_window_dedup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P5: longest-payload-wins dedup rank (enrichment_query.py:12-14)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.octet_length("props").desc())
+    return (
+        ev.withColumn("finish_rank", F.rank().over(w))
+        .filter(F.col("finish_rank") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.octet_length("props").cast("long").alias("props_len"),
+        )
+    )
+
+
+@register(
+    "broadcast_left_join",
+    """
+    SELECT l_orderkey, l_linenumber, l_suppkey, s_name, s_acctbal
+    FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+    """,
+)
+def q_broadcast_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: fact × broadcast dim LEFT equi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    return li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"], "left").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "s_name", "s_acctbal"
+    )
+
+
+@register(
+    "composite_key_join",
+    """
+    SELECT a.l_orderkey, a.l_linenumber, a.l_partkey, a.l_suppkey,
+           a.l_quantity, b.l_extendedprice
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+     AND a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey
+    """,
+)
+def q_composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: INNER join on a composite 4-column equi key."""
+    li = _t(spark, sf_dir, "lineitem")
+    keys = ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"]
+    a = li.select(*keys, "l_quantity")
+    b = li.select(*keys, "l_extendedprice")
+    return a.join(b, keys, "inner").select(
+        *keys, "l_quantity", "l_extendedprice"
+    )
+
+
+MOST_POPULARS_SQL = f"""
+    WITH cells AS (
+        SELECT 'z' || CAST(pickup_location_id AS VARCHAR) AS pickup_cell,
+               'z' || CAST(dropoff_location_id AS VARCHAR) AS dropoff_cell
+        FROM ({NORM_SQL})
+    ),
+    routes0 AS (
+        SELECT pickup_cell, dropoff_cell, count(*) AS route_count,
+               rank() OVER (ORDER BY count(*) DESC) AS popularity
+        FROM cells GROUP BY 1, 2
+    ),
+    r AS (SELECT * FROM routes0 WHERE popularity <= 100),
+    d0 AS (
+        SELECT dropoff_cell, count(*) AS dropoff_count,
+               rank() OVER (ORDER BY count(*) DESC) AS popularity
+        FROM cells GROUP BY 1
+    ),
+    d AS (SELECT * FROM d0 WHERE popularity <= 100),
+    p0 AS (
+        SELECT pickup_cell, count(*) AS pickup_count,
+               rank() OVER (ORDER BY count(*) DESC) AS popularity
+        FROM cells GROUP BY 1
+    ),
+    p AS (SELECT * FROM p0 WHERE popularity <= 100)
+    SELECT CAST(popularity AS BIGINT) AS popularity,
+           r.pickup_cell AS route_pickup_cell,
+           r.dropoff_cell AS route_dropoff_cell,
+           r.route_count,
+           d.dropoff_cell AS dropoff_hexagon, d.dropoff_count,
+           p.pickup_cell AS pickup_hexagon, p.pickup_count
+    FROM r JOIN d USING (popularity) JOIN p USING (popularity)
+"""
+
+
+@register("most_populars_flat", MOST_POPULARS_SQL)
+def q_most_populars_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 + W2 + T1 + J4: the full final-result shape
+    (taxi_trips_etl.py:164-176) with location-derived cells so DuckDB
+    can oracle it (the geo-UDF variant is ``flagship_most_populars``)."""
+    cells = _norm_trips(spark, sf_dir).select(
+        F.concat(F.lit("z"), F.col("pickup_location_id").cast("string")).alias(
+            "pickup_cell"
+        ),
+        F.concat(F.lit("z"), F.col("dropoff_location_id").cast("string")).alias(
+            "dropoff_cell"
+        ),
+    )
+    routes = ranked_counts(cells, ["pickup_cell", "dropoff_cell"], "route_count", 100)
+    drops = ranked_counts(cells, ["dropoff_cell"], "dropoff_count", 100)
+    picks = ranked_counts(cells, ["pickup_cell"], "pickup_count", 100)
+    return (
+        routes.select(
+            F.col("popularity").cast("long").alias("popularity"),
+            F.col("pickup_cell").alias("route_pickup_cell"),
+            F.col("dropoff_cell").alias("route_dropoff_cell"),
+            "route_count",
+        )
+        .join(
+            drops.select(
+                F.col("popularity").cast("long").alias("popularity"),
+                F.col("dropoff_cell").alias("dropoff_hexagon"),
+                "dropoff_count",
+            ),
+            "popularity",
+        )
+        .join(
+            picks.select(
+                F.col("popularity").cast("long").alias("popularity"),
+                F.col("pickup_cell").alias("pickup_hexagon"),
+                "pickup_count",
+            ),
+            "popularity",
+        )
+    )
+
+
+@register(
+    "daily_metrics",
+    """
+    SELECT order_date, n_orders, total_price_cents,
+           CAST(total_price_cents AS DOUBLE) / 100.0 / n_orders AS avg_price
+    FROM (SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+                 count(*) AS n_orders,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                     AS total_price_cents
+          FROM orders GROUP BY 1)
+    """,
+)
+def q_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: multi-aggregate groupBy (models/daily_trip_metrics.sql shape).
+
+    Money discipline: prices are cent-quantized, so float sums/avgs sit
+    EXACTLY on .005 rounding boundaries and Spark/DuckDB round() can
+    disagree. Sum exact integer cents instead; the avg is then one
+    deterministic IEEE division on identical operands in both engines.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_price_cents"),
+        )
+        .select(
+            "order_date",
+            "n_orders",
+            "total_price_cents",
+            (F.col("total_price_cents").cast("double") / 100.0 / F.col("n_orders"))
+            .alias("avg_price"),
+        )
+    )
+
+
+@register("global_count", "SELECT count(1) AS row_count FROM lineitem")
+def q_global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: global scalar count (models/trips_view.sql:1)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("row_count"))
+
+
+@register(
+    "topk_limit",
+    """
+    SELECT l_partkey, count(*) AS part_count
+    FROM lineitem GROUP BY 1
+    ORDER BY part_count DESC, l_partkey LIMIT 100
+    """,
+)
+def q_topk_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: ORDER BY count DESC LIMIT k (TakeOrderedAndProject), with a
+    unique-key tiebreak for cross-engine determinism."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("part_count"))
+        .orderBy(F.col("part_count").desc(), F.col("l_partkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "rank_topk",
+    """
+    SELECT l_suppkey, supp_count, CAST(popularity AS BIGINT) AS popularity
+    FROM (SELECT l_suppkey, count(*) AS supp_count,
+                 rank() OVER (ORDER BY count(*) DESC) AS popularity
+          FROM lineitem GROUP BY 1)
+    WHERE popularity <= 5
+    """,
+)
+def q_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: global RANK over aggregated counts, ties included."""
+    return ranked_counts(
+        _t(spark, sf_dir, "lineitem"), ["l_suppkey"], "supp_count", 5
+    ).select("l_suppkey", "supp_count", F.col("popularity").cast("long").alias("popularity"))
+
+
+@register(
+    "rename_projection",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name,
+           c_mktsegment AS market_segment, c_acctbal AS account_balance
+    FROM customer
+    """,
+)
+def q_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: staging rename (stg_taxi_trips__tripss.sql:9-19)."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("market_segment"),
+        F.col("c_acctbal").alias("account_balance"),
+    )
+
+
+@register(
+    "octet_length_fn",
+    """
+    SELECT p_partkey, CAST(strlen(p_name) AS BIGINT) AS name_bytes,
+           CAST(length(p_name) AS BIGINT) AS name_chars
+    FROM part
+    """,
+)
+def q_octet_length_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: byte_length ≡ octet_length (enrichment_query.py:12,19)."""
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.octet_length("p_name").cast("long").alias("name_bytes"),
+        F.length("p_name").cast("long").alias("name_chars"),
+    )
+
+
+@register(
+    "timestamp_diff_minutes",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor((epoch(l_shipdate) - epoch(o_orderdate)) / 60) AS BIGINT)
+               AS ship_delay_min
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def q_timestamp_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: timestamp_diff(_, _, minute) (models/tripss.sql:3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_linenumber",
+        timestamp_diff_minutes(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "ship_delay_min"
+        ),
+    )
+
+
+@register(
+    "union_append",
+    """
+    SELECT l_returnflag, count(*) AS n
+    FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+    GROUP BY 1
+    """,
+)
+def q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7/S4: append-load ≡ unionByName."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.unionByName(li)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "multihop_join",
+    """
+    SELECT r_name, n_customers,
+           CAST(balance_cents AS DOUBLE) / 100.0 / n_customers AS avg_balance
+    FROM (SELECT r_name, count(*) AS n_customers,
+                 CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                     AS balance_cents
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1)
+    """,
+)
+def q_multihop_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained broadcast equi-joins across the dim hierarchy."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents).alias("balance_cents"),
+        )
+        .select(
+            "r_name",
+            "n_customers",
+            (F.col("balance_cents").cast("double") / 100.0 / F.col("n_customers"))
+            .alias("avg_balance"),
+        )
+    )
+
+
+@register(
+    "null_semantics",
+    """
+    SELECT count(*) AS total_rows,
+           CAST(count(nullif(l_discount, 0.0)) AS BIGINT) AS nonzero_discounts,
+           CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS zero_or_null,
+           CAST(count(CASE WHEN nullif(l_discount, 0.0) != 0.05 THEN 1 END)
+                AS BIGINT) AS neq_keeps
+    FROM lineitem
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: null-rejecting ``!=`` / IS NULL semantics (BQ-compatible)."""
+    li = _t(spark, sf_dir, "lineitem")
+    nz = F.nullif(F.col("l_discount"), F.lit(0.0))
+    return li.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count(nz).alias("nonzero_discounts"),
+        F.sum(F.when(nz.isNull(), 1).otherwise(0)).cast("long").alias("zero_or_null"),
+        F.count(F.when(nz != 0.05, 1)).alias("neq_keeps"),
+    )
+
+
+# ===========================================================================
+# dbt-parity models (SURVEY.md §1.1 / EP3)
+# ===========================================================================
+
+
+def _model_registry(spark: SparkSession, sf_dir: str):
+    norm = _norm_trips(spark, sf_dir)
+    enriched_like = norm.select(
+        daypart(F.col("pickup_datetime")).alias("daypart"),
+        "pickup_datetime",
+        "dropoff_datetime",
+        "pickup_location_id",
+        "dropoff_location_id",
+        F.col("fare_amount").alias("total_amount"),
+    )
+    return taxi_models(spark, enriched_like)
+
+
+@register(
+    "model_daily_trip_metrics",
+    f"""
+    SELECT pickup_date, n_trips, avg_drive_time, total_drive_time,
+           total_amount_cents,
+           CAST(total_amount_cents AS DOUBLE) / 100.0 / n_trips AS avg_amount
+    FROM (SELECT strftime(pickup_datetime, '%Y-%m-%d') AS pickup_date,
+                 count(*) AS n_trips,
+                 avg(drive_time) AS avg_drive_time,
+                 CAST(sum(drive_time) AS BIGINT) AS total_drive_time,
+                 CAST(sum(fare_cents) AS BIGINT) AS total_amount_cents
+          FROM (SELECT pickup_datetime,
+                       CAST(floor((epoch(dropoff_datetime) - epoch(pickup_datetime))
+                                  / 60) AS BIGINT) AS drive_time,
+                       CAST(round(fare_amount * 100) AS BIGINT) AS fare_cents
+                FROM ({NORM_SQL}))
+          GROUP BY 1)
+    """,
+)
+def q_model_daily_trip_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt model daily_trip_metrics (models/daily_trip_metrics.sql:1-3)."""
+    reg = _model_registry(spark, sf_dir)
+    return reg.ref("daily_trip_metrics").select(
+        F.date_format("pickup_date", "yyyy-MM-dd").alias("pickup_date"),
+        "n_trips",
+        "avg_drive_time",
+        F.col("total_drive_time").cast("long").alias("total_drive_time"),
+        "total_amount_cents",
+        "avg_amount",
+    )
+
+
+@register(
+    "model_trips_view",
+    f"SELECT count(1) AS trip_count FROM ({NORM_SQL})",
+)
+def q_model_trips_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt model trips_view (models/trips_view.sql:1)."""
+    return _model_registry(spark, sf_dir).ref("trips_view")
+
+
+@register(
+    "model_staging_rename",
+    f"""
+    SELECT strftime(pickup_datetime, '%Y-%m-%d %H:%M:%S') AS pickup_ts,
+           strftime(dropoff_datetime, '%Y-%m-%d %H:%M:%S') AS dropoff_ts,
+           pickup_location_id AS pickup_zone,
+           dropoff_location_id AS dropoff_zone,
+           {DAYPART_SQL.format(t="strftime(pickup_datetime, '%H:%M:%S')")} AS daypart
+    FROM ({NORM_SQL})
+    """,
+)
+def q_model_staging_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt staging model (stg_taxi_trips__tripss.sql:1-21)."""
+    stg = _model_registry(spark, sf_dir).ref("stg_taxi_trips__tripss")
+    return stg.select(
+        _ts_str(F.col("pickup_ts"), "pickup_ts"),
+        _ts_str(F.col("dropoff_ts"), "dropoff_ts"),
+        "pickup_zone",
+        "dropoff_zone",
+        "daypart",
+    )
+
+
+# ===========================================================================
+# Dedup operators (north-star)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+           count(1) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_MINHASH_SIG_SQL = ", ".join(
+    f"list_min(list_transform(grams, g -> md5('{i}:' || g))) AS mh{i}"
+    for i in range(dedup.MINHASH_K)
+)
+_MINHASH_BANDS_SQL = " UNION ALL ".join(
+    f"""SELECT doc_id, {b} AS band_id,
+        md5(concat_ws('|', mh{b * 4}, mh{b * 4 + 1}, mh{b * 4 + 2}, mh{b * 4 + 3}))
+            AS band_key FROM sig"""
+    for b in range(dedup.LSH_BANDS)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH shingled AS ({GRAMS_SQL}),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shingled),
+    bands AS ({_MINHASH_BANDS_SQL})
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def _simhash_fp_sql() -> str:
+    bit_terms = " + ".join(
+        f"""CASE WHEN list_sum(list_transform(hs,
+                h -> ((h >> {j}) & 1) * 2 - 1)) > 0
+            THEN CAST({1 << j} AS BIGINT) ELSE 0 END"""
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({TOKS_SQL}) AS dtoks FROM documents
+    ),
+    hs AS (
+        SELECT doc_id,
+               list_transform(dtoks,
+                   t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)) AS hs
+        FROM toks
+    )
+    SELECT doc_id, {bit_terms} AS simhash FROM hs
+    """
+
+
+@register("dedup_simhash_fingerprint", _simhash_fp_sql())
+def q_dedup_simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH fp AS ({_simhash_fp_sql()}),
+    banded AS (
+        SELECT doc_id, simhash, b.band_id,
+               (simhash >> (b.band_id * 15)) & 32767 AS band_val
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM pairs
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH g AS (SELECT doc_id, grams, len(grams) AS n_grams FROM ({GRAMS_SQL})
+               WHERE len(grams) > 0)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(a.grams || b.grams)), 6) AS jaccard
+    FROM g a JOIN g b
+      ON a.doc_id < b.doc_id
+     AND least(a.n_grams, b.n_grams) >= greatest(a.n_grams, b.n_grams) * 0.8
+    WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / len(list_distinct(a.grams || b.grams)), 6) >= 0.8
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Similarity search (north-star)
+# ===========================================================================
+
+_COS_SQL = """
+    list_sum(list_transform(generate_series(1, len(a.emb)),
+                            i -> a.emb[i] * b.emb[i]))
+    / (sqrt(list_sum(list_transform(generate_series(1, len(a.emb)),
+                                    i -> a.emb[i] * a.emb[i])))
+       * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
+                                      i -> b.emb[i] * b.emb[i]))))
+"""
+
+
+@register(
+    "similarity_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos
+        FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS knn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(knn_rank AS BIGINT) AS knn_rank
+    FROM ranked WHERE knn_rank <= 5
+    """,
+)
+def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_bruteforce(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "similarity_lsh_topk",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               array_to_string(list_transform(embedding[1:8],
+                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS_SQL} AS cos
+        FROM e a JOIN e b
+          ON a.vec_id < 10 AND a.vec_id != b.vec_id AND a.bucket = b.bucket
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS knn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(knn_rank AS BIGINT) AS knn_rank
+    FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_lsh(_t(spark, sf_dir, "embeddings"))
+
+
+# ===========================================================================
+# Text analysis (north-star)
+# ===========================================================================
+
+
+@register(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({TOKS_SQL})) AS BIGINT) AS n_distinct_tokens,
+           round(CAST(list_sum(list_transform({TOKS_SQL}, w -> length(w)))
+                      AS DOUBLE) / len({TOKS_SQL}), 4) AS avg_token_len,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_t(spark, sf_dir, "documents"))
+
+
+_EN_STOP_SQL = "('the', 'a', 'of', 'and', 'is', 'to')"
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_measured,
+               CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens,
+               round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          AS DOUBLE) / length(text), 4) AS alpha_ratio,
+               round(CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                          AS DOUBLE) / length(text), 4) AS space_ratio,
+               round(CAST(len(list_filter({TOKS_SQL}, w -> w IN {_EN_STOP_SQL}))
+                          AS DOUBLE) / len({TOKS_SQL}), 4) AS stopword_ratio
+        FROM documents
+    )
+    SELECT doc_id, n_chars_measured, n_tokens, alpha_ratio, space_ratio,
+           stopword_ratio,
+           round(least(1.0, n_tokens / 50.0) * 0.4 + alpha_ratio * 0.4
+                 + least(1.0, stopword_ratio * 5) * 0.2, 4) AS quality_score
+    FROM base
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    counts = ", ".join(
+        f"""CAST(len(list_filter({TOKS_SQL}, w -> w IN
+            ({', '.join(repr(w) for w in sw)}))) AS BIGINT) AS n_{lang}"""
+        for lang, sw in text.LANG_STOPWORDS.items()
+    )
+    return f"""
+    WITH c AS (SELECT doc_id, {counts} FROM documents)
+    SELECT doc_id, n_en, n_de, n_fr, n_es,
+           CASE WHEN greatest(n_en, n_de, n_fr, n_es) <= 0 THEN 'und'
+                WHEN n_en = greatest(n_en, n_de, n_fr, n_es) THEN 'en'
+                WHEN n_de = greatest(n_en, n_de, n_fr, n_es) THEN 'de'
+                WHEN n_fr = greatest(n_en, n_de, n_fr, n_es) THEN 'fr'
+                ELSE 'es' END AS predicted_lang
+    FROM c
+    """
+
+
+@register("text_language_id", _lang_sql())
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({TOKS_SQL})), ' '))
+               AS canon_fingerprint,
+           md5(text) AS exact_fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Multimodal plumbing (north-star) — mapInPandas vs pure-SQL oracle
+# ===========================================================================
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id, 'text/plain' AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           CASE WHEN text LIKE 'RIFF%' THEN 'riff'
+                WHEN text LIKE 'GIF8%' THEN 'gif'
+                ELSE 'unknown' END AS magic
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
+    return multimodal.extract_meta(media)
+
+
+# ===========================================================================
+# Streaming (north-star / README.md:96-98 "instant results" variant)
+# ===========================================================================
+
+
+@register(
+    "streaming_daypart_rollup",
+    f"""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           {DAYPART_SQL.format(t="strftime(ts, '%H:%M:%S')")} AS daypart,
+           event_type,
+           count(*) AS event_count,
+           round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming job (AvailableNow) whose complete-mode output
+    must equal the batch aggregation — the oracle IS that batch query."""
+    from taxi_trips_etl_spark.streaming.rollup import run_streaming_daypart_rollup
+
+    return run_streaming_daypart_rollup(
+        spark, f"{sf_dir}/events.parquet", sink_table="daypart_rollup_oracle_run"
+    )
+
+
+# ===========================================================================
+# Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
+# ===========================================================================
+
+
+@register("flagship_most_populars")  # no oracle: hex cells come from UDFs
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from taxi_trips_etl_spark.plans.pipeline import run_taxi_pipeline
+
+    df = run_taxi_pipeline(spark, sf_dir)
+    assert df is not None
+    return df.select(
+        F.col("popularity").cast("long").alias("popularity"),
+        F.col("route.pickup_hexagons").alias("route_pickup_hex"),
+        F.col("route.dropoff_hexagons").alias("route_dropoff_hex"),
+        "route_count",
+        "dropoff_hexagon",
+        "dropoff_count",
+        "pickup_hexagon",
+        "pickup_count",
+    )

@@ -3,8 +3,8 @@
 The driver testdata (TESTDATA.md) has no taxi tables, so the flagship
 pipeline's inputs are derived *deterministically* from ``lineitem``:
 
-- ``pickup_datetime``  = l_shipdate
-- ``dropoff_datetime`` = l_shipdate + l_quantity minutes (so rows with
+- ``pickup_datetime``  = l_shipdate + (l_orderkey % 86400) seconds
+- ``dropoff_datetime`` = pickup_datetime + l_quantity minutes (so rows with
   l_quantity == 0 exercise the pickup==dropoff normalization filter)
 - ``passenger_count``  = nullable small int carved from l_linenumber
   (every 7th row NULL, every 11th row 0 → filter coverage)
@@ -33,7 +33,11 @@ N_ZONES = 48
 def trips_from_lineitem(lineitem: DataFrame) -> DataFrame:
     """Deterministic trips fact table (FIXTURES.md §A1) from lineitem."""
     li = lineitem
-    pickup = F.col("l_shipdate")
+    # l_shipdate is midnight-only; spread pickups across the day
+    # deterministically so daypart logic sees all four branches.
+    pickup = F.timestamp_add(
+        "SECOND", (F.col("l_orderkey") % 86400).cast("long"), F.col("l_shipdate")
+    )
     dropoff = F.timestamp_add("MINUTE", F.col("l_quantity").cast("long"), pickup)
     return li.select(
         pickup.alias("pickup_datetime"),

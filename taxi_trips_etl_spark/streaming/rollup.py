@@ -14,6 +14,8 @@ at a live object-store prefix, runs continuously unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -24,8 +26,22 @@ def streaming_daypart_rollup(
     spark: SparkSession, events_dir: str, watermark: str = "1 day"
 ) -> DataFrame:
     """Streaming DF: per (1-day window, daypart, event_type) counts."""
+    # events parquet carries TIMESTAMP(NANOS) — read as long, truncate
+    # to micros with integer div (see queries._events for rationale).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_dir)  # schema from footer
-    stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    # The streaming file source wants a directory: when handed a single
+    # file, stream its parent dir with a glob filter on the filename.
+    if os.path.isfile(events_dir):
+        parent, fname = os.path.split(events_dir)
+        reader = spark.readStream.schema(static.schema).option(
+            "pathGlobFilter", fname
+        )
+        stream = reader.parquet(parent)
+    else:
+        stream = spark.readStream.schema(static.schema).parquet(events_dir)
+    if dict(static.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(
