@@ -1,0 +1,73 @@
+"""Benchmark harness: every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
+"sec", "queries": {name: sec, ...}, "sf": ...}.
+
+Execution is forced through the noop sink (full computation, no
+driver-side collect skew). Each query runs once after a session
+warm-up query (JVM/codegen warm), timed wall-clock.
+
+Usage: python bench.py [--sf-dir DIR] [--queries a,b,c]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    )
+    parser.add_argument("--queries", default=None, help="comma-separated subset")
+    args = parser.parse_args()
+
+    from taxi_trips_etl_spark.queries import all_queries
+    from taxi_trips_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = all_queries()
+    if args.queries:
+        subset = args.queries.split(",")
+        qs = {k: qs[k] for k in subset}
+
+    # Warm-up: JVM JIT + parquet footer caches, not part of the score.
+    force(spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").limit(1000))
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.monotonic()
+        force(fn(spark, args.sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", args.sf_dir)
+    sf = float(m.group(1)) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "total wall-clock for all registered queries (noop sink)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ Scale design notes (per operator):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -91,19 +91,24 @@ def minhash_signature(docs: DataFrame, text: str = "text", k: int = MINHASH_K,
     h_i(s) = md5('{i}:' + s); the signature element is the lexicographic
     MIN of the hex digests — a valid uniform min-hash family, chosen
     because string-min over md5-hex is engine-portable.
+
+    Shape: EXPLODE shingles → hash each once per seed → groupBy(doc_id)
+    with k min() aggregates. Naively inlining the tokenize→shingle
+    expression into k array_min(transform(...)) columns recomputes the
+    shingling k times per row; the explode form tokenizes once, and the
+    k mins ride one partially-aggregated (map-side combine) shuffle —
+    the shape that holds at corpus scale. Docs too short to shingle
+    vanish via explode (they would otherwise collide on md5('') bands).
     """
-    shingles = word_ngrams(tokens_col(text), ngram)
-    sig = [
-        F.array_min(
-            F.transform(shingles, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s)))
-        ).alias(f"mh{i}")
-        for i in range(k)
-    ]
-    # Docs too short to shingle have no signature (and would otherwise
-    # all collide on md5('') band keys) — exclude them.
-    return docs.select("doc_id", F.size(shingles).alias("_n"), *sig).filter(
-        F.col("_n") > 0
-    ).drop("_n")
+    shingled = docs.select(
+        "doc_id", F.explode(word_ngrams(tokens_col(text), ngram)).alias("shingle")
+    )
+    return shingled.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
 
 
 def lsh_bands(sig_df: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
@@ -164,22 +169,29 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> Da
     """60-bit SimHash over distinct tokens (unit weights).
 
     bit_j(doc) = 1 iff sum over tokens of ±1 (sign of hash bit j) > 0.
-    Pure column arithmetic: one fold per bit over the token-hash array.
+
+    Shape: EXPLODE distinct tokens → one 60-bit hash per token → 60
+    sum() aggregates per doc (map-side combined), then reassemble the
+    fingerprint from the signs. The naive form (60 array folds, each
+    re-inlining tokenize+hash) does 60× the hashing work per row.
     """
-    hashes = F.transform(
-        F.array_distinct(tokens_col(text)), _token_hash
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_col(text))).alias("tok")
+    ).select("doc_id", _token_hash(F.col("tok")).alias("h"))
+    sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+                f"b{j}"
+            )
+            for j in range(bits)
+        ]
     )
-    def bit_sum(j: int):
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
     fp = F.lit(0).cast("long")
     for j in range(bits):
-        fp = fp + F.when(bit_sum(j) > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
-    return docs.select("doc_id", fp.alias("simhash"))
+        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0)
+        )
+    return sums.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -248,21 +260,58 @@ def ngram_jaccard_pairs(
         .withColumn("n_grams", F.size("grams"))
         .filter(F.col("n_grams") > 0)
     )
-    a, b = grams.alias("a"), grams.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (
-            F.least(F.col("a.n_grams"), F.col("b.n_grams"))
-            >= F.greatest(F.col("a.n_grams"), F.col("b.n_grams")) * threshold
-        ),
+    # Inverted-index shape: explode grams → equi-join postings on the
+    # gram → count shared grams per pair. Only pairs that actually share
+    # a gram are ever materialized (pairs with J=0 can't pass any
+    # threshold), vs. the naive all-pairs cross join whose O(n²)
+    # array_intersect dominates at corpus scale. Hot grams are the skew
+    # hazard — AQE skew-join splits them; a df-cap prefilter is the
+    # next lever for degenerate corpora.
+    # PPJoin-style prefix filter (exact-preserving): order each doc's
+    # grams by a global canonical order (md5 — uniform, engine-agnostic)
+    # and index only the first n - ⌈t·n⌉ + 1 of them. Two sets with
+    # J ≥ t MUST share a gram inside those prefixes, so joining prefixes
+    # finds every qualifying pair; the full gram arrays then verify the
+    # exact Jaccard on the (few) survivors. Indexed postings shrink to
+    # ~(1-t) of the corpus and join fanout to ~(1-t)² — the shape that
+    # survives corpus-scale near-dup mining.
+    w = Window.partitionBy("doc_id").orderBy(F.md5("gram"))
+    prefix = (
+        grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
+        )
+        .select("doc_id", "n_grams", "gram")
     )
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    return (
-        pairs.select(
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n_grams"), F.col("b.n_grams"))
+                >= F.greatest(F.col("a.n_grams"), F.col("b.n_grams")) * threshold
+            ),
+        )
+        .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+    return (
+        cand.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
             F.round(inter / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

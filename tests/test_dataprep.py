@@ -1,0 +1,181 @@
+"""Dedup / similarity / text / multimodal operator semantics on
+synthetic corpora with known near-duplicate structure."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep import dedup, multimodal, similarity, text
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from a warm sunny window sill and dreams of chasing mice through "
+    "the tall green grass behind the old wooden barn where swallows nest "
+    "every spring and the farmer keeps his rusty tractor next to bales "
+    "of golden hay stacked high against the stone wall near the gate"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact duplicate of 0
+        (2, BASE.replace("sunny", "rainy")),  # near-dup of 0
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, "tiny"),  # too short to shingle
+        (5, "der hund und die katze und das haus und der baum sind hier"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(docs):
+    out = dedup.exact_duplicates(docs).collect()
+    dup_groups = [r for r in out if r.dup_count > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0].canonical_doc_id == 0
+    assert dup_groups[0].dup_count == 2
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # one-word change → near-dup
+    flat = {d for p in pairs for d in p}
+    assert 3 not in flat and 4 not in flat  # unrelated + unshingleable
+
+
+def test_ngram_jaccard_scores(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    by_pair = {(r.doc_id_a, r.doc_id_b): r.jaccard for r in pairs}
+    assert by_pair[(0, 1)] == 1.0
+    near = by_pair[(0, 2)]
+    assert 0.5 <= near < 1.0
+
+
+def test_simhash_hamming_properties(docs):
+    fps = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert fps[0] == fps[1]  # identical text → identical fingerprint
+    ham_near = bin(fps[0] ^ fps[2]).count("1")
+    ham_far = bin(fps[0] ^ fps[3]).count("1")
+    assert ham_near < ham_far  # near-dup closer than unrelated doc
+    pairs = dedup.simhash_near_duplicates(docs, max_hamming=ham_near).collect()
+    assert any({p.doc_id_a, p.doc_id_b} == {0, 1} for p in pairs)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # vec 0 ∥ vec 1 (identical direction), vec 2 orthogonal, vec 3 opposite.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+        (4, [1.0, 1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(vectors):
+    out = similarity.cosine_topk_bruteforce(
+        vectors, query_ids_below=1, k=4
+    ).collect()
+    ranked = [r.neighbor_id for r in sorted(out, key=lambda r: r.knn_rank)]
+    assert ranked[0] == 1  # parallel vector first (cos=1)
+    assert ranked[1] == 4  # 45° (cos≈0.707)
+    assert ranked[2] == 2  # orthogonal (cos=0)
+    assert ranked[3] == 3  # opposite (cos=-1)
+    by_n = {r.neighbor_id: r.cosine for r in out}
+    assert by_n[1] == pytest.approx(1.0)
+    assert by_n[4] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert by_n[3] == pytest.approx(-1.0)
+
+
+def test_lsh_topk_is_subset_of_bucket(vectors):
+    out = similarity.cosine_topk_lsh(
+        vectors, query_ids_below=1, k=4, planes=4
+    ).collect()
+    # Bucket of query 0 is sign-pattern '1000' — only vec 1 shares it
+    # (vec 4 is '1100', vec 2 '0100', vec 3 '0000').
+    assert {r.neighbor_id for r in out} == {1}
+
+
+def test_token_stats_and_edge_cases(spark):
+    docs = spark.createDataFrame(
+        [(0, "a bb ccc"), (1, "  "), (2, "x")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in text.token_stats(docs).collect()}
+    assert out[0].n_tokens == 3
+    assert out[0].avg_token_len == 2.0
+    assert out[0].est_bpe_tokens == 2  # ceil(8/4)
+    assert out[2].n_tokens == 1
+
+
+def test_language_id_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is a friend of mine"),
+            (1, "der hund und die katze ist das beste"),
+            (2, "le chat et la maison les arbres"),
+            (3, "xyzzy plugh quux"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.predicted_lang for r in text.language_id(docs).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "fr"
+    assert out[3] == "und"
+
+
+def test_fingerprints_order_invariance(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha alpha"), (2, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.fingerprints(docs).collect()}
+    # canon fingerprint ignores order+repetition; exact does not.
+    assert out[0].canon_fingerprint == out[1].canon_fingerprint
+    assert out[0].canon_fingerprint != out[2].canon_fingerprint
+    assert out[0].exact_fingerprint != out[1].exact_fingerprint
+
+
+def test_multimodal_meta_and_decode_stub(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "RIFF fake wav payload")], "doc_id long, text string"
+    )
+    media = multimodal.attach_payload(docs)
+    meta = {r.media_id: r for r in multimodal.extract_meta(media).collect()}
+    assert meta[0].n_bytes == len(b"hello world")
+    assert meta[0].magic == "unknown"
+    assert meta[1].magic == "riff"
+    import hashlib
+
+    assert meta[0].sha256 == hashlib.sha256(b"hello world").hexdigest()
+
+    # Decode without a decoder must refuse loudly (stubbed codec path)…
+    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+        multimodal.decode_image(media).collect()
+    # …and the deterministic fake exercises the real mapInPandas plumbing.
+    decoded = multimodal.decode_image(
+        media, decoder=multimodal.fake_image_decoder
+    ).collect()
+    assert len(decoded) == 2
+    assert all(64 <= r.width < 128 and r.channels == 3 for r in decoded)
+
+
+def test_frame_sampling_expands_rows(spark):
+    docs = spark.createDataFrame([(0, "x" * 3000)], "doc_id long, text string")
+    media = multimodal.attach_payload(docs)
+    frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
+    assert [f.frame_offset for f in sorted(frames, key=lambda f: f.frame_offset)] == [
+        0,
+        1024,
+        2048,
+    ]

@@ -1,0 +1,74 @@
+"""Geo function unit fixtures (SURVEY.md §5: known polygon → known
+centroid → stable hex cell, since DuckDB can't oracle the UDFs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from taxi_trips_etl_spark.functions.geo import (
+    centroid_cell,
+    latlng_to_cell,
+    wkt_centroid,
+)
+
+
+def test_square_centroid():
+    wkt = "POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))"
+    lon, lat = wkt_centroid(wkt)
+    assert lon == pytest.approx(1.0)
+    assert lat == pytest.approx(1.0)
+
+
+def test_asymmetric_polygon_centroid_is_area_weighted():
+    # L-shape: area centroid differs from vertex mean — shoelace must win.
+    wkt = "POLYGON((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))"
+    lon, lat = wkt_centroid(wkt)
+    # Exact area centroid of this L (area 7, rects 4×1 + 1×3):
+    # x̄ = ȳ = (4·2 + 3·0.5)/7 = 19/14 — NOT the vertex mean (5/3).
+    assert lon == pytest.approx(19 / 14)
+    assert lat == pytest.approx(19 / 14)
+
+
+def test_multipolygon_weighted_centroid():
+    # Two unit squares, one at origin, one at x∈[10,11]; equal areas →
+    # centroid midway at x=5.5.
+    wkt = (
+        "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " ((10 0, 11 0, 11 1, 10 1, 10 0)))"
+    )
+    lon, lat = wkt_centroid(wkt)
+    assert lon == pytest.approx(5.5)
+    assert lat == pytest.approx(0.5)
+
+
+def test_degenerate_and_garbage_inputs():
+    assert wkt_centroid(None) is None
+    assert wkt_centroid("") is None
+    assert wkt_centroid("POLYGON EMPTY") is None
+    lon, lat = wkt_centroid("POINT(3 4)")
+    assert (lon, lat) == (3.0, 4.0)
+
+
+def test_hex_cell_deterministic_and_local():
+    a = latlng_to_cell(40.7128, -74.0060, 9)
+    assert a == latlng_to_cell(40.7128, -74.0060, 9)
+    # A point ~1e-6 deg away (≈10 cm) shares the cell.
+    assert a == latlng_to_cell(40.712801, -74.006001, 9)
+    # A point ~0.1 deg away (≈11 km) must not.
+    assert a != latlng_to_cell(40.8128, -74.0060, 9)
+    assert a.startswith("hx9_")
+
+
+def test_hex_resolution_nests_sizes():
+    # Coarser resolution → more points share a cell.
+    pts = [(40.7 + i * 0.001, -74.0) for i in range(50)]
+    cells_r5 = {latlng_to_cell(la, lo, 5) for la, lo in pts}
+    cells_r9 = {latlng_to_cell(la, lo, 9) for la, lo in pts}
+    assert len(cells_r5) < len(cells_r9)
+
+
+def test_centroid_cell_composition():
+    wkt = "POLYGON((-74.01 40.70, -74.00 40.70, -74.00 40.71, -74.01 40.71, -74.01 40.70))"
+    cell = centroid_cell(wkt, 9)
+    assert cell == latlng_to_cell(40.705, -74.005, 9)
+    assert centroid_cell(None) is None
