@@ -99,6 +99,51 @@ def sign_bucket(vec: Column, planes: int = 16) -> Column:
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    planes: int = 6,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup by vector similarity).
+
+    Candidates are pairs sharing a sign-LSH bucket (first ``planes``
+    dims), then exact cosine ≥ threshold. The bucket join keeps the
+    pair space O(Σ bucket²) instead of O(n²) — the same shape MinHash
+    banding gives text dedup. Recall is bucket-bounded by construction;
+    widen with multi-probe (flip one plane) when recall matters more
+    than cost.
+    """
+    with_bucket = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = with_bucket.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("bucket").alias("ba"),
+    )
+    b = with_bucket.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("bucket").alias("bb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")),
+        )
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_ids_below: int = 10,

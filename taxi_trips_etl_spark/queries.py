@@ -942,6 +942,116 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_near_dup",
+    """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               array_to_string(list_transform(embedding[1:6],
+                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings
+    )
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(
+                   list_sum(list_transform(generate_series(1, len(a.emb)),
+                                           i -> a.emb[i] * b.emb[i]))
+                   / (sqrt(list_sum(list_transform(generate_series(1, len(a.emb)),
+                                                   i -> a.emb[i] * a.emb[i])))
+                      * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
+                                                     i -> b.emb[i] * b.emb[i])))),
+                   6) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket candidates + exact
+    cosine verify (threshold tuned to the synthetic corpus)."""
+    return similarity.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sql_ordinal_sort",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2
+    """,
+)
+def q_sql_ordinal_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: ordinal GROUP BY / ORDER BY through the spark.sql surface
+    (spark.sql.orderByOrdinal/groupByOrdinal, default on — the
+    reference's `ORDER BY 2 desc` idiom, taxi_trips_etl.py:169)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, count(*) AS n "
+        "FROM v_lineitem GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2"
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH o AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec, ts
+        FROM events
+    ),
+    gaps AS (
+        SELECT user_id, event_id, sec, ts,
+               CASE WHEN sec - lag(sec) OVER w > 1800
+                         OR lag(sec) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, event_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY sec, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS session_idx
+        FROM gaps
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sessions GROUP BY 1, 2
+    """,
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via LAG + cumulative SUM windows (30-min gap).
+
+    Covers the window families the reference lacks (lag, running sum
+    with an explicit ROWS frame) and is the batch twin of the stateful
+    streaming sessionizer. Epoch seconds are truncated identically on
+    both engines (cast ≡ floor for positive epochs).
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts", F.col("ts").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    gaps = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w) > 1800)
+            | F.lag("sec").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    cum = Window.partitionBy("user_id").orderBy("sec", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = gaps.withColumn("session_idx", F.sum("new_session").over(cum))
+    return sessions.groupBy(
+        "user_id", F.col("session_idx").cast("long").alias("session_idx")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _ts_str(F.min("ts"), "session_start"),
+        _ts_str(F.max("ts"), "session_end"),
+    )
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================

@@ -35,10 +35,21 @@ TESTDATA_TABLES = (
 def register_sources(
     spark: SparkSession, manifest: dict[str, str]
 ) -> dict[str, DataFrame]:
-    """Register each source parquet path as a temp view; return the DFs."""
+    """Register each source parquet path as a temp view; return the DFs.
+
+    Tolerates TIMESTAMP(NANOS) parquet (which Spark's reader rejects):
+    nanos are read as long and truncated to micros with an exact
+    integer div. Applies to any column the footer typed as nanos —
+    detected as bigint columns that the nanosAsLong fallback produced.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name, path in manifest.items():
         df = spark.read.parquet(path)
+        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

@@ -1,0 +1,103 @@
+"""Sources layer (SURVEY.md §2.1): globbed day-batch reads, CSV loads,
+catalog registration, existence gates."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from taxi_trips_etl_spark.sources.catalog import (
+    drop_table,
+    load_testdata,
+    register_sources,
+    table_exists,
+)
+from taxi_trips_etl_spark.sources.readers import (
+    day_glob,
+    list_day_files,
+    read_csv,
+    read_day_batch,
+)
+
+
+def _write_day_files(spark, base, ds, n_files=2, with_decoy=True):
+    y, m, d = ds.split("-")
+    day_dir = os.path.join(base, y, m, d)
+    os.makedirs(day_dir, exist_ok=True)
+    for i in range(n_files):
+        spark.range(i * 10, i * 10 + 10).toDF("n").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(day_dir, f"000_{i}"))
+    if with_decoy:
+        # Files not matching the 000 prefix must be ignored (the
+        # reference's blob-name filter, taxi_trips_etl.py:35).
+        spark.range(1000, 1010).toDF("n").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(day_dir, "999_decoy"))
+
+
+def test_day_glob_layout(tmp_path):
+    assert day_glob(str(tmp_path), "2026-02-03") == str(tmp_path) + "/2026/02/03/000*"
+
+
+def test_read_day_batch_globs_prefix_only(spark, tmp_path):
+    base = str(tmp_path)
+    _write_day_files(spark, base, "2026-01-15")
+    files = list_day_files(base, "2026-01-15")
+    assert len(files) == 2  # decoy excluded
+    df = read_day_batch(spark, base, "2026-01-15")
+    got = sorted(r.n for r in df.collect())
+    assert got == list(range(20))  # both 000-prefixed files, no decoy rows
+
+
+def test_read_day_batch_other_day_empty(tmp_path):
+    assert list_day_files(str(tmp_path), "2026-01-16") == []
+
+
+def test_csv_reader_header_and_schema(spark, tmp_path):
+    p = str(tmp_path / "data.csv")
+    with open(p, "w") as f:
+        f.write("id,name,score\n1,alpha,1.5\n2,beta,2.5\n")
+    inferred = read_csv(spark, p)
+    assert inferred.columns == ["id", "name", "score"]
+    assert inferred.count() == 2
+    explicit = read_csv(
+        spark,
+        p,
+        schema=StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("name", StringType()),
+                StructField("score", StringType()),
+            ]
+        ),
+    )
+    row = explicit.orderBy("id").collect()[0]
+    assert row.id == 1 and row.score == "1.5"  # explicit schema wins
+
+
+def test_register_sources_and_catalog_gates(spark, sf_dir):
+    dfs = load_testdata(spark, sf_dir)
+    assert set(dfs) >= {"lineitem", "orders", "documents", "embeddings"}
+    assert table_exists(spark, "lineitem")
+    n = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n == 6000
+    drop_table(spark, "lineitem")
+    assert not table_exists(spark, "lineitem")
+    # Re-register for other tests that may follow.
+    register_sources(spark, {"lineitem": f"{sf_dir}/lineitem.parquet"})
+
+
+def test_events_nanos_reader(spark, sf_dir):
+    from taxi_trips_etl_spark.queries import _events
+
+    ev = _events(spark, sf_dir)
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert ev.filter(F.col("ts").isNull()).count() == 0
