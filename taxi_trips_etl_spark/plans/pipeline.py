@@ -63,8 +63,13 @@ class Pipeline:
                     out = stage.fn(ctx)
                     ctx[stage.name] = out
                     if stage.explain and isinstance(out, DataFrame):
-                        log.info("plan[%s]:\n%s", stage.name,
-                                 out._jdf.queryExecution().explainString("formatted"))
+                        import contextlib
+                        import io
+
+                        buf = io.StringIO()
+                        with contextlib.redirect_stdout(buf):
+                            out.explain("formatted")
+                        log.info("plan[%s]:\n%s", stage.name, buf.getvalue())
                     log.info("stage %s ok in %.2fs", stage.name, time.monotonic() - t0)
                     break
                 except Exception:

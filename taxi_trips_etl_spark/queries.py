@@ -1052,6 +1052,30 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSIONIZE_ORACLE = _ORACLES["sessionize_events"]
+
+
+@register("streaming_sessionize_stateful", _SESSIONIZE_ORACLE)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState gap-sessionizer, run to completion over the
+    static events dir. Its append-mode output (closed sessions + the
+    timeout flush) must equal the batch LAG/SUM sessionization — so it
+    shares that query's oracle: a custom stateful streaming operator
+    that is still exactly hash-verified."""
+    from taxi_trips_etl_spark.streaming.sessionize import run_streaming_sessionize
+
+    out = run_streaming_sessionize(
+        spark, f"{sf_dir}/events.parquet", sink_table="sessions_oracle_run"
+    )
+    return out.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        _ts_str(F.col("session_start"), "session_start"),
+        _ts_str(F.col("session_end"), "session_end"),
+    )
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================

@@ -1,0 +1,28 @@
+"""applyInPandasWithState sessionizer ≡ batch window sessionization."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.streaming.sessionize import run_streaming_sessionize
+
+
+def test_stateful_sessionize_equals_batch(spark, sf_dir):
+    got_df = run_streaming_sessionize(
+        spark, f"{sf_dir}/events.parquet", sink_table="t_sessions_eq"
+    )
+    got = {
+        (r.user_id, r.session_idx, r.n_events,
+         r.session_start.strftime("%Y-%m-%d %H:%M:%S"),
+         r.session_end.strftime("%Y-%m-%d %H:%M:%S"))
+        for r in got_df.collect()
+    }
+    from taxi_trips_etl_spark.queries import all_queries
+
+    batch = all_queries()["sessionize_events"](spark, sf_dir)
+    want = {
+        (r.user_id, r.session_idx, r.n_events, r.session_start, r.session_end)
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
