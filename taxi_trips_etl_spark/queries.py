@@ -1052,6 +1052,26 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("passenger_count", "trip_distance", "pickup_location_id", "fare_amount")
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        count(DISTINCT {c}) AS n_distinct
+        FROM ({TRIPS_SQL})"""
+    for c in _PROFILE_COLS
+)
+
+
+@register("profile_columns", _PROFILE_ORACLE)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile: per-column nulls + exact distincts in one
+    aggregate pass over the (un-normalized) trips table."""
+    from taxi_trips_etl_spark.dataprep.profile import profile_table
+
+    trips = trips_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    return profile_table(trips, list(_PROFILE_COLS))
+
+
 _SESSIONIZE_ORACLE = _ORACLES["sessionize_events"]
 
 

@@ -1,0 +1,58 @@
+"""Salted-join equivalence + profiling operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep.profile import profile_table
+from taxi_trips_etl_spark.operators.skew import key_skew_report, salted_join
+
+
+def _skewed(spark):
+    # 90% of rows share key 1 (the hot key), the rest spread over 2..10.
+    big = spark.range(1000).select(
+        F.when(F.col("id") < 900, 1).otherwise((F.col("id") % 9) + 2).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(1, 11)], "k long, name string"
+    )
+    return big, small
+
+
+def test_salted_join_equals_plain_join(spark):
+    big, small = _skewed(spark)
+    plain = big.join(small, ["k"]).select("k", "payload", "name")
+    salted = salted_join(big, small, ["k"], salts=8).select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big, small = _skewed(spark)
+    # Drop dim key 2 → left join must keep those rows with NULL name.
+    small2 = small.filter(F.col("k") != 2)
+    plain = big.join(small2, ["k"], "left").select("k", "payload", "name")
+    salted = salted_join(big, small2, ["k"], how="left", salts=4).select(
+        "k", "payload", "name"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_key_skew_report_flags_hot_key(spark):
+    big, _ = _skewed(spark)
+    rep = key_skew_report(big, ["k"], top=3).collect()
+    assert rep[0].k == 1
+    assert rep[0].n_rows == 900
+    assert rep[0].share == 0.9
+
+
+def test_profile_table_counts(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a"), (3, "a"), (None, "b")], "x long, y string"
+    )
+    out = {r.column_name: r for r in profile_table(df).collect()}
+    assert out["x"].n_rows == 4
+    assert out["x"].n_nulls == 1
+    assert out["x"].n_distinct == 3
+    assert out["y"].n_nulls == 1
+    assert out["y"].n_distinct == 2
