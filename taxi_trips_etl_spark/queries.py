@@ -1072,6 +1072,83 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(trips, list(_PROFILE_COLS))
 
 
+@register(
+    "asof_join_purchases",
+    """
+    WITH purchases AS (
+        SELECT user_id, ts, max(value) AS purchase_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT e.user_id, e.event_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           p.purchase_value
+    FROM events e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    prior-or-equal purchase (union+window composition vs DuckDB's
+    native ASOF LEFT JOIN)."""
+    from taxi_trips_etl_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    left = ev.select("user_id", "event_id", "ts")
+    out = asof_join(left, purchases, on=["user_id"])
+    return out.select(
+        "user_id",
+        "event_id",
+        _ts_str(F.col("ts"), "event_ts"),
+        _ts_str(F.col("__asof_ts"), "purchase_ts"),
+        "purchase_value",
+    )
+
+
+@register(
+    "range_join_windows",
+    """
+    WITH windows AS (
+        SELECT user_id AS w_user, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+        FROM events WHERE event_type = 'purchase' AND user_id < 10
+    )
+    SELECT e.event_id, w.w_user,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           strftime(w.w_start, '%Y-%m-%d %H:%M:%S') AS window_start
+    FROM events e JOIN windows w
+      ON e.ts >= w.w_start AND e.ts <= w.w_end
+    WHERE e.event_type = 'click'
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key: clicks falling inside any purchase
+    window — bucketed equi-join composition vs DuckDB's IEJoin."""
+    from taxi_trips_etl_spark.operators.asof import range_join_points
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "ts")
+    windows = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 10))
+        .select(
+            F.col("user_id").alias("w_user"),
+            F.col("ts").alias("w_start"),
+            F.timestamp_add("HOUR", F.lit(2), F.col("ts")).alias("w_end"),
+        )
+    )
+    out = range_join_points(clicks, windows, "ts", "w_start", "w_end")
+    return out.select(
+        "event_id",
+        "w_user",
+        _ts_str(F.col("ts"), "click_ts"),
+        _ts_str(F.col("w_start"), "window_start"),
+    )
+
+
 _SESSIONIZE_ORACLE = _ORACLES["sessionize_events"]
 
 
