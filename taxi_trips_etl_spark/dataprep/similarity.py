@@ -88,6 +88,84 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    query_ids_below: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into
+    ``n_centroids`` cells, search only the query's ``nprobe`` nearest
+    cells, re-rank candidates by exact cosine.
+
+    Centroids are a deterministic sample (the first ``n_centroids``
+    vectors) — the classic sampled-centroid IVF flavor; swap in k-means
+    refinement without touching the search path. Scale shape: the
+    centroid set broadcasts everywhere (tiny), assignment is one
+    narrow pass over the corpus, and each query touches only its probed
+    cells' inverted lists (an equi-join on cent_id) — never the full
+    corpus. Recall is governed by nprobe.
+    """
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    scored_cells = (
+        embeddings.join(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "cent_id",
+            cosine(F.col(vec_col), F.col("cent_vec")).alias("_ccos"),
+        )
+    )
+    w_cell = Window.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), F.col("cent_id")
+    )
+    ranked_cells = scored_cells.withColumn("cell_rank", F.row_number().over(w_cell))
+    # Inverted lists: every vector lives in exactly one cell.
+    assignment = ranked_cells.filter(F.col("cell_rank") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cent_id",
+    )
+    # Each query probes its nprobe nearest cells.
+    probes = (
+        ranked_cells.filter(
+            (F.col(id_col) < query_ids_below) & (F.col("cell_rank") <= nprobe)
+        )
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            "cent_id",
+        )
+    )
+    scored = (
+        probes.join(assignment, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+        )
+    )
+
+
 def sign_bucket(vec: Column, planes: int = 16) -> Column:
     """Deterministic sign-LSH bucket: '10110…' over the first N dims."""
     return F.concat_ws(

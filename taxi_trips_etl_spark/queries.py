@@ -971,6 +971,55 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+_IVF_COS = _COS_SQL.replace("a.emb", "{a}").replace("b.emb", "{b}")
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, emb AS cent_vec FROM e WHERE vec_id < 8),
+    scored_cells AS (
+        SELECT a.vec_id, a.emb, cents.cent_id,
+               {_IVF_COS.format(a="a.emb", b="cents.cent_vec")} AS ccos
+        FROM e a CROSS JOIN cents
+    ),
+    ranked_cells AS (
+        SELECT vec_id, emb, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id) AS cell_rank
+        FROM scored_cells
+    ),
+    assignment AS (
+        SELECT vec_id AS neighbor_id, emb AS c_vec, cent_id
+        FROM ranked_cells WHERE cell_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, emb AS q_vec, cent_id
+        FROM ranked_cells WHERE vec_id < 10 AND cell_rank <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_IVF_COS.format(a="p.q_vec", b="a.c_vec")} AS cos
+        FROM probes p JOIN assignment a USING (cent_id)
+        WHERE p.query_id != a.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS knn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(knn_rank AS BIGINT) AS knn_rank
+    FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: sampled-centroid coarse quantizer + nprobe=2 search."""
+    return similarity.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 @register(
     "sql_ordinal_sort",
     """
@@ -1147,6 +1196,107 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ts_str(F.col("ts"), "click_ts"),
         _ts_str(F.col("w_start"), "window_start"),
     )
+
+
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total) with
+    grouping_id disambiguating synthetic NULLs — one pass, Expand-based."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("price_cents"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "price_cents")
+    )
+
+
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations in one Expand pass."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().cast("long").alias("gid"), F.count(F.lit(1)).alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "gid", "n")
+    )
+
+
+@register(
+    "percentiles_exact",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25,
+           quantile_cont(l_quantity, 0.5) AS p50,
+           quantile_cont(l_quantity, 0.75) AS p75,
+           count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). The approx_percentile
+    sketch is the swap-in at extreme cardinality."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+            F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+            F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "set_ops",
+    """
+    SELECT 'with_orders' AS segment, count(*) AS n FROM (
+        SELECT c_custkey FROM customer
+        INTERSECT
+        SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS segment, count(*) AS n FROM (
+        SELECT c_custkey FROM customer
+        EXCEPT
+        SELECT o_custkey FROM orders)
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7 — absent in the reference, part of a
+    complete relational surface)."""
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ords = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    with_orders = cust.intersect(ords).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("with_orders").alias("segment"), "n"
+    )
+    without = cust.exceptAll(ords.distinct()).distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("segment"), "n")
+    return with_orders.unionByName(without)
 
 
 _SESSIONIZE_ORACLE = _ORACLES["sessionize_events"]
