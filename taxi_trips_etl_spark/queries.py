@@ -1199,6 +1199,67 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "json_extract_props",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(max(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS k_max,
+           CAST(count(CASE WHEN CAST(props ->> 'k' AS BIGINT) > 50
+                           THEN 1 END) AS BIGINT) AS k_over_50
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column path: JSON payload → typed field →
+    aggregate (get_json_object stays JVM-side; from_json with an
+    explicit schema is the stricter variant for fixed shapes)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.max(k).alias("k_max"),
+        F.count(F.when(k > 50, 1)).alias("k_over_50"),
+    )
+
+
+@register(
+    "string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substr(p_name, 1, 8) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_snake,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS BIGINT)
+               AS name_words,
+           concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS brand_size,
+           regexp_extract(p_type, '([A-Z]+)$', 1) AS type_last_word
+    FROM part
+    """,
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery (upper/substr/replace/concat/regexp),
+    all whole-stage-codegen built-ins."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        (
+            F.length("p_name")
+            - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("long").alias("name_words"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_size").cast("string")).alias(
+            "brand_size"
+        ),
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("type_last_word"),
+    )
+
+
+@register(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,

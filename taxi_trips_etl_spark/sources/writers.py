@@ -29,6 +29,30 @@ def write_append(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed (hash-clustered) table: the co-located-join primitive.
+
+    Two tables bucketed on the same key with the same bucket count join
+    WITHOUT a shuffle — at 100 TB that turns every recurring fact↔fact
+    join on the bucket key into a local zipper (add sortBy to skip the
+    sort too). Requires ``saveAsTable`` (bucket metadata lives in the
+    catalog, not the parquet files).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def write_partitioned_by_run_date(df: DataFrame, path: str, ds: str) -> None:
     """S9: replaces the reference's ``trips_{yyyymmdd}`` name mangling.
 
