@@ -78,7 +78,7 @@ def _sessionize_kernel(
         else:
             last, n = sec, n + 1
     state.update((session_idx, start, last, n))
-    state.setTimeoutDuration(5 * 1000)  # flush quiet users soon after
+    state.setTimeoutDuration(3 * 1000)  # flush quiet users soon after
 
     if out:
         df = pd.DataFrame(
@@ -141,7 +141,7 @@ def run_streaming_sessionize(
         .writeStream.format("memory")
         .queryName(sink_table)
         .outputMode("append")
-        .trigger(processingTime="2 seconds")
+        .trigger(processingTime="1 seconds")
         .start()
     )
     import time
@@ -156,11 +156,11 @@ def run_streaming_sessionize(
         n = spark.table(sink_table).count()
         if n == last:
             stable += 1
-            if stable >= 3 and n > 0:
+            if stable >= 4 and n > 0:
                 break
         else:
             stable = 0
         last = n
-        time.sleep(2)
+        time.sleep(1)
     q.stop()
     return spark.table(sink_table)
