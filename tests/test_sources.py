@@ -95,6 +95,29 @@ def test_register_sources_and_catalog_gates(spark, sf_dir):
     register_sources(spark, {"lineitem": f"{sf_dir}/lineitem.parquet"})
 
 
+def test_csv_corrupt_rows_are_isolated(spark, tmp_path):
+    # PERMISSIVE mode with a corrupt-record column: bad rows must not
+    # poison the load — they land in _corrupt_record for quarantine.
+    p = str(tmp_path / "bad.csv")
+    with open(p, "w") as f:
+        f.write("id,score\n1,1.5\nnot_an_int,oops,extra\n3,3.5\n")
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("score", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = spark.read.option("header", True).option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    ).schema(schema).csv(p).cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    assert bad.count() == 1
+    df.unpersist()
+
+
 def test_events_nanos_reader(spark, sf_dir):
     from taxi_trips_etl_spark.queries import _events
 
