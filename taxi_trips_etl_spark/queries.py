@@ -1260,6 +1260,83 @@ def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_event_types",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+           CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+           CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+           CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long→wide per-day event-type counts. Explicit value list
+    keeps it one pass (no distinct-values pre-query) — the scalable form."""
+    ev = _events(spark, sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for empty cells; the oracle's count(CASE) gives 0
+    return out.select(
+        "day", *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds]
+    )
+
+
+@register(
+    "explode_top_tokens",
+    f"""
+    SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+    GROUP BY 1 ORDER BY n DESC, tok LIMIT 50
+    """,
+)
+def q_explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode (lateral view) + aggregate: corpus token frequencies."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(dedup.tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(50)
+    )
+
+
+@register(
+    "collect_set_agg",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS event_types,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set → sorted → joined: order-insensitive array aggregate
+    rendered portably (raw collect_set order is engine/partition-defined,
+    so normalize before comparing anything)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias(
+                "event_types"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
