@@ -99,6 +99,56 @@ def language_id(docs: DataFrame, text: str = "text") -> DataFrame:
     return out
 
 
+def clean_text(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Normalization pass: lowercase, strip non-alphanumerics, collapse
+    whitespace — the canonical pre-tokenization cleaner."""
+    t = F.lower(F.col(text))
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.trim(F.regexp_replace(t, " +", " "))
+    return docs.select(
+        "doc_id",
+        t.alias("clean_text"),
+        F.length(t).cast("long").alias("clean_chars"),
+        F.md5(t).alias("clean_hash"),
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    text: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The LLM-ingest workhorse: chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens) with stride = chunk − overlap.
+    Pure JVM (sequence → explode → slice → concat_ws): a 100 TB corpus
+    chunks in one narrow pass, no Python, output ~n_tokens/stride rows
+    per doc.
+    """
+    stride = chunk_tokens - overlap
+    toks = tokens_col(text)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(float(stride)))
+    ).cast("int")
+    with_chunks = docs.select(
+        "doc_id",
+        toks.alias("__toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return with_chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("chunk_tokens"),
+    )
+
+
 def fingerprints(docs: DataFrame, text: str = "text") -> DataFrame:
     """Document fingerprinting.
 

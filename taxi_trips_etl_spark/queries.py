@@ -894,6 +894,100 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) < {int(0.25 * (1 << 32))}
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling (~25%): identical membership on any engine,
+    partitioning, or rerun — unlike seed-based df.sample()."""
+    from taxi_trips_etl_spark.dataprep.sampling import deterministic_sample
+
+    return deterministic_sample(
+        _t(spark, sf_dir, "documents"), 0.25, key="doc_id"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "train_test_split",
+    f"""
+    SELECT split, count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (SELECT doc_id,
+                 CASE WHEN CAST(concat('0x', substr(md5('split:' ||
+                          CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                      < {int(0.2 * (1 << 32))}
+                      THEN 'test' ELSE 'train' END AS split
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed train/test split: stable under appends, leak-proof
+    when keyed on the dedup-canonical id."""
+    from taxi_trips_etl_spark.dataprep.sampling import train_test_split
+
+    return (
+        train_test_split(_t(spark, sf_dir, "documents"), key="doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "text_clean",
+    """
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS clean_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS clean_chars,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS clean_hash
+    FROM documents
+    """,
+)
+def q_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lower, strip non-alnum, collapse spaces)."""
+    return text.clean_text(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    meta AS (
+        SELECT doc_id, ws,
+               greatest(1, CAST(ceil((len(ws) - 10) / 40.0) AS BIGINT)) AS n_chunks
+        FROM t
+    ),
+    chunks AS (
+        SELECT doc_id, ws, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM meta
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(ws[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' ')
+               AS chunk_text,
+           CAST(len(ws[chunk_id * 40 + 1 : chunk_id * 40 + 50]) AS BIGINT)
+               AS chunk_tokens
+    FROM chunks
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (50-token chunks, 10 overlap)."""
+    return text.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Multimodal plumbing (north-star) — mapInPandas vs pure-SQL oracle
 # ===========================================================================
