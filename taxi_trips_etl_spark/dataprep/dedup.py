@@ -50,6 +50,24 @@ def spread(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     )
 
 
+def tokens_table(docs: DataFrame, text: str = "text") -> DataFrame:
+    """(doc_id, toks) with tokenization materialized BELOW an exchange.
+
+    Load-bearing subtlety: expressions built directly on
+    ``tokens_col(text)`` re-evaluate the regex split for EVERY
+    reference — Spark does not common-subexpression-eliminate across
+    higher-order-function lambdas, so a 3-gram builder re-tokenizes the
+    whole document 3× per shingle (measured 10× slowdown). Projecting
+    the token array under a repartition puts an Exchange between the
+    split and its consumers; CollapseProject cannot cross it, so the
+    split runs exactly once per row. The repartition doubles as
+    :func:`spread`.
+    """
+    return docs.select("doc_id", tokens_col(text).alias("toks")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+
+
 def word_ngrams(tokens, n: int = 3):
     """Distinct n-word shingles as space-joined strings.
 
@@ -111,8 +129,8 @@ def minhash_signature(docs: DataFrame, text: str = "text", k: int = MINHASH_K,
     the shape that holds at corpus scale. Docs too short to shingle
     vanish via explode (they would otherwise collide on md5('') bands).
     """
-    shingled = spread(docs).select(
-        "doc_id", F.explode(word_ngrams(tokens_col(text), ngram)).alias("shingle")
+    shingled = tokens_table(docs, text).select(
+        "doc_id", F.explode(word_ngrams(F.col("toks"), ngram)).alias("shingle")
     )
     return shingled.groupBy("doc_id").agg(
         *[
@@ -186,8 +204,8 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> Da
     fingerprint from the signs. The naive form (60 array folds, each
     re-inlining tokenize+hash) does 60× the hashing work per row.
     """
-    toks = spread(docs).select(
-        "doc_id", F.explode(F.array_distinct(tokens_col(text))).alias("tok")
+    toks = tokens_table(docs, text).select(
+        "doc_id", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
     ).select("doc_id", _token_hash(F.col("tok")).alias("h"))
     sums = toks.groupBy("doc_id").agg(
         *[
@@ -261,36 +279,40 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (the verifier operator).
 
-    Size-ratio prefilter is semantics-preserving: J(A,B) ≤ min/max of
-    |A|,|B|, so pairs failing the ratio can never reach the threshold.
-    All-pairs here (fine at document-dim scale); at 100 TB compose with
-    :func:`minhash_lsh_candidates` to bound the pair space.
+    PPJoin-shaped and array-free: everything runs on a narrow POSTING
+    relation (doc_id, gram) — gram arrays are never materialized.
+    (Measured: a bare ``explode(word_ngrams(...))`` streams through
+    whole-stage codegen in ~2.5s at sf0.1, while any plan that
+    materializes or pre-filters the array column — cache, checkpoint,
+    parquet stage, or a size() filter under the Generate — drops off
+    codegen and costs 12-19s.)
+
+    1. prefix filter (exact-preserving): order each doc's grams by a
+       global canonical order (md5 — uniform, engine-agnostic) and
+       index only the first n − ⌈t·n⌉ + 1. Two sets with J ≥ t MUST
+       share a gram inside those prefixes, so the prefix join finds
+       every qualifying pair; indexed postings shrink to ~(1−t) of the
+       corpus and join fanout to ~(1−t)².
+    2. size-ratio prefilter rides in the join (J ≥ t ⇒ min/max ≥ t).
+    3. exact verify by COUNTING joins: |A∩B| = shared-gram count per
+       candidate pair; |A∪B| = na + nb − |A∩B|. Three hash joins and a
+       pair-keyed aggregate, all narrow rows — the shape that survives
+       corpus-scale near-dup mining. Hot grams are the skew hazard:
+       AQE skew-join first, df-capping/salting next.
+
+    Short docs (< n tokens) produce no postings and drop out naturally.
     """
-    grams = (
-        spread(docs)
-        .select("doc_id", word_ngrams(tokens_col(text), n).alias("grams"))
-        .withColumn("n_grams", F.size("grams"))
-        .filter(F.col("n_grams") > 0)
+    posting = tokens_table(docs, text).select(
+        "doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
     )
-    # Inverted-index shape: explode grams → equi-join postings on the
-    # gram → count shared grams per pair. Only pairs that actually share
-    # a gram are ever materialized (pairs with J=0 can't pass any
-    # threshold), vs. the naive all-pairs cross join whose O(n²)
-    # array_intersect dominates at corpus scale. Hot grams are the skew
-    # hazard — AQE skew-join splits them; a df-cap prefilter is the
-    # next lever for degenerate corpora.
-    # PPJoin-style prefix filter (exact-preserving): order each doc's
-    # grams by a global canonical order (md5 — uniform, engine-agnostic)
-    # and index only the first n - ⌈t·n⌉ + 1 of them. Two sets with
-    # J ≥ t MUST share a gram inside those prefixes, so joining prefixes
-    # finds every qualifying pair; the full gram arrays then verify the
-    # exact Jaccard on the (few) survivors. Indexed postings shrink to
-    # ~(1-t) of the corpus and join fanout to ~(1-t)² — the shape that
-    # survives corpus-scale near-dup mining.
-    w = Window.partitionBy("doc_id").orderBy(F.md5("gram"))
+    # |grams| per doc via a count window over the posting (grams are
+    # distinct per doc by construction).
+    sized = posting.withColumn(
+        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(F.md5("gram"))
     prefix = (
-        grams.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
-        .withColumn("rk", F.row_number().over(w))
+        sized.withColumn("rk", F.row_number().over(w_rk))
         .filter(
             F.col("rk")
             <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
@@ -314,17 +336,25 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    ga = grams.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("gb"))
-    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    union = F.size(F.col("ga")) + F.size(F.col("gb")) - inter
+    pa = sized.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    pb = sized.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gram"
+    )
+    inter = (
+        cand.join(pa, "doc_id_a")
+        .join(pb, ["doc_id_b", "gram"])
+        .groupBy("doc_id_a", "doc_id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
     return (
-        cand.join(ga, "doc_id_a")
-        .join(gb, "doc_id_b")
-        .select(
+        inter.select(
             "doc_id_a",
             "doc_id_b",
-            F.round(inter / union, 6).alias("jaccard"),
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
