@@ -1,0 +1,112 @@
+"""Embedding k-means (Lloyd's) in pure DataFrame ops.
+
+Why not MLlib: the KMeans estimator materializes RDD internals, its
+init is RNG-seeded per-partitioning, and its model object doesn't
+compose with the rest of the DataFrame-only pipeline. This version is
+fully deterministic (init = lowest-id vectors, the same sampled-
+centroid choice IVF uses), so runs are reproducible anywhere and the
+assignment table is just another DataFrame.
+
+Per iteration: one broadcast of k centroids to every executor, one
+narrow pass computing argmin cells, one partial-aggregated shuffle
+computing per-cluster sums — O(n·k·d) compute, O(k·d) shuffle. The
+fact table never shuffles. Iterations are a driver-side loop over
+*collected centroids* (k·d doubles — tiny), not over the data.
+
+Uses: diversity-aware sampling (pick per-cluster quotas), IVF coarse
+quantizer refinement (swap into similarity.ivf_topk), embedding-space
+EDA (cluster sizes/inertia per corpus drop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _sq_dist(vec, cent) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, cluster_id, sq_dist): Lloyd's with deterministic init.
+
+    Init: the k lowest-id vectors. Ties in argmin break toward the
+    lower cluster_id, so the whole trajectory is reproducible.
+    """
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
+    )
+    centroids = [
+        (int(r[id_col]), [float(x) for x in r["v"]])
+        for r in vecs.filter(F.col(id_col) < k).collect()
+    ]
+    centroids = [c for _, c in sorted(centroids)]
+
+    assigned = None
+    for _ in range(iterations):
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)],
+                f"cluster_id int, cent array<double>",
+            )
+        )
+        scored = vecs.join(cent_df).select(
+            id_col,
+            "v",
+            "cluster_id",
+            _sq_dist(F.col("v"), F.col("cent")).alias("sq_dist"),
+        )
+        w = Window.partitionBy(id_col).orderBy("sq_dist", "cluster_id")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # New centroids: per-cluster mean, one partial-agg shuffle of
+        # k×d sums; collected to the driver (k·d doubles).
+        dim = len(centroids[0])
+        sums = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        for r in sums:
+            new_centroids[r["cluster_id"]] = [
+                r[f"s{i}"] / r["n"] for i in range(dim)
+            ]
+        if new_centroids == centroids:
+            break
+        centroids = new_centroids
+
+    return assigned.select(
+        id_col,
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.round("sq_dist", 6).alias("sq_dist"),
+    )
+
+
+def cluster_summary(assigned: DataFrame) -> DataFrame:
+    """Per-cluster size + inertia (sum of squared distances)."""
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("sq_dist"), 4).alias("inertia"),
+    )

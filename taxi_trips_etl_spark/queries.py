@@ -1555,6 +1555,20 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_kmeans")  # rows-only: iterative algorithm (driver loop)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DataFrame k-means over the embeddings table —
+    per-cluster sizes + inertia. Iterative (Lloyd's, 3 rounds), hence
+    no single-statement SQL oracle; determinism is pytest-verified."""
+    from taxi_trips_etl_spark.dataprep.clustering import (
+        cluster_summary,
+        kmeans_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_summary(kmeans_assign(emb, k=8, iterations=3))
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================
