@@ -1555,6 +1555,39 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_click_attribution",
+    """
+    SELECT c.user_id, c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+           p.event_id AS purchase_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 2 HOUR
+    """,
+)
+def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks × purchases within
+    2h, per user); AvailableNow over static data must equal the batch
+    join — which IS the oracle."""
+    from taxi_trips_etl_spark.streaming.stream_join import (
+        run_streaming_click_attribution,
+    )
+
+    out = run_streaming_click_attribution(
+        spark, f"{sf_dir}/events.parquet", sink_table="click_attr_oracle_run"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        _ts_str(F.col("click_ts"), "click_ts"),
+        "purchase_id",
+        _ts_str(F.col("purchase_ts"), "purchase_ts"),
+    )
+
+
 @register("embedding_kmeans")  # rows-only: iterative algorithm (driver loop)
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DataFrame k-means over the embeddings table —
