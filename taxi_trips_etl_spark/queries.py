@@ -1431,6 +1431,97 @@ def q_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_moving_sum",
+    """
+    WITH daily AS (
+        SELECT l_suppkey, strftime(l_shipdate, '%Y-%m-%d') AS d,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_suppkey, d, cents,
+           CAST(sum(cents) OVER (PARTITION BY l_suppkey ORDER BY d
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing7_cents
+    FROM daily
+    """,
+)
+def q_window_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving aggregate with an explicit ROWS frame (trailing-7 revenue
+    per supplier) — the running-metric window family."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    daily = li.groupBy(
+        "l_suppkey", F.date_format("l_shipdate", "yyyy-MM-dd").alias("d")
+    ).agg(F.sum(cents).alias("cents"))
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.withColumn("trailing7_cents", F.sum("cents").over(w))
+
+
+@register(
+    "window_distribution",
+    """
+    WITH s AS (SELECT l_suppkey, count(*) AS supp_count FROM lineitem GROUP BY 1)
+    SELECT l_suppkey, supp_count,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM s WINDOW w AS (ORDER BY supp_count DESC, l_suppkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: ntile / percent_rank / cume_dist over a
+    deterministic total order (exact k/n rationals — portable doubles)."""
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("supp_count"))
+    )
+    w = Window.orderBy(F.col("supp_count").desc(), "l_suppkey")
+    return s.select(
+        "l_suppkey",
+        "supp_count",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT l_orderkey, l_linenumber,
+           first_value(l_quantity) OVER w AS first_qty,
+           last_value(l_quantity) OVER (PARTITION BY l_orderkey
+                                        ORDER BY l_linenumber, l_quantity
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS last_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value with the unbounded-following frame gotcha
+    (default frame ends at CURRENT ROW — last_value needs the explicit
+    full frame)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in this data — order by
+    # quantity too, so first/last are well-defined on any engine.
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w_full).alias("last_qty"),
+    )
+
+
+@register(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
