@@ -1431,6 +1431,94 @@ def q_collect_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semi_anti_join",
+    """
+    SELECT 'has_orders' AS segment, count(*) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT 'no_orders' AS segment, count(*) AS n,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS balance_cents
+    FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI / LEFT ANTI joins (EXISTS / NOT EXISTS): existence
+    filtering without fanout — the dedup-free way to segment a fact
+    table by presence in another."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+
+    def seg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(cents).alias("balance_cents")
+        ).select(F.lit(label).alias("segment"), "n", "balance_cents")
+
+    semi = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    anti = c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+    return seg(semi, "has_orders").unionByName(seg(anti, "no_orders"))
+
+
+@register(
+    "null_safe_join",
+    """
+    WITH t AS (SELECT l_orderkey, l_linenumber,
+                      nullif(l_discount, 0.0) AS d FROM lineitem)
+    SELECT count(*) AS n_pairs
+    FROM t a JOIN t b
+      ON a.d IS NOT DISTINCT FROM b.d
+     AND a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> ≡ IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — self-join here must return
+    every row (incl. the NULL-discount ones a plain ``=`` would drop)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.nullif("l_discount", F.lit(0.0)).alias("d")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.d").eqNullSafe(F.col("b.d"))
+            & (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") == F.col("b.l_linenumber")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "filter_clause_agg",
+    """
+    SELECT l_returnflag,
+           count(*) AS n,
+           count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05) AS BIGINT) AS discounted_cents
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation through the SQL surface."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_filter")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n,
+               count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    FILTER (WHERE l_discount > 0.05) AS BIGINT) AS discounted_cents
+        FROM v_li_filter GROUP BY 1
+        """
+    )
+
+
+@register(
     "window_moving_sum",
     """
     WITH daily AS (

@@ -118,6 +118,23 @@ def test_csv_corrupt_rows_are_isolated(spark, tmp_path):
     df.unpersist()
 
 
+def test_schema_evolution_merge(spark, tmp_path):
+    # Day 2 adds a column: mergeSchema read must surface the union
+    # schema with NULLs for day-1 rows (100 TB tables evolve; readers
+    # must not break on old partitions).
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        f"{p}/day=1"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(f"{p}/day=2")
+    df = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(df.columns) >= {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+
 def test_events_nanos_reader(spark, sf_dir):
     from taxi_trips_etl_spark.queries import _events
 
