@@ -7,11 +7,11 @@ fully deterministic (init = lowest-id vectors, the same sampled-
 centroid choice IVF uses), so runs are reproducible anywhere and the
 assignment table is just another DataFrame.
 
-Per iteration: one broadcast of k centroids to every executor, one
-narrow pass computing argmin cells, one partial-aggregated shuffle
-computing per-cluster sums — O(n·k·d) compute, O(k·d) shuffle. The
-fact table never shuffles. Iterations are a driver-side loop over
-*collected centroids* (k·d doubles — tiny), not over the data.
+Per iteration: centroids are inlined as literal arrays (k·d doubles),
+so assignment is ONE narrow argmin projection — no join, no window, no
+shuffle; the only shuffle is the partial-aggregated per-cluster means
+(k×d sums). Iterations are a driver-side loop over *collected
+centroids*, never over the data.
 
 Uses: diversity-aware sampling (pick per-cluster quotas), IVF coarse
 quantizer refinement (swap into similarity.ivf_topk), embedding-space
@@ -20,7 +20,7 @@ EDA (cluster sizes/inertia per corpus drop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -44,7 +44,6 @@ def kmeans_assign(
     Init: the k lowest-id vectors. Ties in argmin break toward the
     lower cluster_id, so the whole trajectory is reproducible.
     """
-    spark = embeddings.sparkSession
     vecs = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
@@ -56,23 +55,26 @@ def kmeans_assign(
 
     assigned = None
     for _ in range(iterations):
-        cent_df = F.broadcast(
-            spark.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)],
-                f"cluster_id int, cent array<double>",
-            )
+        # Centroids as literal arrays: the k distances are k column
+        # expressions in ONE narrow projection — no join, no window, no
+        # shuffle for assignment; argmin ties break to the lower id.
+        dists = F.array(
+            *[
+                _sq_dist(F.col("v"), F.array(*[F.lit(x) for x in c]))
+                for c in centroids
+            ]
         )
-        scored = vecs.join(cent_df).select(
+        assigned = vecs.select(
             id_col,
             "v",
-            "cluster_id",
-            _sq_dist(F.col("v"), F.col("cent")).alias("sq_dist"),
-        )
-        w = Window.partitionBy(id_col).orderBy("sq_dist", "cluster_id")
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
+            dists.alias("_d"),
+        ).select(
+            id_col,
+            "v",
+            (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+            .cast("int")
+            .alias("cluster_id"),
+            F.array_min(F.col("_d")).alias("sq_dist"),
         )
         # New centroids: per-cluster mean, one partial-agg shuffle of
         # k×d sums; collected to the driver (k·d doubles).
