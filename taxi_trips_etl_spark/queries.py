@@ -988,6 +988,90 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(_t(spark, sf_dir, "documents"))
 
 
+def _corpus_pipeline_sql() -> str:
+    """Composite oracle: the whole corpus-prep pipeline as nested SQL
+    built from the same per-stage fragments the individual oracles use
+    (all-pairs Jaccard is fine at oracle scale)."""
+    quality = f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   round(least(1.0, CAST(len({TOKS_SQL}) AS BIGINT) / 50.0) * 0.4
+                         + round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                                      AS DOUBLE) / length(text), 4) * 0.4
+                         + least(1.0,
+                                 round(CAST(len(list_filter({TOKS_SQL},
+                                       w -> w IN {_EN_STOP_SQL})) AS DOUBLE)
+                                       / len({TOKS_SQL}), 4) * 5) * 0.2,
+                         4) AS quality_score
+            FROM documents)
+        WHERE quality_score >= 0.75
+    """
+    return f"""
+    WITH kept AS (
+        SELECT d.* FROM documents d JOIN ({quality}) USING (doc_id)
+    ),
+    canon AS (
+        SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ),
+    kept2 AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)),
+    g AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split_regex(trim(lower(text)), '\\s+')) - 2),
+                   i -> concat_ws(' ',
+                        string_split_regex(trim(lower(text)), '\\s+')[i],
+                        string_split_regex(trim(lower(text)), '\\s+')[i+1],
+                        string_split_regex(trim(lower(text)), '\\s+')[i+2]))) AS grams
+        FROM kept2
+        WHERE len(string_split_regex(trim(lower(text)), '\\s+')) >= 3
+    ),
+    gs AS (SELECT doc_id, grams, len(grams) AS n FROM g WHERE len(grams) > 0),
+    drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM gs a JOIN gs b
+          ON a.doc_id < b.doc_id
+         AND least(a.n, b.n) >= greatest(a.n, b.n) * 0.8
+        WHERE round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                    / len(list_distinct(a.grams || b.grams)), 6) >= 0.8
+    ),
+    kept3 AS (
+        SELECT * FROM kept2 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+    ),
+    toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws FROM kept3
+    ),
+    meta AS (
+        SELECT doc_id, ws,
+               greatest(1, CAST(ceil((len(ws) - 10) / 40.0) AS BIGINT)) AS n_chunks
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, ws
+        FROM meta
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           md5(array_to_string(ws[chunk_id * 40 + 1 : chunk_id * 40 + 50], ' '))
+               AS chunk_hash,
+           CAST(len(ws[chunk_id * 40 + 1 : chunk_id * 40 + 50]) AS BIGINT)
+               AS chunk_tokens,
+           CASE WHEN CAST(concat('0x', substr(md5('split:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                < {int(0.2 * (1 << 32))}
+                THEN 'test' ELSE 'train' END AS split
+    FROM chunks
+    """
+
+
+@register("corpus_prepare_pipeline", _corpus_pipeline_sql())
+def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM corpus-prep pipeline: quality filter → exact
+    dedup → Jaccard near-dup removal → chunk → leak-proof split, as one
+    lazy plan — oracle-checked end to end."""
+    from taxi_trips_etl_spark.dataprep.corpus import prepare_corpus
+
+    return prepare_corpus(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Multimodal plumbing (north-star) — mapInPandas vs pure-SQL oracle
 # ===========================================================================
