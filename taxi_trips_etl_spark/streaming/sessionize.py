@@ -156,11 +156,13 @@ def run_streaming_sessionize(
         n = spark.table(sink_table).count()
         if n == last:
             stable += 1
-            if stable >= 4 and n > 0:
+            # ~3s of stability comfortably covers the 3s state timeout
+            # plus one trigger interval.
+            if stable >= 6 and n > 0:
                 break
         else:
             stable = 0
         last = n
-        time.sleep(1)
+        time.sleep(0.5)
     q.stop()
     return spark.table(sink_table)
