@@ -1851,6 +1851,18 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register("dedup_components")  # rows-only: iterative label propagation
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over SimHash near-dup pairs → canonical
+    component id per doc. Iterative (min-label propagation with
+    per-round checkpoints), hence rows-only; convergence and chain/
+    clique correctness are pytest-verified."""
+    from taxi_trips_etl_spark.dataprep.components import connected_components
+
+    pairs = dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
+    return connected_components(pairs)
+
+
 @register("embedding_kmeans")  # rows-only: iterative algorithm (driver loop)
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DataFrame k-means over the embeddings table —
