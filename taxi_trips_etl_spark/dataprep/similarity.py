@@ -222,6 +222,83 @@ def embedding_near_dup_pairs(
     )
 
 
+def _flip_probes(bucket: Column, planes: int) -> Column:
+    """[bucket] + the `planes` buckets at hamming distance 1."""
+    def flip(i: Column) -> Column:
+        prefix = bucket.substr(F.lit(1), i - 1)
+        ch = F.when(bucket.substr(i, F.lit(1)) == "1", F.lit("0")).otherwise(
+            F.lit("1")
+        )
+        suffix = bucket.substr(i + 1, F.lit(planes) - i)
+        return F.concat(prefix, ch, suffix)
+
+    return F.concat(
+        F.array(bucket), F.transform(F.sequence(F.lit(1), F.lit(planes)), flip)
+    )
+
+
+def cosine_topk_lsh_multiprobe(
+    embeddings: DataFrame,
+    query_ids_below: int = 10,
+    k: int = 3,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe sign-LSH ANN: each query searches its own bucket PLUS
+    every bucket one plane-flip away (planes+1 probes).
+
+    The standard recall lever: neighbors that landed just across one
+    hyperplane become reachable without widening buckets. Corpus-side
+    cost is unchanged (each vector still lives in ONE bucket — the
+    probe fan-out multiplies only the tiny query side of the join).
+    """
+    with_bucket = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = (
+        with_bucket.filter(F.col(id_col) < query_ids_below)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(_flip_probes(F.col("bucket"), planes)).alias("probe"),
+        )
+    )
+    c = with_bucket.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("probe") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+        )
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     query_ids_below: int = 10,

@@ -1149,6 +1149,51 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "similarity_lsh_multiprobe",
+    f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               array_to_string(list_transform(embedding[1:8],
+                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, emb AS q_vec,
+               unnest([bucket] || list_transform(generate_series(1, 8),
+                   i -> substr(bucket, 1, i - 1)
+                        || (CASE WHEN substr(bucket, i, 1) = '1'
+                                 THEN '0' ELSE '1' END)
+                        || substr(bucket, i + 1, 8 - i))) AS probe
+        FROM e WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT p.query_id, b.vec_id AS neighbor_id,
+               list_sum(list_transform(generate_series(1, len(p.q_vec)),
+                                       i -> p.q_vec[i] * b.emb[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(p.q_vec)),
+                                               i -> p.q_vec[i] * p.q_vec[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
+                                                 i -> b.emb[i] * b.emb[i])))) AS cos
+        FROM probes p JOIN e b
+          ON p.probe = b.bucket AND p.query_id != b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS knn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(knn_rank AS BIGINT) AS knn_rank
+    FROM ranked WHERE knn_rank <= 3
+    """,
+)
+def q_similarity_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH: probe own bucket + all hamming-1 buckets."""
+    return similarity.cosine_topk_lsh_multiprobe(_t(spark, sf_dir, "embeddings"))
+
+
 _IVF_COS = _COS_SQL.replace("a.emb", "{a}").replace("b.emb", "{b}")
 
 

@@ -106,6 +106,25 @@ def test_lsh_topk_is_subset_of_bucket(vectors):
     assert {r.neighbor_id for r in out} == {1}
 
 
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_bruteforce(emb, k=3).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_lsh(emb, k=3, planes=8).collect()
+    }
+    multi = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_lsh_multiprobe(emb, k=3, planes=8).collect()
+    }
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    assert recall_multi >= recall_single  # probing can only widen reach
+
+
 def test_token_stats_and_edge_cases(spark):
     docs = spark.createDataFrame(
         [(0, "a bb ccc"), (1, "  "), (2, "x")], "doc_id long, text string"
