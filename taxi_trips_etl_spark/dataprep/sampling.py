@@ -29,6 +29,27 @@ def deterministic_sample(
     return df.filter(_key_bucket(F.col(key), salt) < int(rate * _HASH_SPACE))
 
 
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key: str,
+    strata_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strata",
+) -> DataFrame:
+    """Per-stratum hash sampling (deterministic ``sampleBy``): each
+    stratum keeps its own rate — rebalancing skewed classes (languages,
+    sources, quality tiers) without RNG or partitioning dependence."""
+    bucket = _key_bucket(F.col(key), salt)
+    threshold = F.lit(int(default_rate * _HASH_SPACE))
+    for stratum, rate in rates.items():
+        threshold = (
+            F.when(F.col(strata_col) == stratum, F.lit(int(rate * _HASH_SPACE)))
+            .otherwise(threshold)
+        )
+    return df.filter(bucket < threshold)
+
+
 def train_test_split(
     df: DataFrame, key: str, test_rate: float = 0.2, salt: str = "split"
 ) -> DataFrame:

@@ -8,7 +8,7 @@ in the DuckDB oracle and run inside whole-stage codegen at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from taxi_trips_etl_spark.dataprep.dedup import tokens_col
@@ -146,6 +146,46 @@ def chunk_documents(
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("chunk_tokens"),
+    )
+
+
+def tf_idf_top_terms(
+    docs: DataFrame, text: str = "text", top_k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per doc by smoothed TF-IDF.
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (sklearn-style
+    smoothing, never zero). Posting-list shape: explode tokens once,
+    aggregate (doc, term) counts, join the (term → df) side — both are
+    partial-aggregated shuffles; nothing is per-row Python.
+    """
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    posting = tokens_table(docs, text).select(
+        "doc_id", F.explode(F.col("toks")).alias("term")
+    )
+    tf = posting.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = posting.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.count()  # scalar; cheap and exact
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_k)
+        .select("doc_id", "term", "tf", "tfidf",
+                F.col("term_rank").cast("long").alias("term_rank"))
     )
 
 

@@ -1072,6 +1072,66 @@ def q_corpus_prepare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prepare_corpus(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "text_tfidf_top_terms",
+    """
+    WITH posting AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM posting GROUP BY 1, 2),
+    df_ AS (SELECT term, count(DISTINCT doc_id) AS df FROM posting GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf,
+               round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1), 6) AS tfidf
+        FROM tf JOIN df_ USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS term_rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+    FROM ranked WHERE term_rank <= 5
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF top-5 characteristic terms per document."""
+    return text.tf_idf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5('strata:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT)
+          < CASE WHEN lang = 'en' THEN {int(0.1 * (1 << 32))}
+                 WHEN lang = 'de' THEN {int(0.5 * (1 << 32))}
+                 ELSE {int(0.25 * (1 << 32))} END
+    GROUP BY 1
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum hash sampling: downsample dominant 'en' (10%), keep
+    half of 'de', quarter of the rest — class rebalancing without RNG."""
+    from taxi_trips_etl_spark.dataprep.sampling import stratified_sample
+
+    out = stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        rates={"en": 0.1, "de": 0.5},
+        key="doc_id",
+        strata_col="lang",
+        default_rate=0.25,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_doc")
+    )
+
+
 # ===========================================================================
 # Multimodal plumbing (north-star) — mapInPandas vs pure-SQL oracle
 # ===========================================================================
