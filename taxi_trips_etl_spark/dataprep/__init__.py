@@ -1,3 +1,23 @@
-from taxi_trips_etl_spark.dataprep import dedup, similarity, text, multimodal
+from taxi_trips_etl_spark.dataprep import (
+    clustering,
+    components,
+    corpus,
+    dedup,
+    multimodal,
+    profile,
+    sampling,
+    similarity,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "clustering",
+    "components",
+    "corpus",
+    "dedup",
+    "multimodal",
+    "profile",
+    "sampling",
+    "similarity",
+    "text",
+]
