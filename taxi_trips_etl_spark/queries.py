@@ -1982,6 +1982,173 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_summary(kmeans_assign(emb, k=8, iterations=3))
 
 
+@register(
+    "topk_per_group",
+    """
+    SELECT nation_key, l_partkey, revenue_cp, part_rank
+    FROM (
+        SELECT s_nationkey AS nation_key, l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_cp,
+               CAST(row_number() OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                               * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                            DESC, l_partkey) AS BIGINT) AS part_rank
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey, l_partkey
+    ) WHERE part_rank <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per nation by discounted revenue: broadcast-dim join →
+    partial+final hash agg → per-group row_number → rank filter. The
+    per-group-top-k idiom (vs the reference's global top-100,
+    taxi_trips_etl.py:169): the window runs over the *aggregated* rows
+    (≈ nations × parts), never the fact table, so the sort state per
+    partition stays tiny at any scale. Revenue is exact integer
+    cent·percent units (no float sums — see module docstring)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    rev = (
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    agg = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nation_key"), "l_partkey")
+        .agg(F.sum(rev).cast("long").alias("revenue_cp"))
+    )
+    w = Window.partitionBy("nation_key").orderBy(
+        F.col("revenue_cp").desc(), F.col("l_partkey")
+    )
+    return (
+        agg.withColumn("part_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("part_rank") <= 3)
+        .select("nation_key", "l_partkey", "revenue_cp", "part_rank")
+    )
+
+
+@register(
+    "hopping_window_counts",
+    """
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+               event_type, value FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+               event_type, value FROM events
+    )
+    GROUP BY window_start, event_type
+    """,
+)
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch hopping-window aggregation (1h windows sliding every 30min)
+    via ``F.window`` — the batch twin of the streaming rollup. Each
+    event lands in exactly size/slide = 2 windows; Spark expands them
+    JVM-side before the hash agg (no Python, no explode of user data).
+    Oracle: union of the two 30-min-grid buckets each event covers
+    (both engines' grids are epoch-aligned, so buckets coincide)."""
+    ev = _events(spark, sf_dir)
+    win = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+        .select(
+            _ts_str(F.col("w.start"), "window_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+
+
+@register(
+    "latest_by_key",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+)
+def q_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key via ``max_by`` over a (ts, event_id) struct:
+    a single hash aggregation with partial (map-side) combine. At scale
+    this beats the window row_number=1 idiom (which the oracle uses, as
+    the SQL statement of the same semantics): no per-partition sort, no
+    full-row shuffle — only one candidate row per key per map task
+    crosses the wire. event_id breaks ts ties deterministically."""
+    ev = _events(spark, sf_dir)
+    picked = F.max_by(
+        F.struct("event_id", "event_type", "ts"),
+        F.struct("ts", "event_id"),
+    ).alias("last")
+    return (
+        ev.groupBy("user_id")
+        .agg(picked)
+        .select(
+            "user_id",
+            F.col("last.event_id").alias("last_event_id"),
+            F.col("last.event_type").alias("last_event_type"),
+            _ts_str(F.col("last.ts"), "last_ts"),
+        )
+    )
+
+
+@register(
+    "date_functions",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(date_trunc('month', o_orderdate) + INTERVAL '1 month',
+                    '%Y-%m-%d') AS next_month_start,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           count(*) AS n_orders,
+           CAST(count(DISTINCT isodow(o_orderdate)) AS BIGINT) AS n_weekdays
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function battery (F9-adjacent): date_trunc / last_day /
+    add_months / quarter / ISO weekday, aggregated per month. All
+    JVM-side built-ins; dates render as yyyy-MM-dd strings so both
+    engines hash identical values. Spark ``weekday`` is Monday=0, DuckDB
+    ``isodow`` Monday=1 — hence the +1."""
+    o = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    return (
+        o.groupBy(
+            F.date_format(month, "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+                "month_end"
+            ),
+            F.date_format(F.add_months(month, 1), "yyyy-MM-dd").alias(
+                "next_month_start"
+            ),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct(F.weekday("o_orderdate") + F.lit(1))
+            .cast("long")
+            .alias("n_weekdays"),
+        )
+    )
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================

@@ -1,0 +1,72 @@
+"""Semantics tests for the per-group-top-k / time-window / latest-by-key
+/ calendar batch (queries.py additions; oracle-verified for values,
+these pin the *shape* guarantees the oracles can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark import queries
+
+
+def test_topk_per_group_at_most_3_per_nation(spark, sf_dir):
+    out = queries.all_queries()["topk_per_group"](spark, sf_dir)
+    per_group = out.groupBy("nation_key").count().collect()
+    assert per_group and all(r["count"] <= 3 for r in per_group)
+    # ranks are dense 1..n within each group
+    ranks = {
+        (r["nation_key"], r["part_rank"]) for r in out.collect()
+    }
+    for nation, _ in ranks:
+        group = sorted(rk for n, rk in ranks if n == nation)
+        assert group == list(range(1, len(group) + 1))
+
+
+def test_hopping_each_event_in_exactly_two_windows(spark, sf_dir):
+    ev = queries._events(spark, sf_dir)
+    n_events = ev.count()
+    win = F.window("ts", "1 hour", "30 minutes")
+    exploded = ev.select(win.alias("w")).count()
+    assert exploded == 2 * n_events
+
+
+def test_latest_by_key_equals_window_idiom(spark, sf_dir):
+    out = queries.all_queries()["latest_by_key"](spark, sf_dir)
+    ev = queries._events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    expect = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_event_type"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_latest_by_key_is_single_aggregate_no_sort(spark, sf_dir):
+    """The max_by form must plan as hash-aggregate — no window Sort over
+    the full event set (that is the whole point at 100 TB)."""
+    out = queries.all_queries()["latest_by_key"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in plan
+    assert "Window" not in plan
+
+
+def test_date_functions_month_edges(spark, sf_dir):
+    rows = queries.all_queries()["date_functions"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["month_start"].endswith("-01")
+        assert r["month_end"] >= r["month_start"]
+        assert r["next_month_start"] > r["month_end"]
+        assert 1 <= r["qtr"] <= 4
+        assert 1 <= r["n_weekdays"] <= 7
