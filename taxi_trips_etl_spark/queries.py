@@ -2149,6 +2149,118 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                            (o_orderpriority, o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond the rollup/cube entries): four
+    explicit sets in ONE Expand+hash-agg pass — at scale this reads the
+    fact table once instead of unioning four separate aggregations.
+    grouping() markers disambiguate 'ALL' labels from real values."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS BIGINT) AS gid,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                                (o_orderpriority, o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "correlated_scalar_subquery",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    """,
+)
+def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order compared to its customer's
+    own maximum). Catalyst de-correlates this into an aggregate + join —
+    the physical plan is one extra hash agg on (custkey, max), never a
+    per-row re-scan, so the idiom is safe on an arbitrarily large fact
+    table. Ties (two max-price orders for one customer) are all kept —
+    deterministic without a limit."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_corr")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        FROM v_orders_corr o
+        WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM v_orders_corr o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        """
+    )
+
+
+@register(
+    "recursive_cte_date_spine",
+    """
+    WITH RECURSIVE months(m, stop) AS (
+        SELECT date_trunc('month', max(o_orderdate)) - INTERVAL '11 months',
+               date_trunc('month', max(o_orderdate))
+        FROM orders
+        UNION ALL
+        SELECT m + INTERVAL '1 month', stop FROM months WHERE m < stop
+    )
+    SELECT strftime(m, '%Y-%m-%d') AS month_start,
+           coalesce(n_orders, 0) AS n_orders
+    FROM months
+    LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS om,
+                      count(*) AS n_orders
+               FROM orders GROUP BY 1) o ON om = m
+    """,
+)
+def q_recursive_cte_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE date spine (Spark 4 recursive CTE): generate the
+    12 months ending at the newest order date, then left-join monthly
+    counts so empty months surface as 0 — the standard gap-filling
+    pattern for time series. The recursion is bounded (12 driver-side
+    iterations carrying the stop bound along, clear of the default
+    100-level recursion limit regardless of data span); the fact table
+    is aggregated exactly once."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_spine")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m, stop) AS (
+            SELECT date_trunc('month', max(o_orderdate)) - INTERVAL '11' MONTH,
+                   date_trunc('month', max(o_orderdate))
+            FROM v_orders_spine
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH, stop FROM months WHERE m < stop
+        )
+        SELECT date_format(m, 'yyyy-MM-dd') AS month_start,
+               coalesce(n_orders, CAST(0 AS BIGINT)) AS n_orders
+        FROM months
+        LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS om,
+                          count(*) AS n_orders
+                   FROM v_orders_spine GROUP BY 1) o ON om = m
+        """
+    )
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================

@@ -61,6 +61,40 @@ def test_latest_by_key_is_single_aggregate_no_sort(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_grouping_sets_covers_all_four_sets(spark, sf_dir):
+    out = queries.all_queries()["grouping_sets_agg"](spark, sf_dir)
+    rows = out.collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2, 3}
+    grand = [r for r in rows if r["gid"] == 3]
+    assert len(grand) == 1 and grand[0]["priority"] == "ALL"
+    assert grand[0]["n_orders"] == sum(
+        r["n_orders"] for r in rows if r["gid"] == 0
+    )
+
+
+def test_correlated_subquery_decorrelates_to_join(spark, sf_dir):
+    """Catalyst must rewrite the correlated scalar subquery into an
+    aggregate + join — a per-row re-scan would never survive scale."""
+    out = queries.all_queries()["correlated_scalar_subquery"](spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan
+    assert "ScalarSubquery" not in plan
+
+
+def test_recursive_spine_is_12_consecutive_months(spark, sf_dir):
+    rows = queries.all_queries()["recursive_cte_date_spine"](spark, sf_dir)
+    months = sorted(r["month_start"] for r in rows.collect())
+    assert len(months) == 12
+    assert all(m.endswith("-01") for m in months)
+    ys, ms = int(months[0][:4]), int(months[0][5:7])
+    expect = [
+        f"{ys + (ms - 1 + i) // 12:04d}-{(ms - 1 + i) % 12 + 1:02d}-01"
+        for i in range(12)
+    ]
+    assert months == expect
+
+
 def test_date_functions_month_edges(spark, sf_dir):
     rows = queries.all_queries()["date_functions"](spark, sf_dir).collect()
     assert rows
