@@ -2261,6 +2261,121 @@ def q_recursive_cte_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udtf_split_sentences",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                        s -> trim(s, ' ' || chr(9) || chr(10)
+                                                       || chr(13))),
+                         s -> s != '') AS sents
+      FROM documents
+    )
+    SELECT doc_id, CAST(s.i - 1 AS BIGINT) AS sent_idx, s.x AS sentence
+    FROM (SELECT doc_id,
+                 unnest(list_transform(sents,
+                        (x, i) -> struct_pack(x := x, i := i))) AS s
+          FROM toks)
+    """,
+)
+def q_udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function) + LATERAL join: one input
+    row → N output rows, the table-function analogue of the two scalar
+    UDFs. UDTFs are Python-slow-path, so this belongs on *document*
+    grain (the row-multiplying parse), never on the fact table — the
+    same placement rule as the geo UDFs. The pytest covers multi-
+    sentence splitting; this table is single-sentence so the oracle
+    pins the pass-through shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence: string, sent_idx: bigint")
+    class SplitSentences:
+        def eval(self, text: str):  # noqa: ANN001 — UDTF protocol
+            if text is None:
+                return
+            import re
+
+            parts = [p.strip(" \t\n\r") for p in re.split(r"[.!?]", text)]
+            for i, p in enumerate(s for s in parts if s):
+                yield p, i
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, s.sent_idx, s.sentence
+        FROM v_docs_udtf, LATERAL split_sentences(text) s
+        """
+    )
+
+
+@register(
+    "array_functions",
+    """
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                 6) AS elem_sum,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+           CAST(list_position(embedding, list_max(embedding)) AS BIGINT)
+               AS argmax_pos
+    FROM embeddings
+    """,
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array battery over the embedding column — transform
+    / filter / aggregate / array_max / array_position, all JVM-side
+    lambdas (no Python, no explode: the 64-float array never leaves the
+    row). Elements are cast to double *before* the fold so both engines
+    run the identical left-to-right IEEE sum; the one float-accumulated
+    output is rounded to 6 places per the similarity-family convention."""
+    emb = _t(spark, sf_dir, "embeddings")
+    as_double = F.expr("transform(embedding, x -> cast(x as double))")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("elem_sum"),
+        F.expr("cast(size(filter(embedding, x -> x > 0)) as bigint)").alias(
+            "n_pos"
+        ),
+        F.expr("cast(array_max(embedding) as double)").alias("max_elem"),
+        F.expr(
+            "cast(array_position(embedding, array_max(embedding)) as bigint)"
+        ).alias("argmax_pos"),
+    )
+
+
+@register(
+    "variant_json_shred",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_sum,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+               AS k_max
+    FROM events GROUP BY event_type
+    """,
+)
+def q_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through VariantType (Spark 4):
+    parse_json once per row into a variant, then typed variant_get
+    extraction — the open-schema path for ingesting JSON whose shape
+    isn't known at write time (vs get_json_object's per-field string
+    re-parse in the json_extract_props entry). Aggregates stay exact
+    (integer k)."""
+    _events(spark, sf_dir).createOrReplaceTempView("v_events_variant")
+    return spark.sql(
+        """
+        SELECT event_type, count(*) AS n_events,
+               sum(variant_get(parse_json(props), '$.k', 'long')) AS k_sum,
+               max(variant_get(parse_json(props), '$.k', 'long')) AS k_max
+        FROM v_events_variant GROUP BY event_type
+        """
+    )
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================

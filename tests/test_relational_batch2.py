@@ -95,6 +95,39 @@ def test_recursive_spine_is_12_consecutive_months(spark, sf_dir):
     assert months == expect
 
 
+def test_udtf_splits_multi_sentence_text(spark, sf_dir):
+    """The shared table is single-sentence; pin the actual row-expanding
+    behavior (split on .!? , strip, drop empties, 0-based index) on a
+    fixture."""
+    # registering the UDTF happens inside the query builder
+    queries.all_queries()["udtf_split_sentences"](spark, sf_dir)
+    fixture = spark.createDataFrame(
+        [(1, "One. Two!  Three? "), (2, "..."), (3, None), (4, "solo")],
+        "doc_id long, text string",
+    )
+    fixture.createOrReplaceTempView("v_udtf_fixture")
+    rows = spark.sql(
+        "SELECT doc_id, s.sent_idx, s.sentence "
+        "FROM v_udtf_fixture, LATERAL split_sentences(text) s"
+    ).collect()
+    got = sorted((r.doc_id, r.sent_idx, r.sentence) for r in rows)
+    assert got == [
+        (1, 0, "One"),
+        (1, 1, "Two"),
+        (1, 2, "Three"),
+        (4, 0, "solo"),
+    ]
+
+
+def test_array_functions_shape(spark, sf_dir):
+    rows = queries.all_queries()["array_functions"](spark, sf_dir).collect()
+    assert rows
+    for r in rows[:50]:
+        assert 0 <= r["n_pos"] <= 64
+        assert 1 <= r["argmax_pos"] <= 64
+        assert r["max_elem"] >= r["elem_sum"] / 64
+
+
 def test_date_functions_month_edges(spark, sf_dir):
     rows = queries.all_queries()["date_functions"](spark, sf_dir).collect()
     assert rows
