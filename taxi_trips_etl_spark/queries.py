@@ -2376,6 +2376,124 @@ def q_variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lag_lead_order_gaps",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+               lag(CAST(o_orderdate AS DATE)) OVER w AS prev_date,
+               lead(CAST(o_orderdate AS DATE)) OVER w AS next_date
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE),
+                     o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, strftime(od, '%Y-%m-%d') AS order_date,
+           CAST(date_diff('day', prev_date, od) AS BIGINT) AS days_since_prev,
+           CAST(date_diff('day', od, next_date) AS BIGINT) AS days_until_next
+    FROM o
+    """,
+)
+def q_lag_lead_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead inter-event deltas (days between a customer's consecutive
+    orders) — the purchase-recency / inter-arrival-time window family.
+    One shuffle on o_custkey serves both offsets; NULL at each edge."""
+    od = F.to_date("o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy(od, "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format(od, "yyyy-MM-dd").alias("order_date"),
+        F.datediff(od, F.lag(od).over(w)).cast("long").alias("days_since_prev"),
+        F.datediff(F.lead(od).over(w), od).cast("long").alias("days_until_next"),
+    )
+
+
+@register(
+    "numeric_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin_id,
+           CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS bin_lo,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q_numeric_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram binning (floor-divide → groupBy) — the
+    distribution-profiling primitive. The bin id is computed with one
+    IEEE divide+floor on identical operands, so it is engine-portable;
+    map-side partial aggregation makes this one narrow shuffle of at
+    most n_bins rows per partition regardless of input size."""
+    o = _t(spark, sf_dir, "orders")
+    bin_id = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("long")
+    return (
+        o.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * F.lit(25000.0)).alias("bin_lo"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+@register(
+    "iqr_outliers",
+    """
+    WITH q AS (
+        SELECT o_orderpriority,
+               quantile_disc(o_totalprice, 0.25) AS q1,
+               quantile_disc(o_totalprice, 0.75) AS q3
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority, count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+                           OR o_totalprice > q3 + 1.5 * (q3 - q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           min(q1) AS q1, min(q3) AS q3
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group: discrete quartiles
+    (percentile_disc picks an actual element — bit-identical across
+    engines, unlike interpolated quantiles), fences in plain IEEE
+    arithmetic, then a broadcast join back to the fact and a counting
+    aggregate. The per-group quartile table is tiny (one row per group),
+    so the fact table is scanned exactly twice with no wide shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("v_orders_iqr")
+    q = spark.sql(
+        """
+        SELECT o_orderpriority,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+        FROM v_orders_iqr GROUP BY o_orderpriority
+        """
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    is_out = (F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi)
+    return (
+        o.join(F.broadcast(q), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.min("q1").alias("q1"),
+            F.min("q3").alias("q3"),
+        )
+    )
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================
