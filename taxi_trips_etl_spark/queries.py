@@ -2494,6 +2494,105 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT 'view' AS funnel_stage, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'view_click', count(*) FROM c
+    UNION ALL
+    SELECT 'view_click_purchase', count(*) FROM p
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel analysis (view → click → purchase): each
+    stage is the earliest qualifying event strictly after the previous
+    stage's timestamp. Three min-aggregates and two equi-joins on
+    user_id — every shuffle is on the same key, so with AQE the
+    exchanges reuse one partitioning; no window sort over raw events."""
+    ev = _events(spark, sf_dir)
+
+    def stage(etype: str, prev: DataFrame | None, prev_ts: str, out: str) -> DataFrame:
+        s = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
+        return s.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+    counts = [
+        v.agg(F.lit("view").alias("funnel_stage"), F.count(F.lit(1)).alias("n_users")),
+        c.agg(F.lit("view_click").alias("funnel_stage"), F.count(F.lit(1)).alias("n_users")),
+        p.agg(
+            F.lit("view_click_purchase").alias("funnel_stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        ),
+    ]
+    out = counts[0]
+    for nxt in counts[1:]:
+        out = out.unionByName(nxt)
+    return out
+
+
+@register(
+    "activity_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                        AS BIGINT) * INTERVAL 1 DAY AS anchor
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, count(*) AS streak_len
+        FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(streak_len) AS BIGINT) AS longest_streak,
+           CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+           count(*) AS n_streaks
+    FROM streaks GROUP BY 1
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streak per
+    user via the date-minus-row_number anchor trick. The distinct
+    collapses raw events to at most (users × days) rows BEFORE the
+    window sort, so the expensive ordered pass runs on the reduced set."""
+    ev = _events(spark, sf_dir)
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
 # ===========================================================================
 # Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
 # ===========================================================================

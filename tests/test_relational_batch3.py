@@ -45,6 +45,34 @@ def test_numeric_histogram_partitions_total(spark, sf_dir):
         assert r["n"] > 0  # empty bins are absent, not zero rows
 
 
+def test_funnel_stages_monotone_nonincreasing(spark, sf_dir):
+    out = queries.all_queries()["funnel_conversion"](spark, sf_dir)
+    by_stage = {r["funnel_stage"]: r["n_users"] for r in out.collect()}
+    assert set(by_stage) == {"view", "view_click", "view_click_purchase"}
+    assert by_stage["view"] >= by_stage["view_click"] >= by_stage["view_click_purchase"]
+    assert by_stage["view"] > 0
+
+
+def test_activity_streaks_consistency(spark, sf_dir):
+    out = queries.all_queries()["activity_streaks"](spark, sf_dir)
+    ev = queries._events(spark, sf_dir)
+    active = (
+        ev.select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    expect_days = {r["user_id"]: r["count"] for r in active}
+    rows = out.collect()
+    assert {r["user_id"] for r in rows} == set(expect_days)
+    for r in rows:
+        # streaks partition the active days; longest is one of them
+        assert r["n_active_days"] == expect_days[r["user_id"]]
+        assert 1 <= r["longest_streak"] <= r["n_active_days"]
+        assert r["n_streaks"] >= 1
+
+
 def test_iqr_outliers_bounds_and_broadcast(spark, sf_dir):
     df = queries.all_queries()["iqr_outliers"](spark, sf_dir)
     rows = df.collect()
