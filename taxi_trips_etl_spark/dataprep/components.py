@@ -58,23 +58,22 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry old_label through the checkpoint so convergence is a
+        # filter over the already-materialized blocks — not a second
+        # old-vs-new shuffle join per round
+        cand = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = cand.filter(F.col("label") != F.col("old_label")).count()
+        labels = cand.select("node", "label")
         if changed == 0:
             break
     return labels.select(
