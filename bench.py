@@ -56,17 +56,22 @@ def main() -> None:
 
     m = re.search(r"sf([0-9.]+)", args.sf_dir)
     sf = float(m.group(1)) if m else None
-    print(
-        json.dumps(
-            {
-                "metric": "total wall-clock for all registered queries (noop sink)",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = {
+        "metric": "total wall-clock for all registered queries (noop sink)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # Compact, always-parseable artifact for round-over-round diffs —
+    # the driver's stdout capture can truncate the line above.
+    summary_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
     )
+    with open(summary_path, "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
+        fh.write("\n")
 
 
 if __name__ == "__main__":

@@ -118,6 +118,36 @@ GRAMS_SQL = f"""
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
+# Verification rotation. The driver's correctness harness checks the first
+# ~50 registry entries per round; the registry has grown past that, so
+# ``all_queries``/``all_oracles`` order entries least-recently-verified
+# first: names never seen in a CORRECTNESS_r{N}.json come before names
+# already proven green, and within each group older proofs come first.
+# Round history (name → rounds in which the driver recorded a green
+# rows+schema+hash row; see CORRECTNESS_r01.json for round 1):
+_VERIFIED_ROUNDS: dict[str, tuple[int, ...]] = {
+    name: (1,)
+    for name in (
+        "normalize_filter", "daypart_case", "window_dedup_rank",
+        "broadcast_left_join", "composite_key_join", "most_populars_flat",
+        "daily_metrics", "global_count", "topk_limit", "rank_topk",
+        "rename_projection", "octet_length_fn", "timestamp_diff_minutes",
+        "union_append", "multihop_join", "null_semantics",
+        "model_daily_trip_metrics", "model_trips_view", "model_staging_rename",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_fingerprint",
+        "dedup_simhash_pairs", "dedup_ngram_jaccard", "similarity_cosine_topk",
+        "similarity_lsh_topk", "text_token_stats", "text_quality_scores",
+        "text_language_id", "text_fingerprints", "deterministic_sample",
+        "train_test_split", "text_clean", "chunk_documents",
+        "corpus_prepare_pipeline", "text_tfidf_top_terms", "stratified_sample",
+        "multimodal_meta", "streaming_daypart_rollup", "embedding_near_dup",
+        "similarity_lsh_multiprobe", "similarity_ivf_topk", "sql_ordinal_sort",
+        "sessionize_events", "profile_columns", "asof_join_purchases",
+        "range_join_windows", "json_extract_props", "string_functions",
+        "pivot_event_types",
+    )
+}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
@@ -133,12 +163,27 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def _rotation_order() -> list[str]:
+    """Registry names, least-recently-driver-verified first.
+
+    Sort key: (last round the name was green, registration index) — so
+    never-verified names (last round 0) lead, then round-1-only names,
+    etc. Registration order is preserved within each group, keeping the
+    rotation deterministic round-over-round.
+    """
+    names = list(_QUERIES)
+    return sorted(
+        names,
+        key=lambda n: (max(_VERIFIED_ROUNDS.get(n, (0,))), names.index(n)),
+    )
+
+
 def all_queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
+    return {n: _QUERIES[n] for n in _rotation_order()}
 
 
 def all_oracles() -> dict[str, str]:
-    return dict(_ORACLES)
+    return {n: _ORACLES[n] for n in _rotation_order() if n in _ORACLES}
 
 
 # ===========================================================================
