@@ -42,10 +42,23 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "session_idx long, start long, last long, n long"
 
 
+def _make_sessionize_kernel(set_timeout: bool):
+    """Kernel factory: ``set_timeout=False`` for data-driven drives
+    (sentinel flush / NoTimeout) — calling ``setTimeoutDuration`` under
+    NoTimeout raises, and ProcessingTimeTimeout makes the engine always
+    schedule another micro-batch, so AvailableNow runs never drain."""
+
+    def kernel(key, batches, state):
+        return _sessionize_kernel(key, batches, state, set_timeout)
+
+    return kernel
+
+
 def _sessionize_kernel(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
+    set_timeout: bool = True,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -78,7 +91,8 @@ def _sessionize_kernel(
         else:
             last, n = sec, n + 1
     state.update((session_idx, start, last, n))
-    state.setTimeoutDuration(3 * 1000)  # flush quiet users soon after
+    if set_timeout:
+        state.setTimeoutDuration(3 * 1000)  # flush quiet users soon after
 
     if out:
         df = pd.DataFrame(
@@ -96,8 +110,17 @@ def _sessionize_kernel(
     yield df
 
 
-def streaming_sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Streaming DF of CLOSED sessions (open ones flush on timeout)."""
+def streaming_sessionize(
+    spark: SparkSession, events_dir: str, use_timeout: bool = True
+) -> DataFrame:
+    """Streaming DF of CLOSED sessions.
+
+    ``use_timeout=True`` (true-streaming deployments): quiet users flush
+    via ProcessingTimeTimeout. ``use_timeout=False`` (bounded drives):
+    NoTimeout — open sessions flush only when a later event (or a
+    sentinel, see :func:`run_streaming_sessionize`) closes them, which
+    lets AvailableNow runs terminate deterministically.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
@@ -117,11 +140,15 @@ def streaming_sessionize(spark: SparkSession, events_dir: str) -> DataFrame:
         stream.select("user_id", "event_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_kernel,
+            _make_sessionize_kernel(use_timeout),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -131,38 +158,98 @@ def run_streaming_sessionize(
 ) -> DataFrame:
     """Run to completion over a static dir; emit still-open sessions too.
 
-    Two micro-batch passes: the first folds all events into state and
-    emits sessions closed by a later event; the timeout pass then
-    flushes every still-open session, so the union equals the batch
-    sessionization of the same data.
-    """
-    q = (
-        streaming_sessionize(spark, events_dir)
-        .writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .trigger(processingTime="1 seconds")
-        .start()
-    )
-    import time
+    Deterministic sentinel drive (no wall-clock polling, no timeout
+    race): real events are staged into a scratch dir together with ONE
+    sentinel event per user, timestamped past that user's last real
+    event plus the session gap. A single ``Trigger.AvailableNow`` run
+    (NoTimeout) then folds each user's time-sorted events through the
+    kernel: every real session is closed either by the next real event
+    or by the sentinel — exactly the gap semantics — and is emitted in
+    that same run, while the sentinel-opened session stays in state and
+    is never emitted. The output therefore equals the batch
+    sessionization of the same data, and completion is gated on
+    ``awaitTermination`` of a data-bounded run — never on
+    sink-stability heuristics. The 3s processing-time timeout remains
+    the flush mechanism only for true unbounded deployments
+    (``streaming_sessionize(use_timeout=True)``).
 
-    # First batch ingests files; wait past the 60s... use a manual drive:
-    # AvailableNow would stop before the timeout flush, so poll until the
-    # sink stops growing AND a timeout pass ran.
-    deadline = time.monotonic() + 180
-    last = -1
-    stable = 0
-    while time.monotonic() < deadline:
-        n = spark.table(sink_table).count()
-        if n == last:
-            stable += 1
-            # ~3s of stability comfortably covers the 3s state timeout
-            # plus one trigger interval.
-            if stable >= 6 and n > 0:
-                break
+    Batch-order note: the file source lists oldest-first, so if the
+    engine splits the files across micro-batches the sentinel file
+    (written last) still arrives last; within a shared batch the kernel
+    sorts per-user by (ts, event_id). Either way each real event
+    precedes the user's sentinel.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    staging = tempfile.mkdtemp(prefix="sessionize_src_")
+    try:
+        if os.path.isfile(events_dir):
+            shutil.copy(events_dir, os.path.join(staging, "pass1.parquet"))
         else:
-            stable = 0
-        last = n
-        time.sleep(0.5)
-    q.stop()
-    return spark.table(sink_table)
+            n = 0
+            for f in sorted(os.listdir(events_dir)):
+                if f.endswith(".parquet"):
+                    shutil.copy(
+                        os.path.join(events_dir, f),
+                        os.path.join(staging, f"pass1_{n}.parquet"),
+                    )
+                    n += 1
+        static = spark.read.parquet(staging)
+        ts_is_nanos = dict(static.dtypes).get("ts") == "bigint"
+        # Latest real event time, for the sentinel-session guard below;
+        # computed while the scratch dir still exists (one 1-row agg).
+        if ts_is_nanos:
+            max_real = static.agg(
+                F.expr("timestamp_micros(max(ts) div 1000)").alias("m")
+            ).collect()[0]["m"]
+        else:
+            max_real = static.agg(F.max("ts").alias("m")).collect()[0]["m"]
+
+        # Per-user sentinel just past gap (+60s margin) after that
+        # user's last event; built distributedly in the source's
+        # on-disk schema (ts may be int64 nanos) and appended as an
+        # extra source file. event_id=-1 marks it; it only ever OPENS a
+        # session, so no sentinel appears in emitted rows.
+        if ts_is_nanos:
+            bump = F.lit(int((SESSION_GAP_SECONDS + 60) * 1e9))
+        else:
+            bump = F.expr(f"INTERVAL '{SESSION_GAP_SECONDS + 60}' SECOND")
+        sentinel = static.groupBy("user_id").agg(F.max("ts").alias("_mx"))
+        cols = []
+        for field in static.schema.fields:
+            if field.name == "user_id":
+                cols.append(F.col("user_id").cast(field.dataType))
+            elif field.name == "ts":
+                cols.append((F.col("_mx") + bump).cast(field.dataType).alias("ts"))
+            elif field.name == "event_id":
+                cols.append(F.lit(-1).cast(field.dataType).alias("event_id"))
+            else:
+                cols.append(F.lit(None).cast(field.dataType).alias(field.name))
+        sentinel.select(*cols).write.mode("append").parquet(staging)
+
+        q = (
+            streaming_sessionize(spark, staging, use_timeout=False)
+            .writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("sessionize drive did not finish")
+
+        # The memory sink holds rows driver-side — safe to drop the
+        # scratch dir after return. Guard: drop any sentinel-born
+        # session (NoTimeout means none is ever emitted, but the
+        # invariant is cheap to enforce: sentinel starts lie past every
+        # real event).
+        return spark.table(sink_table).filter(
+            F.col("session_start") <= F.lit(max_real)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
