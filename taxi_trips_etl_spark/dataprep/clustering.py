@@ -41,30 +41,32 @@ def kmeans_assign(
 ) -> DataFrame:
     """→ (vec_id, cluster_id, sq_dist): Lloyd's with deterministic init.
 
-    Init: the k lowest-id vectors. Ties in argmin break toward the
-    lower cluster_id, so the whole trajectory is reproducible.
+    Init: the k lowest-id vectors, selected by sort — so sparse or
+    offset id spaces still seed exactly k clusters. Ties in argmin
+    break toward the lower cluster_id, so the whole trajectory is
+    reproducible. The returned assignment is always computed against
+    the FINAL centroid set (one extra lazy projection), including when
+    the iteration budget runs out mid-trajectory.
     """
     vecs = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
     centroids = [
-        (int(r[id_col]), [float(x) for x in r["v"]])
-        for r in vecs.filter(F.col(id_col) < k).collect()
+        [float(x) for x in r["v"]]
+        for r in vecs.orderBy(id_col).limit(k).collect()
     ]
-    centroids = [c for _, c in sorted(centroids)]
 
-    assigned = None
-    for _ in range(iterations):
+    def assign(cents: list[list[float]]) -> DataFrame:
         # Centroids as literal arrays: the k distances are k column
         # expressions in ONE narrow projection — no join, no window, no
         # shuffle for assignment; argmin ties break to the lower id.
         dists = F.array(
             *[
                 _sq_dist(F.col("v"), F.array(*[F.lit(x) for x in c]))
-                for c in centroids
+                for c in cents
             ]
         )
-        assigned = vecs.select(
+        return vecs.select(
             id_col,
             "v",
             dists.alias("_d"),
@@ -76,6 +78,9 @@ def kmeans_assign(
             .alias("cluster_id"),
             F.array_min(F.col("_d")).alias("sq_dist"),
         )
+
+    for _ in range(iterations):
+        assigned = assign(centroids)
         # New centroids: per-cluster mean, one partial-agg shuffle of
         # k×d sums; collected to the driver (k·d doubles).
         dim = len(centroids[0])
@@ -99,7 +104,9 @@ def kmeans_assign(
             break
         centroids = new_centroids
 
-    return assigned.select(
+    # Final assignment against the last centroid set — the in-loop
+    # `assigned` lags one update when the budget is exhausted.
+    return assign(centroids).select(
         id_col,
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.round("sq_dist", 6).alias("sq_dist"),

@@ -22,8 +22,12 @@ iterative-algorithm trap). Driver sees only the changed-row count.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 
 def connected_components(
@@ -31,12 +35,22 @@ def connected_components(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_rounds: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """→ (doc_id, component_id): component_id = min doc_id reachable.
 
     Only nodes that appear in ``pairs`` are returned; singletons are
     their own components trivially (left-join this output and coalesce
     to doc_id for a full mapping).
+
+    Min-label propagation moves a label ONE hop per round, so rounds =
+    O(component diameter): right for near-dup graphs (shallow dup
+    cliques), wrong for path-shaped graphs. If the loop exhausts
+    ``max_rounds`` with labels still changing the result is
+    under-merged — that raises when ``strict=True`` and logs a warning
+    otherwise; switch such workloads to
+    :func:`connected_components_star` (O(log n) rounds regardless of
+    diameter).
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -76,8 +90,129 @@ def connected_components(
         labels = cand.select("node", "label")
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components: labels still changing after "
+            f"{max_rounds} rounds ({changed} rows) — result is "
+            f"under-merged; raise max_rounds or use "
+            f"connected_components_star"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        log.warning(msg)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """→ (doc_id, component_id) via alternating large-star/small-star
+    contraction — O(log n) rounds regardless of component diameter.
+
+    The two-phase algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC'14), in pure DataFrame ops:
+
+    - large-star: every node u links each STRICTLY LARGER neighbor to
+      the minimum of its closed neighborhood m(u) = min({u} ∪ Γ(u));
+    - small-star: orienting each edge large→small, every node u links
+      its smaller neighbors (and itself) to the smallest of them.
+
+    Both phases strictly shrink a potential function and their fixpoint
+    is a forest of stars whose centers are the component minima, so the
+    final edge list IS the (node → component_id) mapping. Per phase:
+    one groupBy-min + one equi-join, both keyed shuffles;
+    ``localCheckpoint`` per phase caps iterative lineage exactly as in
+    :func:`connected_components`. Convergence is detected by an
+    (edge-count, xor-of-edge-hashes) signature going stable across one
+    full large+small round — the same kind of O(1)-driver check the
+    label pass uses.
+
+    Prefer this over min-label when components can be deep (transitive
+    link graphs, reply chains); near-dup cliques converge in ~2 rounds
+    either way.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.hash("a", "b").cast("long")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = signature(edges)
+    for _ in range(max_rounds):
+        # large-star: symmetrize, per-u closed-neighborhood min, link
+        # strictly larger neighbors to it.
+        sym = edges.select("a", "b").unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        mins = sym.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("m").alias("a"), F.col("b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: edges oriented large→small; u and its smaller
+        # neighbors all link to the smallest.
+        directed = large.select(
+            F.col("b").alias("u"), F.col("a").alias("v")
+        )
+        smallest = directed.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            directed.join(smallest, "u")
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .unionByName(
+                smallest.select(
+                    F.col("m").alias("a"), F.col("u").alias("b")
+                )
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        edges = small
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # Fixpoint edge list is (component_min, node) stars; nodes can also
+    # BE a minimum — map them to themselves.
+    star = edges.select(
+        F.col("b").alias("node"), F.col("a").alias("root")
+    )
+    return (
+        all_nodes.join(star, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("root"), F.col("node")).alias("component_id"),
+        )
     )
 
 

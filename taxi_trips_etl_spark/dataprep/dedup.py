@@ -158,13 +158,35 @@ def lsh_bands(sig_df: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> 
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, text: str = "text") -> DataFrame:
+def minhash_lsh_candidates(
+    docs: DataFrame, text: str = "text", max_bucket_size: int | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing ≥ 1 LSH band bucket.
 
     The self-join key is (band_id, band_key) — bucket-local, not
     all-pairs; distinct() collapses pairs that collide in >1 band.
+
+    ``max_bucket_size`` is the degenerate-corpus guard: a boilerplate
+    string repeated m times puts m docs in the same bucket in EVERY
+    band → O(m²) candidate pairs from one key, the skew that AQE can
+    mitigate but not remove. With a cap, buckets larger than
+    ``max_bucket_size`` are dropped from candidate generation entirely
+    (their members are exact or near-exact duplicates — the cheap
+    md5 groupBy of :func:`exact_duplicates` is the right tool for
+    them, not a quadratic pair join). On corpora where no bucket
+    exceeds the cap the output is bit-identical to the uncapped run.
+    The bucket-size count is a window over the same (band_id,
+    band_key) partitioning the join shuffles on, so the exchange is
+    reused — the cap costs no extra shuffle.
     """
     b = lsh_bands(minhash_signature(docs, text))
+    if max_bucket_size is not None:
+        w_bucket = Window.partitionBy("band_id", "band_key")
+        b = (
+            b.withColumn("_bsz", F.count(F.lit(1)).over(w_bucket))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -275,7 +297,11 @@ def simhash_near_duplicates(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, text: str = "text", n: int = 3, threshold: float = 0.8
+    docs: DataFrame,
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (the verifier operator).
 
@@ -298,7 +324,18 @@ def ngram_jaccard_pairs(
        candidate pair; |A∪B| = na + nb − |A∩B|. Three hash joins and a
        pair-keyed aggregate, all narrow rows — the shape that survives
        corpus-scale near-dup mining. Hot grams are the skew hazard:
-       AQE skew-join first, df-capping/salting next.
+       AQE skew-join first, then ``max_posting_size``.
+
+    ``max_posting_size`` is the hot-gram guard: a boilerplate shingle
+    shared by m docs' PREFIXES creates an O(m²) join fanout on that one
+    gram. With a cap, prefix grams indexed by more than
+    ``max_posting_size`` docs are dropped from CANDIDATE GENERATION
+    only — verification (the counting joins on the full posting list)
+    stays exact, so every surviving pair's jaccard value is unchanged.
+    Pairs whose only shared prefix gram is a dropped hot gram are
+    near-exact boilerplate duplicates — :func:`exact_duplicates`
+    territory. On corpora where no prefix gram exceeds the cap the
+    output is bit-identical to the uncapped run.
 
     Short docs (< n tokens) produce no postings and drop out naturally.
     """
@@ -319,6 +356,13 @@ def ngram_jaccard_pairs(
         )
         .select("doc_id", "n_grams", "gram")
     )
+    if max_posting_size is not None:
+        w_gram = Window.partitionBy("gram")
+        prefix = (
+            prefix.withColumn("_psz", F.count(F.lit(1)).over(w_gram))
+            .filter(F.col("_psz") <= max_posting_size)
+            .drop("_psz")
+        )
     cand = (
         prefix.alias("a")
         .join(

@@ -101,16 +101,22 @@ def ivf_topk(
     ``n_centroids`` cells, search only the query's ``nprobe`` nearest
     cells, re-rank candidates by exact cosine.
 
-    Centroids are a deterministic sample (the first ``n_centroids``
-    vectors) — the classic sampled-centroid IVF flavor; swap in k-means
-    refinement without touching the search path. Scale shape: the
+    Centroids are a deterministic sample (the ``n_centroids`` vectors
+    with the lowest ids — selected by sort, so sparse/offset id spaces
+    still yield exactly ``n_centroids`` cells) — the classic
+    sampled-centroid IVF flavor; swap in k-means refinement without
+    touching the search path. Scale shape: the
     centroid set broadcasts everywhere (tiny), assignment is one
     narrow pass over the corpus, and each query touches only its probed
     cells' inverted lists (an equi-join on cent_id) — never the full
     corpus. Recall is governed by nprobe.
     """
-    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
     )
     scored_cells = (
         embeddings.join(F.broadcast(cents))

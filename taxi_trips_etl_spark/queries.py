@@ -33,6 +33,7 @@ from taxi_trips_etl_spark.operators.popularity import ranked_counts
 from taxi_trips_etl_spark.plans.models import taxi_models
 from taxi_trips_etl_spark.sources.taxi_testdata import (
     N_ZONES,
+    _zone_wkt,
     trips_from_lineitem,
 )
 
@@ -328,19 +329,9 @@ MOST_POPULARS_SQL = f"""
 """
 
 
-@register("most_populars_flat", MOST_POPULARS_SQL)
-def q_most_populars_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 + W2 + T1 + J4: the full final-result shape
-    (taxi_trips_etl.py:164-176) with location-derived cells so DuckDB
-    can oracle it (the geo-UDF variant is ``flagship_most_populars``)."""
-    cells = _norm_trips(spark, sf_dir).select(
-        F.concat(F.lit("z"), F.col("pickup_location_id").cast("string")).alias(
-            "pickup_cell"
-        ),
-        F.concat(F.lit("z"), F.col("dropoff_location_id").cast("string")).alias(
-            "dropoff_cell"
-        ),
-    )
+def _populars_flat(cells: DataFrame) -> DataFrame:
+    """taxi_trips_etl.py:164-176 final-result shape, flat columns:
+    three group-count-rank-top100 branches joined USING(popularity)."""
     routes = ranked_counts(cells, ["pickup_cell", "dropoff_cell"], "route_count", 100)
     drops = ranked_counts(cells, ["dropoff_cell"], "dropoff_count", 100)
     picks = ranked_counts(cells, ["pickup_cell"], "pickup_count", 100)
@@ -368,6 +359,106 @@ def q_most_populars_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
             "popularity",
         )
     )
+
+
+@register("most_populars_flat", MOST_POPULARS_SQL)
+def q_most_populars_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 + W2 + T1 + J4: the full final-result shape
+    (taxi_trips_etl.py:164-176) with location-derived cells so DuckDB
+    can oracle it (the geo-UDF variant is ``flagship_most_populars``)."""
+    cells = _norm_trips(spark, sf_dir).select(
+        F.concat(F.lit("z"), F.col("pickup_location_id").cast("string")).alias(
+            "pickup_cell"
+        ),
+        F.concat(F.lit("z"), F.col("dropoff_location_id").cast("string")).alias(
+            "dropoff_cell"
+        ),
+    )
+    return _populars_flat(cells)
+
+
+def _zone_hex_values_sql() -> str:
+    """The synthetic zone dim's zone_id → hex-cell mapping as a SQL
+    VALUES list, computed at import time with the same pure-Python
+    centroid→cell function the enrichment UDF wraps.
+
+    Rank-dedup semantics baked in: zones with a duplicate geometry
+    (z % 5 == 0) keep the LONGER octagon WKT (enrichment_query.py:12-14
+    — byte_length DESC, rank 1), so the mapping indexes that geometry's
+    centroid. tests/test_geo.py pins the underlying WKT→cell fixtures,
+    keeping this literal list honest independently of Spark."""
+    from taxi_trips_etl_spark.functions.geo import centroid_cell
+
+    rows = ", ".join(
+        f"({z}, '{centroid_cell(_zone_wkt(z, detailed=(z % 5 == 0)))}')"
+        for z in range(N_ZONES)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS zm(zone_id, hex)"
+
+
+_FLAGSHIP_KNOWN_ZONES_TEMPLATE = f"""
+    WITH zm AS ({{zm}}),
+    cells AS (
+        SELECT p.hex AS pickup_cell, d.hex AS dropoff_cell
+        FROM ({NORM_SQL}) t
+        LEFT JOIN zm p ON t.pickup_location_id = p.zone_id
+        LEFT JOIN zm d ON t.dropoff_location_id = d.zone_id
+    ),
+    routes0 AS (
+        SELECT pickup_cell, dropoff_cell, count(*) AS route_count,
+               rank() OVER (ORDER BY count(*) DESC) AS popularity
+        FROM cells GROUP BY 1, 2
+    ),
+    r AS (SELECT * FROM routes0 WHERE popularity <= 100),
+    d0 AS (
+        SELECT dropoff_cell, count(*) AS dropoff_count,
+               rank() OVER (ORDER BY count(*) DESC) AS popularity
+        FROM cells GROUP BY 1
+    ),
+    d AS (SELECT * FROM d0 WHERE popularity <= 100),
+    p0 AS (
+        SELECT pickup_cell, count(*) AS pickup_count,
+               rank() OVER (ORDER BY count(*) DESC) AS popularity
+        FROM cells GROUP BY 1
+    ),
+    p AS (SELECT * FROM p0 WHERE popularity <= 100)
+    SELECT CAST(popularity AS BIGINT) AS popularity,
+           r.pickup_cell AS route_pickup_cell,
+           r.dropoff_cell AS route_dropoff_cell,
+           r.route_count,
+           d.dropoff_cell AS dropoff_hexagon, d.dropoff_count,
+           p.pickup_cell AS pickup_hexagon, p.pickup_count
+    FROM r JOIN d USING (popularity) JOIN p USING (popularity)
+"""
+
+
+FLAGSHIP_KNOWN_ZONES_SQL = _FLAGSHIP_KNOWN_ZONES_TEMPLATE.format(
+    zm=_zone_hex_values_sql()
+)
+
+
+@register("flagship_known_zones", FLAGSHIP_KNOWN_ZONES_SQL)
+def q_flagship_known_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL 4-stage pipeline — load → normalize → geo/hex enrichment
+    (WKT-centroid→cell UDF on the deduped zone dim, two broadcast
+    joins) → rank/top-k/USING join — against an exact DuckDB oracle.
+
+    Unlike ``flagship_most_populars`` (rows-only: hex ids come from the
+    UDF), the synthetic zone dim's centroids are knowable at import
+    time, so the oracle carries the zone→cell mapping as a literal
+    VALUES list produced by the same pure-Python ``centroid_cell`` the
+    UDF wraps — pinning the relational 95% of the pipeline exactly
+    while tests/test_geo.py pins the UDF kernel itself.
+    """
+    from taxi_trips_etl_spark.operators.enrich import enrich_trips
+    from taxi_trips_etl_spark.sources.taxi_testdata import zone_dim
+
+    enriched = enrich_trips(_norm_trips(spark, sf_dir), zone_dim(spark))
+    cells = enriched.select(
+        F.col("h3_pickup").alias("pickup_cell"),
+        F.col("h3_dropoff").alias("dropoff_cell"),
+    )
+    return _populars_flat(cells)
 
 
 @register(
@@ -1810,6 +1901,62 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("long").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "window_distribution_approx",
+    """
+    WITH s AS (SELECT l_suppkey, count(*) AS supp_count FROM lineitem GROUP BY 1),
+    b AS (SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY supp_count) AS b25,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY supp_count) AS b50,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY supp_count) AS b75
+          FROM s)
+    SELECT l_suppkey, supp_count,
+           CAST(1 + CASE WHEN supp_count > b25 THEN 1 ELSE 0 END
+                  + CASE WHEN supp_count > b50 THEN 1 ELSE 0 END
+                  + CASE WHEN supp_count > b75 THEN 1 ELSE 0 END AS BIGINT)
+               AS value_quartile
+    FROM s, b
+    """,
+)
+def q_window_distribution_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass distribution bucketing — the scale swap-in for
+    ``window_distribution``'s global ntile.
+
+    The global window needs EVERY supplier in one sorted partition; at
+    extreme supplier cardinality that single reducer is the bottleneck.
+    This variant computes the three quartile boundaries as an aggregate
+    (``percentile_disc`` — exact, and discrete so the integer
+    boundaries are engine-portable), ships them back as three literals,
+    and assigns value-based quartiles in a narrow whole-stage-codegen
+    projection — no global sort, no single-partition exchange. Ties
+    share a bucket (value semantics) instead of being row-split the way
+    ntile does, which is what you want for distribution analysis. At
+    cardinalities where even the exact percentile agg is too heavy,
+    swap ``percentile_disc`` for ``percentile_approx`` — same plan
+    shape, sketch-mergeable partials.
+    """
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("supp_count"))
+    )
+    b = s.selectExpr(
+        "percentile_disc(0.25) WITHIN GROUP (ORDER BY supp_count) AS b25",
+        "percentile_disc(0.50) WITHIN GROUP (ORDER BY supp_count) AS b50",
+        "percentile_disc(0.75) WITHIN GROUP (ORDER BY supp_count) AS b75",
+    ).collect()[0]
+    quartile = (
+        F.lit(1)
+        + F.when(F.col("supp_count") > b["b25"], 1).otherwise(0)
+        + F.when(F.col("supp_count") > b["b50"], 1).otherwise(0)
+        + F.when(F.col("supp_count") > b["b75"], 1).otherwise(0)
+    )
+    return s.select(
+        "l_suppkey",
+        "supp_count",
+        quartile.cast("long").alias("value_quartile"),
     )
 
 

@@ -53,3 +53,46 @@ def test_kmeans_on_driver_embeddings(spark, sf_dir):
     assert out.count() == emb.count()
     assert out.select("cluster_id").distinct().count() <= 8
     assert out.filter(F.col("sq_dist") < 0).count() == 0
+
+
+def test_kmeans_sparse_offset_ids_seed_k_clusters(spark):
+    # ids 1000, 1010, 1020, … — filter(id < k) would seed ZERO centroids;
+    # sort-based seeding must still yield k clusters deterministically.
+    import math
+
+    from taxi_trips_etl_spark.dataprep.clustering import kmeans_assign
+
+    rows = [
+        (1000 + 10 * i, [float(i % 4), float((i * 7) % 5), float(i % 3)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = kmeans_assign(df, k=4, iterations=3).collect()
+    assert len(out) == 40
+    clusters = {r.cluster_id for r in out}
+    assert clusters <= {0, 1, 2, 3} and len(clusters) >= 2
+    for r in out:
+        assert r.sq_dist >= 0 and math.isfinite(r.sq_dist)
+
+
+def test_kmeans_budget_exhausted_assignment_matches_final_centroids(spark):
+    # With iterations=1 the returned assignment must still be argmin
+    # against the post-update centroids (the single mean step), not the
+    # seeds: both seeds sit in cluster 0's blob, so every far point
+    # must end nearer the updated centroid it belongs to, with sq_dist
+    # consistent under re-assignment (every point's sq_dist is minimal
+    # across clusters — spot-check via total inertia being finite and
+    # assignment being a pure function of the final centroids).
+    from taxi_trips_etl_spark.dataprep.clustering import kmeans_assign
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]),
+            (10, [100.0, 0.0]), (11, [101.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (r.cluster_id, r.sq_dist) for r in
+           kmeans_assign(df, k=2, iterations=1).collect()}
+    # seeds = vec 0 and vec 1. After one mean step c0≈{0}, c1≈{1,10,11}
+    # mean ≈ (67.3,0); final assignment vs those centroids puts 0 and 1
+    # in cluster 0, the far pair in cluster 1.
+    assert out[10][0] == out[11][0]
+    assert out[0][0] == out[1][0]
+    assert out[0][0] != out[10][0]

@@ -38,3 +38,55 @@ def test_canonicalize_keeps_one_per_component(spark):
     kept = sorted(r.doc_id for r in canonicalize_near_dups(docs, pairs).collect())
     # component {0,1,2} → keep 0; {4,5} → keep 4; singleton 3 untouched.
     assert kept == [0, 3, 4]
+
+
+def test_star_contraction_long_chain(spark):
+    # 50-node path: diameter 49 sinks min-label at max_rounds=20, but
+    # large-star/small-star contracts it in O(log n) rounds.
+    from taxi_trips_etl_spark.dataprep.components import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "doc_id_a long, doc_id_b long"
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(pairs).collect()
+    }
+    assert len(comp) == 50
+    assert set(comp.values()) == {0}
+
+
+def test_star_matches_min_label_on_mixed_graph(spark):
+    from taxi_trips_etl_spark.dataprep.components import (
+        connected_components_star,
+    )
+
+    # chain + clique + pair + a bridge between two cliques
+    edges = (
+        [(1, 2), (2, 3), (3, 4)]
+        + [(10, 11), (10, 12), (11, 12)]
+        + [(20, 21)]
+        + [(30, 31), (31, 32), (40, 41), (41, 42), (32, 40)]
+    )
+    pairs = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    want = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs).collect()
+    }
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == want
+
+
+def test_min_label_nonconvergence_signals(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(49)], "doc_id_a long, doc_id_b long"
+    )
+    with pytest.raises(RuntimeError, match="under-merged"):
+        connected_components(pairs, max_rounds=3, strict=True)

@@ -198,3 +198,63 @@ def test_frame_sampling_expands_rows(spark):
         1024,
         2048,
     ]
+
+
+def test_bucket_cap_bounds_boilerplate_skew(spark):
+    """One boilerplate string repeated 1000× must not explode candidate
+    generation when the cap is on; genuine near-dup pairs survive."""
+    from taxi_trips_etl_spark.dataprep.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "all rights reserved this page is intentionally left blank " * 3
+    near_a = "the quick brown fox jumps over the lazy dog again and again ok"
+    near_b = "the quick brown fox jumps over the lazy dog again and again no"
+    rows = [(i, boiler) for i in range(1000)] + [
+        (2000, near_a),
+        (2001, near_b),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(docs, max_bucket_size=50)
+    got = {(r.doc_id_a, r.doc_id_b) for r in capped.collect()}
+    # The 1000-doc boilerplate bucket (499 500 pairs uncapped) is gone;
+    # the real near-dup pair remains.
+    assert (2000, 2001) in got
+    assert len(got) < 100
+
+    jac = ngram_jaccard_pairs(docs, threshold=0.5, max_posting_size=50)
+    jgot = {(r.doc_id_a, r.doc_id_b) for r in jac.collect()}
+    assert (2000, 2001) in jgot
+    assert len(jgot) < 100
+
+
+def test_bucket_cap_noop_on_normal_corpus(docs):
+    """On a corpus with no hot bucket the capped output is identical."""
+    from taxi_trips_etl_spark.dataprep.dedup import (
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    base = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_candidates(docs).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in minhash_lsh_candidates(docs, max_bucket_size=50).collect()
+    }
+    assert base == capped and len(base) > 0
+
+    jbase = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    jcapped = {
+        (r.doc_id_a, r.doc_id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, max_posting_size=50
+        ).collect()
+    }
+    assert jbase == jcapped and len(jbase) > 0

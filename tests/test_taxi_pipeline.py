@@ -159,3 +159,27 @@ def test_pipeline_end_to_end_writes_partition(spark, sf_dir, tmp_path):
     assert df is not None and df.count() > 0
     written = spark.read.parquet(out_dir)
     assert written.filter(F.col("run_date") == "2026-03-01").count() == df.count()
+
+
+def test_auto_cache_enriched_materializes_once(spark, sf_dir):
+    """cache_enriched=None auto-persists the enriched stage when input
+    crosses the threshold; the three popularity branches must then read
+    one InMemoryRelation instead of recomputing the lineage."""
+    from taxi_trips_etl_spark.plans.pipeline import run_taxi_pipeline
+
+    try:
+        lazy = run_taxi_pipeline(spark, sf_dir)  # default: below bar
+        assert "InMemoryTableScan" not in lazy._jdf.queryExecution().toString()
+
+        cached = run_taxi_pipeline(spark, sf_dir, auto_cache_threshold_bytes=0)
+        plan = cached._jdf.queryExecution().toString()
+        # All three branches hit the SAME cache entry: scans > 0,
+        # exactly one distinct InMemoryRelation materialization.
+        assert plan.count("InMemoryTableScan") >= 3
+        assert plan.count("InMemoryRelation") >= 1
+
+        want = {tuple(r) for r in lazy.collect()}
+        got = {tuple(r) for r in cached.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.catalog.clearCache()
