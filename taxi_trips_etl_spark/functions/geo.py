@@ -17,6 +17,39 @@ are implemented in pure Python:
   an opaque string id. It is NOT the H3 icosahedral indexing (the h3
   wheel is absent here); swap :func:`latlng_to_cell` for
   ``h3.latlng_to_cell`` in production and nothing else changes.
+  (A from-scratch true-H3 port was considered and rejected: the base
+  cell / face tables can't be reproduced from memory without the
+  Apache-2.0 reference tables at hand, and a subtly-wrong "real H3"
+  is worse than a documented stand-in.)
+
+Where hx ids differ from real H3 ids (the swap seam — everything the
+engine relies on is in the "contract" rows, pinned by
+tests/test_geo_properties.py; the rest is what changes when production
+swaps the real library in):
+
+======================  ==========================  =====================
+property                real H3 (res 9)             hx grid (res 9)
+======================  ==========================  =====================
+id format               15-char hex, e.g.           ``hx9_{q}_{r}`` axial
+                        ``8928308280fffff``         coords
+projection              gnomonic, per icosahedron   equirectangular
+                        face                        plane
+cell size               ~174 m edge, bounded        ~200 m at equator;
+                        distortion everywhere       E-W extent shrinks
+                                                    by cos(latitude)
+pentagons               12 per resolution           none
+parent/child nesting    aperture-7 hierarchy        none defined
+seams                   none (sphere-complete)      antimeridian + poles
+CONTRACT: determinism   same input → same id        same (pure fn of
+                        everywhere, any process     args; no hash seed)
+CONTRACT: locality      points ≪ cell radius        same (tested: 10 m
+                        apart share a cell off      pairs ≥90% share)
+                        boundaries
+CONTRACT: separation    points > 2 cell diameters   same (tested: 1 km
+                        apart never share a cell    pairs never share)
+CONTRACT: res scaling   finer res ⇒ strictly more   same (aperture-√7
+                        cells over a point set      sizing curve)
+======================  ==========================  =====================
 
 Scale placement: these run ONLY on the zone dimension (~260 rows in the
 reference's data) *before* it is broadcast — never per-trip. The 100 TB

@@ -50,3 +50,85 @@ def test_hex_cell_winding_order_irrelevant_for_centroid(la, lo):
     )
     a, b = wkt_centroid(ccw), wkt_centroid(cw)
     assert abs(a[0] - b[0]) < 1e-9 and abs(a[1] - b[1]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# H3 swap-seam contract (see table in functions/geo.py docstring): the
+# properties real h3.latlng_to_cell guarantees and the engine relies on.
+# If the real h3 wheel ever lands in the environment, the last test
+# runs the same contract against it directly.
+# ---------------------------------------------------------------------------
+
+_NYC = (40.7128, -74.0060)
+
+
+def test_contract_determinism_and_format():
+    a = latlng_to_cell(*_NYC, 9)
+    b = latlng_to_cell(*_NYC, 9)
+    assert a == b
+    assert a.startswith("hx9_")
+    # Stable across argument float-repr round-trip (process-independent).
+    assert latlng_to_cell(float(f"{_NYC[0]!r}"), float(f"{_NYC[1]!r}"), 9) == a
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat, lng)
+def test_contract_locality_10m_pairs_mostly_share(y, x):
+    # 10 m ≈ 9e-5 deg latitude: far below the ~200 m res-9 cell radius;
+    # a pair can straddle a boundary, so assert over a neighborhood
+    # batch instead of a single pair (h3 gives the same guarantee shape).
+    same = sum(
+        latlng_to_cell(y + k * 9e-5, x, 9) == latlng_to_cell(y + k * 9e-5 + 9e-5, x, 9)
+        for k in range(10)
+    )
+    assert same >= 5  # boundaries are measure-zero; typically 9-10/10
+
+
+@settings(max_examples=150, deadline=None)
+@given(lat, lng)
+def test_contract_separation_1km_never_shares(y, x):
+    # 1 km ≈ 0.009 deg latitude ≫ 2× the res-9 cell diameter — real H3
+    # and any correct partition must place these in different cells.
+    assert latlng_to_cell(y, x, 9) != latlng_to_cell(y + 0.009, x, 9)
+
+
+def test_contract_resolution_scaling():
+    # Finer resolution ⇒ strictly more distinct cells over a fixed grid.
+    pts = [
+        (40.70 + i * 0.002, -74.01 + j * 0.002)
+        for i in range(10)
+        for j in range(10)
+    ]
+    counts = {
+        res: len({latlng_to_cell(la, lo, res) for la, lo in pts})
+        for res in (7, 8, 9)
+    }
+    assert counts[7] < counts[8] < counts[9]
+    # res-9 cell scale ≈ 200 m: a ~2 km square of 100 points spread over
+    # ~20x20 cells should give mostly-distinct cells.
+    assert counts[9] >= 50
+
+
+def test_contract_res9_cell_extent_under_500m():
+    # Walk 2 km north in 20 m steps: the walk must cross several cell
+    # boundaries (cells are bounded, ~200-350 m across), i.e. no cell
+    # swallows a 500 m stretch.
+    cells = [latlng_to_cell(40.70 + k * 1.8e-4, -74.0, 9) for k in range(100)]
+    longest_run = max(
+        len(list(g)) for _, g in __import__("itertools").groupby(cells)
+    )
+    assert longest_run * 20 <= 500
+    assert len(set(cells)) >= 5
+
+
+def test_contract_against_real_h3_if_available():
+    try:
+        import h3
+    except ImportError:
+        import pytest
+
+        pytest.skip("h3 wheel not in environment (documented swap seam)")
+    # Same contract, real library: locality, separation, determinism.
+    a = h3.latlng_to_cell(*_NYC, 9)
+    assert h3.latlng_to_cell(*_NYC, 9) == a
+    assert h3.latlng_to_cell(_NYC[0] + 0.009, _NYC[1], 9) != a
