@@ -203,3 +203,107 @@ def fingerprints(docs: DataFrame, text: str = "text") -> DataFrame:
         canon.alias("canon_fingerprint"),
         F.md5(F.col(text)).alias("exact_fingerprint"),
     )
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / lexical diversity / decontamination (round-2 surface)
+# ---------------------------------------------------------------------------
+
+# Engine-portable PII patterns: Java regex (Spark) and RE2 (DuckDB)
+# agree on \b, \d, {m,n} and alternation-free character classes —
+# deliberately no lookarounds (RE2 has none). Order matters: URLs
+# first (they can embed '@'), then emails, IPs, phones.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Redact emails / URLs / IPv4s / phone numbers with typed
+    placeholders — the standard pre-training privacy pass.
+
+    Pure ``regexp_replace`` chain: whole-stage codegen, no Python, and
+    the same patterns run verbatim in the DuckDB oracle (RE2-safe
+    subset). ``pii_found`` = 1 when anything was redacted, so the
+    downstream filter is a cheap integer predicate.
+    """
+    scrubbed = F.col(text)
+    for pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed_text"),
+        (F.col(text) != scrubbed).cast("long").alias("pii_found"),
+    )
+
+
+def lexical_diversity(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-doc lexical-diversity / repetition signals: type-token
+    ratio, top-token fraction (boilerplate/repetition detector), and
+    unigram entropy (low entropy ⇒ templated or repeated text).
+
+    Shape: explode tokens → (doc, token) counts → per-doc aggregate;
+    H = log2(n) − Σ c·log2(c)/n avoids materializing probabilities.
+    Both aggregates partial-combine map-side, so the shuffle carries
+    (doc_id, token) counts, never raw text.
+    """
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    tok = tokens_table(docs, text).select(
+        "doc_id", F.explode("toks").alias("tok")
+    )
+    per = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("d"),
+        F.max("c").alias("m"),
+        F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("d").cast("long").alias("n_distinct_tokens"),
+        F.round(F.col("d") / F.col("n"), 4).alias("ttr"),
+        F.round(F.col("m") / F.col("n"), 4).alias("top_token_frac"),
+        F.round(F.log2("n") - F.col("clogc") / F.col("n"), 4).alias(
+            "token_entropy"
+        ),
+    )
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 5,
+    text: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any n-token
+    shingle with an eval/benchmark doc → (doc_id, eval_doc_id) pairs.
+
+    The canonical pre-training hygiene op (strip test-set leakage).
+    Shape: both sides reduce to narrow (id, gram) posting relations;
+    the overlap is ONE equi-join on the gram — never doc×doc. The eval
+    side is typically tiny (benchmarks), so the join broadcasts it at
+    scale; fanout is bounded by shared-gram multiplicity, and the
+    distinct collapses multi-gram hits. Raise ``n`` to tighten (13 is
+    the common contamination shingle for web-scale corpora; 5 suits
+    the short synthetic docs here).
+    """
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table, word_ngrams
+
+    def grams(df: DataFrame, id_alias: str) -> DataFrame:
+        return tokens_table(df, text).select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(word_ngrams(F.col("toks"), n)).alias("gram"),
+        )
+
+    corpus_g = grams(corpus, "doc_id")
+    eval_g = grams(eval_docs, "eval_doc_id")
+    return (
+        corpus_g.join(eval_g, "gram")
+        .filter(F.col("doc_id") != F.col("eval_doc_id"))
+        .select("doc_id", "eval_doc_id")
+        .distinct()
+    )

@@ -948,6 +948,85 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+def _pii_scrub_sql_expr() -> str:
+    """Nested regexp_replace chain built from the SAME pattern table the
+    Spark operator uses (dataprep/text.py:PII_PATTERNS) — one source of
+    truth for the RE2/Java-portable pattern subset."""
+    from taxi_trips_etl_spark.dataprep.text import PII_PATTERNS
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return expr
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH s AS (SELECT doc_id, text, {_pii_scrub_sql_expr()} AS scrubbed_text
+               FROM documents)
+    SELECT doc_id, scrubbed_text,
+           CAST(text != scrubbed_text AS BIGINT) AS pii_found
+    FROM s
+    """,
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/URLs/IPs/phones → typed placeholders) —
+    the pre-training privacy pass, pure regexp_replace chain."""
+    return text.pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lexical_diversity",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    per AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    a AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m,
+                 sum(c * log2(CAST(c AS DOUBLE))) AS clogc
+          FROM per GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(d AS BIGINT) AS n_distinct_tokens,
+           round(CAST(d AS DOUBLE) / n, 4) AS ttr,
+           round(CAST(m AS DOUBLE) / n, 4) AS top_token_frac,
+           round(log2(CAST(n AS DOUBLE)) - clogc / n, 4) AS token_entropy
+    FROM a
+    """,
+)
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio, top-token fraction, unigram entropy — the
+    repetition/templated-text quality signals."""
+    return text.lexical_diversity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len({TOKS_SQL}) - 4),
+                   i -> concat_ws(' ', {TOKS_SQL}[i], {TOKS_SQL}[i+1],
+                                  {TOKS_SQL}[i+2], {TOKS_SQL}[i+3],
+                                  {TOKS_SQL}[i+4])))) AS gram
+        FROM documents
+        WHERE len({TOKS_SQL}) >= 5
+    ),
+    ev AS (SELECT doc_id AS eval_doc_id, gram FROM g WHERE doc_id % 20 = 0)
+    SELECT DISTINCT g.doc_id, ev.eval_doc_id
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id != ev.eval_doc_id
+    """,
+)
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a 5-token shingle
+    with the deterministic pseudo-eval slice (doc_id % 20 == 0) — the
+    test-set-leakage hygiene op, one gram equi-join, never doc×doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.ngram_decontaminate(
+        docs, docs.filter(F.col("doc_id") % 20 == 0)
+    )
+
+
 @register(
     "text_token_stats",
     f"""

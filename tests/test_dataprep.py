@@ -258,3 +258,62 @@ def test_bucket_cap_noop_on_normal_corpus(docs):
         ).collect()
     }
     assert jbase == jcapped and len(jbase) > 0
+
+
+def test_pii_scrub_redacts_each_kind(spark):
+    from taxi_trips_etl_spark.dataprep.text import pii_scrub
+
+    rows = [
+        (1, "contact me at jane.doe+spam@example.co.uk please"),
+        (2, "see https://example.com/a?b=c#frag for details"),
+        (3, "server at 192.168.0.1 and phone 555-867-5309 x"),
+        (4, "phone 555 867 5309 or 555.867.5309"),
+        (5, "nothing sensitive here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.scrubbed_text, r.pii_found) for r in pii_scrub(docs).collect()}
+    assert out[1] == ("contact me at <EMAIL> please", 1)
+    assert out[2] == ("see <URL> for details", 1)
+    assert out[3] == ("server at <IP> and phone <PHONE> x", 1)
+    assert out[4] == ("phone <PHONE> or <PHONE>", 1)
+    assert out[5] == ("nothing sensitive here", 0)
+
+
+def test_lexical_diversity_signals(spark):
+    import math
+
+    from taxi_trips_etl_spark.dataprep.text import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # 1 type / 4 tokens
+            (2, "all four words differ"),        # uniform: H = log2(4) = 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in lexical_diversity(docs).collect()}
+    assert out[1].n_tokens == 4 and out[1].n_distinct_tokens == 1
+    assert out[1].ttr == 0.25 and out[1].top_token_frac == 1.0
+    assert out[1].token_entropy == 0.0
+    assert out[2].ttr == 1.0 and out[2].top_token_frac == 0.25
+    assert math.isclose(out[2].token_entropy, 2.0)
+
+
+def test_ngram_decontaminate_flags_overlap_only(spark):
+    from taxi_trips_etl_spark.dataprep.text import ngram_decontaminate
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps too"),  # 5-gram hit
+            (2, "a completely different document with no overlap at all"),
+            (100, "the quick brown fox jumps over the lazy dog"),  # self: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.eval_doc_id)
+           for r in ngram_decontaminate(corpus, eval_docs).collect()}
+    assert got == {(1, 100)}
