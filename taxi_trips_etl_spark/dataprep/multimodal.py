@@ -136,3 +136,79 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_offset", "frame_hash"])
 
     return media.mapInPandas(kernel, "media_id long, frame_offset long, frame_hash string")
+
+
+def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
+    """REAL feature-extraction kernel (no codec required): per-payload
+    byte-value histogram (``byte >> 4`` → 16 buckets) via numpy over
+    Arrow batches — the shape every embedding/feature extractor follows.
+
+    Exact integer counts (no normalization) so the DuckDB oracle can
+    reproduce them bit-for-bit. At 100 TB only the (media_id, 16 ints)
+    rows ever shuffle; payloads stay in executor-local Arrow buffers.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            mats = [
+                np.bincount(
+                    np.frombuffer(bytes(b), dtype=np.uint8) >> 4,
+                    minlength=bins,
+                )[:bins]
+                if len(b)
+                else np.zeros(bins, dtype=np.int64)
+                for b in pdf["payload"]
+            ]
+            m = (
+                np.vstack(mats)
+                if mats
+                else np.zeros((0, bins), dtype=np.int64)
+            )
+            for i in range(bins):
+                out[f"c{i}"] = m[:, i].astype("int64")
+            yield out
+
+    schema = "media_id long, " + ", ".join(f"c{i} long" for i in range(bins))
+    return media.mapInPandas(kernel, schema)
+
+
+def resize_image(
+    media: DataFrame,
+    width: int = 32,
+    height: int = 32,
+    decoder: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
+    """Resize stage (STUB — no imaging libs in this container; same
+    contract as :func:`decode_image`: supply ``decoder=
+    fake_image_decoder`` for tests, swap a PIL kernel in production).
+
+    The Spark-side shape is real and is what matters: binary in, binary
+    out (``resized_payload``), fixed output dims, Arrow batches. The
+    fake path emits a deterministic width×height byte buffer cycled
+    from the source payload.
+    """
+    if decoder is None:
+        raise NotImplementedError(
+            "image resizing requires an imaging library not present in "
+            "this container; supply decoder=fake_image_decoder for tests"
+        )
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id"]].copy()
+            out["width"] = pd.Series([width] * len(pdf), index=pdf.index, dtype="int64")
+            out["height"] = pd.Series([height] * len(pdf), index=pdf.index, dtype="int64")
+            out["resized_payload"] = pdf["payload"].map(
+                lambda b: (bytes(b) * (target // max(len(b), 1) + 1))[:target]
+                if len(b)
+                else b"\x00" * target
+            )
+            yield out
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, width long, height long, resized_payload binary",
+    )

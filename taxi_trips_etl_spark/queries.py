@@ -125,7 +125,9 @@ _ORACLES: dict[str, str] = {}
 # first: names never seen in a CORRECTNESS_r{N}.json come before names
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
-# rows+schema+hash row; see CORRECTNESS_r01.json for round 1):
+# rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r02.json
+# into this map as (…, 2) so the rotation keeps cycling fairly:
 _VERIFIED_ROUNDS: dict[str, tuple[int, ...]] = {
     name: (1,)
     for name in (
@@ -1367,6 +1369,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_payload(_t(spark, sf_dir, "documents"))
     return multimodal.extract_meta(media)
+
+
+_FEATURE_COLS_SQL = ",\n           ".join(
+    f"CAST(COALESCE(sum(n) FILTER (WHERE bucket = {i}), 0) AS BIGINT) AS c{i}"
+    for i in range(16)
+)
+
+
+@register(
+    "multimodal_features",
+    f"""
+    WITH ch AS (SELECT doc_id AS media_id, unnest(string_split(text, '')) AS c
+                FROM documents WHERE length(text) > 0),
+    p AS (SELECT media_id, ord(c) // 16 AS bucket, count(*) AS n
+          FROM ch GROUP BY 1, 2)
+    SELECT media_id,
+           {_FEATURE_COLS_SQL}
+    FROM p GROUP BY media_id
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column
+    (byte-value histogram, 16 exact integer buckets) — the numpy
+    mapInPandas kernel vs a character-codepoint oracle (payloads here
+    are utf-8 of ASCII text, so bytes ≡ codepoints; a real image corpus
+    would be rows-only)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return multimodal.extract_features(multimodal.attach_payload(docs))
 
 
 # ===========================================================================

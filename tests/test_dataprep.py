@@ -317,3 +317,31 @@ def test_ngram_decontaminate_flags_overlap_only(spark):
     got = {(r.doc_id, r.eval_doc_id)
            for r in ngram_decontaminate(corpus, eval_docs).collect()}
     assert got == {(1, 100)}
+
+
+def test_extract_features_histogram_and_resize(spark):
+    from taxi_trips_etl_spark.dataprep.multimodal import (
+        attach_payload,
+        extract_features,
+        fake_image_decoder,
+        resize_image,
+    )
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "aaab"), (2, " ")], "doc_id long, text string"
+    )
+    media = attach_payload(docs)
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    # 'a'=0x61, 'b'=0x62 → bucket 6; ' '=0x20 → bucket 2
+    assert feats[1].c6 == 4 and sum(feats[1][f"c{i}"] for i in range(16)) == 4
+    assert feats[2].c2 == 1
+
+    with pytest.raises(NotImplementedError):
+        resize_image(media).collect()
+    rs = {r.media_id: r for r in
+          resize_image(media, 8, 4, decoder=fake_image_decoder).collect()}
+    assert rs[1].width == 8 and rs[1].height == 4
+    assert len(rs[1].resized_payload) == 32
+    assert bytes(rs[1].resized_payload[:4]) == b"aaab"  # cycled source
+    assert len(rs[2].resized_payload) == 32
