@@ -34,6 +34,12 @@ EXPECT = {
     "dedup_exact": ["HashAggregate"],
     "dedup_minhash_lsh": ["HashAggregate"],
     "flagship_most_populars": ["BroadcastHashJoin"],
+    "flagship_known_zones": ["BroadcastHashJoin"],
+    # Spark 4 formatted explain tags codegen stages as "codegen id : N".
+    "text_pii_scrub": ["codegen id"],
+    "text_lexical_diversity": ["HashAggregate"],
+    "corpus_decontaminate": ["HashAggregate"],
+    "multimodal_features": ["MapInPandas"],
 }
 
 FORBID = {
@@ -42,6 +48,17 @@ FORBID = {
     "most_populars_flat": ["BatchEvalPython", "ArrowEvalPython"],
     "dedup_minhash_lsh": ["BatchEvalPython", "ArrowEvalPython"],
     "text_quality_scores": ["BatchEvalPython", "ArrowEvalPython"],
+    "text_pii_scrub": ["BatchEvalPython", "ArrowEvalPython"],
+    "text_lexical_diversity": ["BatchEvalPython", "ArrowEvalPython"],
+    # Decontamination must stay a gram equi-join, never doc×doc.
+    "corpus_decontaminate": [
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+    ],
+    # The whole point of the approx variant: no global-sort window.
+    "window_distribution_approx": ["Window", "BatchEvalPython"],
 }
 
 
@@ -71,7 +88,7 @@ def main() -> None:
         for pat in FORBID.get(name, []):
             if re.search(pat, plan):
                 bad.append(f"{name}: forbidden {pat!r} present in plan")
-        n_codegen = len(re.findall(r"WholeStageCodegen", plan))
+        n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
         print(f"{name}: codegen_spans={n_codegen} "
               f"bcast={plan.count('BroadcastHashJoin')} "
               f"shuffles={plan.count('Exchange')}")
