@@ -4,6 +4,7 @@ from taxi_trips_etl_spark.dataprep import (
     corpus,
     dedup,
     multimodal,
+    packing,
     profile,
     sampling,
     similarity,
@@ -16,6 +17,7 @@ __all__ = [
     "corpus",
     "dedup",
     "multimodal",
+    "packing",
     "profile",
     "sampling",
     "similarity",

@@ -64,3 +64,49 @@ def train_test_split(
         "split",
         F.when(bucket < int(test_rate * _HASH_SPACE), "test").otherwise("train"),
     )
+
+
+def domain_mixture_sample(
+    df: DataFrame,
+    key: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-weighted domain rebalancing (the multilingual /
+    multi-source mixing rule: sample domain d with probability
+    ∝ n_d^alpha, alpha<1 upweights the tail).
+
+    Per-domain keep rate = min(1, target_total · w_d / n_d) where
+    w_d = n_d^alpha / Σ n_d^alpha; membership is content-hash based
+    (see module docstring) so the mixture is rerun- and
+    partition-stable.
+
+    Shape: one partial-agg shuffle for domain counts (result: #domains
+    rows), a broadcast of the rates back onto the fact table, and a
+    hash filter — no RNG, no global sort, no second scan. alpha=0.5
+    uses sqrt (IEEE correctly-rounded, so the oracle reproduces the
+    rates bit-for-bit; libm pow is not so guaranteed).
+    """
+    n = F.col("n_domain")
+    weight = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
+    counts = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n_domain")
+    )
+    totals = counts.agg(
+        F.sum("n_domain").alias("n_total"), F.sum(weight).alias("w_total")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(target_frac) * F.col("n_total") * weight / F.col("w_total") / n,
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        domain_col,
+        F.floor(rate * _HASH_SPACE).cast("long").alias("_threshold"),
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(_key_bucket(F.col(key), salt) < F.col("_threshold"))
+        .drop("_threshold")
+    )

@@ -307,3 +307,66 @@ def ngram_decontaminate(
         .select("doc_id", "eval_doc_id")
         .distinct()
     )
+
+
+def repetition_scores(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1):
+    per-doc top-bigram fraction and duplicate bigram/trigram fractions.
+    High values ⇒ templated/boilerplate text a pre-training filter
+    should drop.
+
+    Shape: non-distinct n-grams (repetition is the signal, so unlike
+    ``dedup.word_ngrams`` we keep duplicates) → explode → one
+    partial-agg shuffle on (doc_id, n, gram) → per-doc conditional
+    aggregate. Docs too short for a gram size keep zero fractions via
+    the left join, so the row count is stable.
+    """
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    toks = tokens_table(docs, text)
+
+    def grams(n: int) -> DataFrame:
+        idx = F.sequence(F.lit(0), F.size("toks") - n)
+        gram = lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
+        )
+        arr = F.when(
+            F.size("toks") >= n, F.transform(idx, gram)
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(
+            "doc_id", F.lit(n).alias("gram_n"), F.explode(arr).alias("gram")
+        )
+
+    counts = (
+        grams(2)
+        .unionAll(grams(3))
+        .groupBy("doc_id", "gram_n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = counts.groupBy("doc_id", "gram_n").agg(
+        F.sum("c").alias("n"),
+        F.max("c").alias("m"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup"),
+    )
+
+    def pick(n: int, col: str):
+        return F.max(F.when(F.col("gram_n") == n, F.col(col)))
+
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(pick(2, "n"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.coalesce(pick(2, "m") / pick(2, "n"), F.lit(0.0)), 4
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.coalesce(pick(2, "dup") / pick(2, "n"), F.lit(0.0)), 4
+            ).alias("dup_bigram_frac"),
+            F.coalesce(pick(3, "n"), F.lit(0)).cast("long").alias("n_trigrams"),
+            F.round(
+                F.coalesce(pick(3, "dup") / pick(3, "n"), F.lit(0.0)), 4
+            ).alias("dup_trigram_frac"),
+        )
+    )

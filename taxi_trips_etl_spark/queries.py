@@ -1030,6 +1030,104 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_scores",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    bi AS (SELECT doc_id, 2 AS gram_n,
+                  unnest(list_transform(generate_series(1, len(toks) - 1),
+                         i -> concat_ws(' ', toks[i], toks[i+1]))) AS gram
+           FROM t WHERE len(toks) >= 2),
+    tri AS (SELECT doc_id, 3 AS gram_n,
+                   unnest(list_transform(generate_series(1, len(toks) - 2),
+                          i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                       AS gram
+            FROM t WHERE len(toks) >= 3),
+    c AS (SELECT doc_id, gram_n, gram, count(*) AS c
+          FROM (SELECT * FROM bi UNION ALL SELECT * FROM tri) GROUP BY 1, 2, 3),
+    a AS (SELECT doc_id, gram_n, sum(c) AS n, max(c) AS m,
+                 sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+          FROM c GROUP BY 1, 2)
+    SELECT d.doc_id,
+           CAST(coalesce(max(CASE WHEN gram_n = 2 THEN n END), 0) AS BIGINT)
+               AS n_bigrams,
+           round(coalesce(CAST(max(CASE WHEN gram_n = 2 THEN m END) AS DOUBLE)
+                 / max(CASE WHEN gram_n = 2 THEN n END), 0), 4)
+               AS top_bigram_frac,
+           round(coalesce(CAST(max(CASE WHEN gram_n = 2 THEN dup END) AS DOUBLE)
+                 / max(CASE WHEN gram_n = 2 THEN n END), 0), 4)
+               AS dup_bigram_frac,
+           CAST(coalesce(max(CASE WHEN gram_n = 3 THEN n END), 0) AS BIGINT)
+               AS n_trigrams,
+           round(coalesce(CAST(max(CASE WHEN gram_n = 3 THEN dup END) AS DOUBLE)
+                 / max(CASE WHEN gram_n = 3 THEN n END), 0), 4)
+               AS dup_trigram_frac
+    FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def q_text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-bigram fraction and
+    duplicate bigram/trigram fractions per doc."""
+    return text.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH t AS (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT) AS n_tokens
+               FROM documents),
+    s AS (SELECT doc_id, n_tokens,
+                 CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS start_offset
+          FROM t)
+    SELECT doc_id, n_tokens, start_offset,
+           start_offset // 512 AS first_seq,
+           (start_offset + n_tokens - 1) // 512 AS last_seq,
+           (start_offset + n_tokens - 1) // 512 - start_offset // 512 + 1
+               AS n_seqs
+    FROM s
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split packing plan at seq_len=512. The oracle is
+    the naive global-window prefix sum; the Spark impl is the two-pass
+    bucketed equivalent (see dataprep/packing.py) — same numbers, no
+    single-partition window."""
+    from taxi_trips_etl_spark.dataprep.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "domain_mixture_sample",
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_domain
+               FROM documents GROUP BY 1),
+    s AS (SELECT sum(n_domain) AS n_total, sum(sqrt(n_domain)) AS w_total
+          FROM c),
+    r AS (SELECT c.source,
+                 CAST(floor(least(1.0, 0.5 * s.n_total * sqrt(c.n_domain)
+                                  / s.w_total / c.n_domain) * 4294967296.0)
+                      AS BIGINT) AS threshold
+          FROM c, s)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(concat('0x', substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 8)) AS BIGINT) < r.threshold
+    """,
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (alpha=0.5) domain rebalancing to ~50% of
+    the corpus, content-hash membership — the multi-source mixing op."""
+    from taxi_trips_etl_spark.dataprep.sampling import domain_mixture_sample
+
+    return domain_mixture_sample(
+        _t(spark, sf_dir, "documents"), key="doc_id", domain_col="source"
+    ).select("doc_id", "source")
+
+
+@register(
     "text_token_stats",
     f"""
     SELECT doc_id,

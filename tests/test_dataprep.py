@@ -345,3 +345,78 @@ def test_extract_features_histogram_and_resize(spark):
     assert len(rs[1].resized_payload) == 32
     assert bytes(rs[1].resized_payload[:4]) == b"aaab"  # cycled source
     assert len(rs[2].resized_payload) == 32
+
+
+def test_repetition_scores_flags_templated_text(spark):
+    from taxi_trips_etl_spark.dataprep.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham spam ham"),   # one bigram loop
+            (2, "alpha beta gamma delta epsilon zeta"),   # all unique
+            (3, "x"),                                     # too short for grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    assert len(rows) == 3
+    # doc 1: 7 bigrams, 'spam ham' x4 + 'ham spam' x3 — all duplicated.
+    assert rows[1]["n_bigrams"] == 7
+    assert rows[1]["top_bigram_frac"] == round(4 / 7, 4)
+    assert rows[1]["dup_bigram_frac"] == 1.0
+    assert rows[1]["dup_trigram_frac"] == 1.0
+    # doc 2: every gram unique.
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_bigram_frac"] == round(1 / 5, 4)
+    # doc 3: no grams at all — zeros, row retained.
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["dup_trigram_frac"] == 0.0
+
+
+def test_pack_sequences_offsets_and_bucket_invariance(spark):
+    from taxi_trips_etl_spark.dataprep.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, seq_len=8).collect()}
+    # Prefix property: start_offset is the sum of earlier docs' tokens.
+    acc = 0
+    for i in range(10):
+        assert out[i]["start_offset"] == acc
+        assert out[i]["n_tokens"] == 3 + i
+        assert out[i]["first_seq"] == acc // 8
+        assert out[i]["last_seq"] == (acc + 3 + i - 1) // 8
+        acc += 3 + i
+    # The two-pass plan must be invariant to bucket granularity.
+    tiny = pack_sequences(docs, seq_len=8, bucket_span=2).collect()
+    one = pack_sequences(docs, seq_len=8, bucket_span=10**6).collect()
+    assert sorted(map(tuple, tiny)) == sorted(map(tuple, one))
+
+
+def test_domain_mixture_upweights_tail(spark):
+    from taxi_trips_etl_spark.dataprep.sampling import domain_mixture_sample
+
+    rows = [(i, "big") for i in range(900)] + [
+        (900 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    kept = domain_mixture_sample(
+        df, key="doc_id", domain_col="domain", alpha=0.5, target_frac=0.5
+    )
+    by_dom = {
+        r["domain"]: r["n"]
+        for r in kept.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=0.5 weights: sqrt(900):sqrt(100) = 3:1 → rates 500*0.75/900
+    # ≈ 0.42 vs 500*0.25/100 = 1.0 (capped): the tail domain keeps a
+    # strictly higher fraction than the head domain.
+    assert by_dom["small"] / 100 > by_dom["big"] / 900
+    assert by_dom["small"] == 100  # rate capped at 1.0 → keeps everything
+    # Deterministic: rerun gives the identical membership.
+    again = domain_mixture_sample(
+        df, key="doc_id", domain_col="domain", alpha=0.5, target_frac=0.5
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )

@@ -40,6 +40,9 @@ EXPECT = {
     "text_lexical_diversity": ["HashAggregate"],
     "corpus_decontaminate": ["HashAggregate"],
     "multimodal_features": ["MapInPandas"],
+    "text_repetition_scores": ["HashAggregate"],
+    "pack_sequences": ["Window"],
+    "domain_mixture_sample": ["BroadcastHashJoin"],
 }
 
 FORBID = {
@@ -59,6 +62,11 @@ FORBID = {
     ],
     # The whole point of the approx variant: no global-sort window.
     "window_distribution_approx": ["Window", "BatchEvalPython"],
+    # Two-pass prefix sum: the window must be bucket-partitioned, never
+    # the single-partition global sort the naive plan would use.
+    "pack_sequences": ["SinglePartition", "BatchEvalPython"],
+    "text_repetition_scores": ["BatchEvalPython", "ArrowEvalPython"],
+    "domain_mixture_sample": ["SortMergeJoin", "BatchEvalPython"],
 }
 
 
