@@ -370,3 +370,69 @@ def repetition_scores(docs: DataFrame, text: str = "text") -> DataFrame:
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+def build_vocab(docs: DataFrame, vocab_size: int = 1000, text: str = "text") -> DataFrame:
+    """Tokenizer-prep vocabulary: global token counts → top-``vocab_size``
+    terms with dense ids → (token, token_id, n_occurrences).
+
+    Shape: explode → one partial-agg shuffle on token (hot tokens like
+    'the' are fine — partial combine collapses them map-side) →
+    ``TakeOrderedAndProject`` top-V (parallel per-partition top-k, no
+    global sort of the full term table) → row_number over the V
+    surviving rows only. Ties break lexicographically so ids are
+    deterministic across engines and reruns.
+    """
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    counts = (
+        tokens_table(docs, text)
+        .select(F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(
+        vocab_size
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return top.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        F.col("n_occurrences").cast("long"),
+    )
+
+
+def c4_quality_filter(docs: DataFrame, text: str = "text") -> DataFrame:
+    """C4-style rule gate (Raffel et al. 2020 §2.2, adapted to the
+    whitespace tokenizer): keep docs that pass ALL of
+      - >= 5 tokens and <= 10 000 tokens,
+      - mean token length in [2, 12] (drops symbol soup / DNA-like),
+      - < 30% of characters are non-alphanumeric-non-space,
+      - no token longer than 40 chars (URL/base64 blobs).
+    Emits per-rule booleans so the gate is auditable, plus the verdict.
+    Pure column expressions — codegen end to end, filter pushes to scan.
+    """
+    toks = tokens_col(text)
+    n_tokens = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_len = sum_len / n_tokens
+    n_chars = F.length(F.col(text))
+    n_weird = F.length(F.regexp_replace(F.col(text), "[a-zA-Z0-9 ]", ""))
+    max_tok = F.array_max(F.transform(toks, F.length))
+    rules = {
+        "ok_n_tokens": (n_tokens >= 5) & (n_tokens <= 10000),
+        "ok_mean_len": (mean_len >= 2) & (mean_len <= 12),
+        "ok_symbols": n_weird < n_chars * 0.3,
+        "ok_max_tok": max_tok <= 40,
+    }
+    out = docs.select(
+        "doc_id",
+        *[v.cast("long").alias(k) for k, v in rules.items()],
+    )
+    verdict = None
+    for k in rules:
+        c = F.col(k) == 1
+        verdict = c if verdict is None else (verdict & c)
+    return out.withColumn("keep", verdict.cast("long"))

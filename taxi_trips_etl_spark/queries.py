@@ -1128,6 +1128,57 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "build_vocab",
+    f"""
+    WITH tok AS (SELECT unnest({TOKS_SQL}) AS token FROM documents),
+    c AS (SELECT token, count(*) AS n_occurrences FROM tok GROUP BY 1),
+    top AS (SELECT token, n_occurrences FROM c
+            ORDER BY n_occurrences DESC, token ASC LIMIT 1000)
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) - 1
+                AS BIGINT) AS token_id,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM top
+    """,
+)
+def q_build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary: top-1000 terms by global count with
+    deterministic dense ids (parallel top-k, no global term sort)."""
+    return text.build_vocab(_t(spark, sf_dir, "documents"), vocab_size=1000)
+
+
+@register(
+    "c4_quality_filter",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_tokens,
+                 CAST(list_sum(list_transform(toks, w -> length(w)))
+                      AS DOUBLE) / len(toks) AS mean_len,
+                 length(text) AS n_chars,
+                 length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                     AS n_weird,
+                 list_max(list_transform(toks, w -> length(w))) AS max_tok
+          FROM t)
+    SELECT doc_id,
+           CAST(n_tokens >= 5 AND n_tokens <= 10000 AS BIGINT) AS ok_n_tokens,
+           CAST(mean_len >= 2 AND mean_len <= 12 AS BIGINT) AS ok_mean_len,
+           CAST(n_weird < n_chars * 0.3 AS BIGINT) AS ok_symbols,
+           CAST(max_tok <= 40 AS BIGINT) AS ok_max_tok,
+           CAST(n_tokens >= 5 AND n_tokens <= 10000
+                AND mean_len >= 2 AND mean_len <= 12
+                AND n_weird < n_chars * 0.3 AND max_tok <= 40 AS BIGINT)
+               AS keep
+    FROM m
+    """,
+)
+def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style rule gate with auditable per-rule booleans — the
+    cheap pre-filter ahead of dedup/scoring in a corpus pipeline."""
+    return text.c4_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "text_token_stats",
     f"""
     SELECT doc_id,

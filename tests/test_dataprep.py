@@ -420,3 +420,30 @@ def test_domain_mixture_upweights_tail(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_build_vocab_ids_and_ranking(spark):
+    docs = spark.createDataFrame(
+        [(1, "b a a c a b"), (2, "a b d")], "doc_id long, text string"
+    )
+    rows = text.build_vocab(docs, vocab_size=3).collect()
+    got = [(r["token"], r["token_id"], r["n_occurrences"]) for r in rows]
+    # a:4, b:3, then c/d tie at 1 → lexicographic 'c' wins the last slot.
+    assert sorted(got, key=lambda t: t[1]) == [("a", 0, 4), ("b", 1, 3), ("c", 2, 1)]
+
+
+def test_c4_quality_filter_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # clean
+            (2, "a b"),                                          # too short
+            (3, "ok ok ok ok ok " + "x" * 60),                   # long blob token
+            (4, "$$$ %%% ### @@@ !!! ^^^"),                      # symbol soup
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.c4_quality_filter(docs).collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[2]["keep"] == 0 and rows[2]["ok_n_tokens"] == 0
+    assert rows[3]["keep"] == 0 and rows[3]["ok_max_tok"] == 0
+    assert rows[4]["keep"] == 0 and rows[4]["ok_symbols"] == 0
