@@ -402,3 +402,43 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_incremental(
+    corpus_docs: DataFrame,
+    new_docs: DataFrame,
+    text: str = "text",
+) -> DataFrame:
+    """Delta dedup: candidate pairs touching the NEW batch only —
+    (new × corpus) ∪ (new × new), never corpus × corpus.
+
+    How dedup actually runs at 100 TB: the corpus's band table is a
+    persisted index (append-only parquet, partitioned by band_id);
+    each ingest batch hashes ONLY its own docs and equi-joins its
+    bands against the index. Cost scales with |batch| × collision
+    rate, not |corpus|² — re-pairing the full corpus every ingest is
+    the scale-killer this shape exists to avoid. Output columns match
+    :func:`minhash_lsh_candidates`, with ``doc_id_a < doc_id_b``;
+    pairs already known inside the old corpus never re-emit, so
+    downstream canonicalization is a pure merge.
+    """
+    new_b = lsh_bands(minhash_signature(new_docs, text))
+    all_b = lsh_bands(
+        minhash_signature(corpus_docs, text)
+    ).unionByName(new_b)
+    # Orient each pair (a < b) and keep those with ≥1 end in the batch;
+    # the join probes the new side only, so the index side streams.
+    return (
+        new_b.alias("n")
+        .join(
+            all_b.alias("c"),
+            (F.col("n.band_id") == F.col("c.band_id"))
+            & (F.col("n.band_key") == F.col("c.band_key"))
+            & (F.col("n.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.least("n.doc_id", "c.doc_id").alias("doc_id_a"),
+            F.greatest("n.doc_id", "c.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )

@@ -807,6 +807,30 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "dedup_minhash_incremental",
+    f"""
+    WITH shingled AS ({GRAMS_SQL}),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shingled),
+    bands AS ({_MINHASH_BANDS_SQL}),
+    nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0)
+    SELECT DISTINCT least(n.doc_id, c.doc_id) AS doc_id_a,
+           greatest(n.doc_id, c.doc_id) AS doc_id_b
+    FROM nb n JOIN bands c
+      ON n.band_id = c.band_id AND n.band_key = c.band_key
+     AND n.doc_id != c.doc_id
+    """,
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta dedup: the doc_id%10==0 slice is the ingest batch; pairs
+    touch the batch only — corpus×corpus is never re-paired."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_incremental(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
 def _simhash_fp_sql() -> str:
     bit_terms = " + ".join(
         f"""CASE WHEN list_sum(list_transform(hs,

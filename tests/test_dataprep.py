@@ -447,3 +447,27 @@ def test_c4_quality_filter_rules(spark):
     assert rows[2]["keep"] == 0 and rows[2]["ok_n_tokens"] == 0
     assert rows[3]["keep"] == 0 and rows[3]["ok_max_tok"] == 0
     assert rows[4]["keep"] == 0 and rows[4]["ok_symbols"] == 0
+
+
+def test_minhash_incremental_touches_batch_only(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again today"),
+            (2, "the quick brown fox jumps over the lazy dog again today"),
+            (10, "the quick brown fox jumps over the lazy dog again today"),
+            (11, "completely different words about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") < 10)
+    batch = docs.filter(F.col("doc_id") >= 10)
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup.minhash_lsh_incremental(corpus, batch).collect()
+    }
+    # Duplicate trio is 1,2,10: batch doc 10 pairs with both corpus
+    # docs, but the corpus-internal pair (1,2) must NOT re-emit.
+    assert (1, 10) in pairs and (2, 10) in pairs
+    assert (1, 2) not in pairs
+    # Every pair touches the batch.
+    assert all(a >= 10 or b >= 10 for a, b in pairs)
