@@ -69,3 +69,34 @@ def route_struct(pickup_cell: Column, dropoff_cell: Column) -> Column:
         pickup_cell.alias("pickup_hexagons"),
         dropoff_cell.alias("dropoff_hexagons"),
     ).alias("route")
+
+
+def zorder_key_sql(x: str, y: str, bits: int = 16, dialect: str = "spark") -> str:
+    """SQL text for the Z-order (Morton) key interleaving ``bits`` low
+    bits of two non-negative integer expressions.
+
+    One generator serves both engines (dialect picks the shift
+    spelling: Spark's ``shiftright`` vs DuckDB's ``>>``), so the
+    DuckDB oracle checks the exact expression Spark runs.
+
+    Z-ordering is the multi-column data-skipping layout: sort by the
+    interleaved key and BOTH columns' min/max row-group stats stay
+    tight, so predicates on either column (or both) prune — a plain
+    lexicographic sort only skips on its leading column.
+    """
+    shift = (
+        (lambda e, i: f"shiftright({e}, {i})")
+        if dialect == "spark"
+        else (lambda e, i: f"({e} >> {i})")
+    )
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({shift(x, i)} & 1) * {1 << (2 * i)})")
+        terms.append(f"(({shift(y, i)} & 1) * {1 << (2 * i + 1)})")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def zorder_key(x: str, y: str, bits: int = 16) -> Column:
+    """Column form of :func:`zorder_key_sql` for
+    ``df.repartitionByRange``/``sortWithinPartitions`` layouts."""
+    return F.expr(zorder_key_sql(x, y, bits, dialect="spark"))

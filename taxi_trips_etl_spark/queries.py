@@ -1202,6 +1202,26 @@ def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.c4_quality_filter(_t(spark, sf_dir, "documents"))
 
 
+def _zorder_oracle() -> str:
+    from taxi_trips_etl_spark.functions.scalar import zorder_key_sql
+
+    zk = zorder_key_sql("(c_custkey % 256)", "c_nationkey", 8, "duckdb")
+    return f"SELECT c_custkey, {zk} AS zkey FROM customer"
+
+
+@register("zorder_key_customers", _zorder_oracle())
+def q_zorder_key_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key: bit-interleave two columns so a
+    range sort keeps BOTH columns' row-group stats tight (multi-column
+    data skipping). One SQL generator serves Spark and the oracle."""
+    from taxi_trips_etl_spark.functions.scalar import zorder_key
+
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        zorder_key("(c_custkey % 256)", "c_nationkey", 8).alias("zkey"),
+    )
+
+
 @register(
     "text_token_stats",
     f"""

@@ -67,3 +67,59 @@ def write_partitioned_by_run_date(df: DataFrame, path: str, ds: str) -> None:
         .partitionBy("run_date")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet table into
+    ceil(bytes/target) files. Returns the output file count.
+
+    The 100 TB hygiene op: streaming ingests and per-day appends leave
+    thousands of KB-sized files; every downstream scan then pays one
+    task + one open per file, and the NameNode/listing cost grows
+    unbounded. Repartition to the byte-derived count (never
+    ``coalesce(1)`` — that serializes the write through one task) and
+    atomically swap via a temp-dir rename.
+    """
+    import math
+    import os
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    spark.read.parquet(path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
+def write_sorted_for_skipping(
+    df: DataFrame, path: str, sort_cols: list[str], files: int | None = None
+) -> None:
+    """Write parquet laid out for row-group min/max skipping: range-
+    partition by ``sort_cols`` then sort within partitions, so each
+    file/row-group covers a narrow, non-overlapping value range.
+
+    A filter like ``ts BETWEEN x AND y`` then prunes at THREE levels —
+    partition files (via their stats), row groups, and pages — instead
+    of scanning everything. At 100 TB this is the difference between
+    reading 100 TB and reading the 2 GB the predicate touches.
+    ``repartitionByRange`` samples the keys, so skew (a hot day) maps
+    to more files rather than one fat file.
+    """
+    cols = [F.col(c) for c in sort_cols]
+    part = (
+        df.repartitionByRange(files, *cols)
+        if files
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

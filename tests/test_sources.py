@@ -141,3 +141,48 @@ def test_events_nanos_reader(spark, sf_dir):
     ev = _events(spark, sf_dir)
     assert dict(ev.dtypes)["ts"] == "timestamp"
     assert ev.filter(F.col("ts").isNull()).count() == 0
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    from taxi_trips_etl_spark.sources.writers import compact_small_files
+
+    path = str(tmp_path / "frag")
+    spark.range(10000).repartition(64).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(f"{path}/*.parquet")) == 64
+    n_files = compact_small_files(spark, path, target_file_bytes=10**9)
+    assert n_files == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 10000
+
+
+def test_write_sorted_for_skipping_disjoint_ranges(spark, tmp_path):
+    from taxi_trips_etl_spark.sources.writers import write_sorted_for_skipping
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(20000).selectExpr("id", "id % 7919 AS k")
+    write_sorted_for_skipping(df, path, ["k"], files=4)
+
+    # Row-group stats must cover narrow, non-overlapping k ranges —
+    # that's what makes min/max skipping effective.
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = [c for c in range(md.num_columns)
+               if md.row_group(0).column(c).path_in_schema == "k"][0]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint (range-partitioned) files
+    assert spark.read.parquet(path).count() == 20000
