@@ -1202,6 +1202,118 @@ def q_c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.c4_quality_filter(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "tpch_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_base_price_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                               * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT)
+               AS sum_charge_e6,
+           round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / count(*), 4) AS avg_qty,
+           round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 / count(*), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan → pushed filter → one partial-agg shuffle
+    of (flag, status) — 6 groups regardless of input size. Money terms
+    are rounded to exact integers per row BEFORE summing (float sums
+    are partition-order-dependent; integer sums are portable and
+    exact — see plans/models.py daily metrics for the same rule)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    qty = F.round("l_quantity").cast("long")
+    base = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_price = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    charge = F.round(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * 1000000
+    ).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        F.sum(base).alias("sum_base_price_cents"),
+        F.sum(disc_price).alias("sum_disc_price_e4"),
+        F.sum(charge).alias("sum_charge_e6"),
+        F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_qty"
+        ),
+        F.round(
+            F.sum(disc).cast("double") / 100 / F.count(F.lit(1)), 4
+        ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "tpch_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue_e4 DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: the segment-filtered customer dim broadcasts
+    into orders, the filtered join keys on l_orderkey, revenue partial-
+    aggs, and top-10 runs as TakeOrderedAndProject — no global sort.
+    The deterministic l_orderkey tie-break keeps the LIMIT stable
+    across engines and partitionings."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate")
+        < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(
+            F.broadcast(c).join(o, c["c_custkey"] == o["o_custkey"]).select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select("l_orderkey", "revenue_e4", "o_orderdate")
+        .orderBy(
+            F.desc("revenue_e4"), F.asc("o_orderdate"), F.asc("l_orderkey")
+        )
+        .limit(10)
+    )
+
+
 def _zorder_oracle() -> str:
     from taxi_trips_etl_spark.functions.scalar import zorder_key_sql
 
