@@ -43,6 +43,8 @@ EXPECT = {
     "text_repetition_scores": ["HashAggregate"],
     "pack_sequences": ["Window"],
     "domain_mixture_sample": ["BroadcastHashJoin"],
+    "tpch_pricing_summary": ["HashAggregate"],
+    "tpch_shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
 }
 
 FORBID = {
@@ -67,6 +69,8 @@ FORBID = {
     "pack_sequences": ["SinglePartition", "BatchEvalPython"],
     "text_repetition_scores": ["BatchEvalPython", "ArrowEvalPython"],
     "domain_mixture_sample": ["SortMergeJoin", "BatchEvalPython"],
+    "tpch_pricing_summary": ["BatchEvalPython", "Exchange rangepartitioning"],
+    "tpch_shipping_priority": ["CartesianProduct", "Exchange rangepartitioning"],
 }
 
 
