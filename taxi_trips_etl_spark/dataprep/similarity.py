@@ -360,3 +360,125 @@ def cosine_topk_lsh(
             F.col("knn_rank").cast("long").alias("knn_rank"),
         )
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    k: int = 3,
+    query_ids_below: int = 10,
+    sample_n: int = 512,
+    train_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-Quantization ANN (Jégou et al. 2011): compress each
+    vector to ``m`` sub-codes (one byte-ish each), score queries by
+    asymmetric distance (ADC) — summed table lookups, never touching
+    the raw corpus vectors.
+
+    Why this is THE 100 TB ANN shape: a d=768 float corpus is ~3 KB/
+    vector; PQ codes at m=8 are 8 bytes — a 384× scan-size reduction,
+    so the candidate scan streams codes, not vectors. Training reads a
+    bounded deterministic sample (lowest ``sample_n`` ids — standard
+    practice: codebooks train on a sample, driver-side numpy, exact
+    Lloyd's); encoding is ONE narrow projection per corpus row against
+    literal codebooks (same inlined-centroid trick as
+    clustering.kmeans_assign — no join, no shuffle); each query's ADC
+    lookup table is m×ksub doubles, broadcast as literals.
+
+    Returns (query_id, neighbor_id, approx_sq_dist, knn_rank) — ranked
+    by the PQ-approximated squared L2 distance. Exact re-rank of the
+    shortlist (as in IVF) composes downstream if needed.
+    """
+    import numpy as np
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    sample = np.array(
+        [r["v"] for r in vecs.orderBy(id_col).limit(sample_n).collect()],
+        dtype=np.float64,
+    )
+    d = sample.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ds = d // m
+
+    # Driver-side exact Lloyd's per subspace (bounded: sample_n × d).
+    books: list[np.ndarray] = []
+    for s in range(m):
+        X = sample[:, s * ds : (s + 1) * ds]
+        C = X[:ksub].copy()
+        for _ in range(train_iters):
+            dist = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = dist.argmin(1)
+            for j in range(ksub):
+                if (assign == j).any():
+                    C[j] = X[assign == j].mean(0)
+        books.append(C)
+
+    def _sub(col, s):
+        return F.slice(col, s * ds + 1, ds)
+
+    def _sqd(sub_col, cent_row):
+        pairs = F.zip_with(
+            sub_col,
+            F.array(*[F.lit(float(x)) for x in cent_row]),
+            lambda a, b: (a - b) * (a - b),
+        )
+        return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+    # Encode: per subspace, argmin over ksub literal centroids.
+    code_cols = []
+    for s in range(m):
+        dists = F.array(*[_sqd(_sub(F.col("v"), s), books[s][j]) for j in range(ksub)])
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias(f"c{s}")
+        )
+    codes = vecs.select(id_col, *code_cols)
+
+    # Queries: ADC lookup tables computed driver-side (tiny), applied
+    # as literal-array lookups over the code table.
+    queries = [
+        (r[id_col], np.array(r["v"]))
+        for r in vecs.filter(F.col(id_col) < query_ids_below).collect()
+    ]
+    per_query = []
+    for qid, qv in queries:
+        luts = [
+            [float(((qv[s * ds : (s + 1) * ds] - books[s][j]) ** 2).sum()) for j in range(ksub)]
+            for s in range(m)
+        ]
+        score = None
+        for s in range(m):
+            term = F.element_at(
+                F.array(*[F.lit(x) for x in luts[s]]), F.col(f"c{s}") + 1
+            )
+            score = term if score is None else score + term
+        per_query.append(
+            codes.filter(F.col(id_col) != qid).select(
+                F.lit(qid).cast("long").alias("query_id"),
+                F.col(id_col).alias("neighbor_id"),
+                score.alias("approx_sq_dist"),
+            )
+        )
+    scored = per_query[0]
+    for df in per_query[1:]:
+        scored = scored.unionByName(df)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("approx_sq_dist", 6).alias("approx_sq_dist"),
+            F.col("knn_rank").cast("long").alias("knn_rank"),
+        )
+    )

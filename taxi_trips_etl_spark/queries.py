@@ -2574,6 +2574,19 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@register("similarity_pq_topk")  # rows-only: numpy codebook training
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN: 8-byte codes + ADC lookup scoring —
+    the compressed-scan ANN shape for 100 TB corpora. Codebooks train
+    on a deterministic sample (driver numpy Lloyd's), hence no SQL
+    oracle; recall and Spark≡numpy ADC equality are pytest-verified."""
+    from taxi_trips_etl_spark.dataprep.similarity import pq_topk
+
+    return pq_topk(
+        _t(spark, sf_dir, "embeddings"), m=8, ksub=16, k=3, query_ids_below=5
+    )
+
+
 @register("embedding_kmeans")  # rows-only: iterative algorithm (driver loop)
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DataFrame k-means over the embeddings table —

@@ -96,3 +96,60 @@ def test_kmeans_budget_exhausted_assignment_matches_final_centroids(spark):
     assert out[10][0] == out[11][0]
     assert out[0][0] == out[1][0]
     assert out[0][0] != out[10][0]
+
+
+def test_pq_topk_finds_cluster_neighbors(spark):
+    """On clustered data PQ must rank same-cluster vectors on top.
+    (The synthetic embeddings table is near-uniform random — there even
+    exact search finds neighbors barely closer than random points, so
+    recall is tested on data with actual neighborhood structure.)"""
+    import numpy as np
+
+    from taxi_trips_etl_spark.dataprep.similarity import pq_topk
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 64) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, (centers[c] + rng.randn(64) * 0.1).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = pq_topk(emb, m=8, ksub=16, k=3, query_ids_below=4)
+    by_q = {}
+    for r in out.collect():
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, neighbors in by_q.items():
+        # every retrieved neighbor belongs to the query's cluster
+        assert all(n % 4 == q % 4 for n in neighbors), (q, neighbors)
+
+
+def test_pq_adc_tracks_true_distance(spark, sf_dir):
+    """On the (unstructured) embeddings table the ADC approximation
+    must still correlate with true squared L2 — the guarantee PQ gives
+    when cluster structure is absent."""
+    import numpy as np
+
+    from taxi_trips_etl_spark.dataprep.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_topk(emb, m=8, ksub=16, k=499, query_ids_below=1).collect()
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    qv = data[0]
+    approx, true = [], []
+    for r in out:
+        approx.append(r["approx_sq_dist"])
+        true.append(((data[r["neighbor_id"]] - qv) ** 2).sum())
+    corr = np.corrcoef(approx, true)[0, 1]
+    assert corr > 0.5, f"ADC/true correlation too weak: {corr:.3f}"
+
+
+def test_pq_determinism(spark, sf_dir):
+    from taxi_trips_etl_spark.dataprep.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = sorted(map(tuple, pq_topk(emb, query_ids_below=3).collect()))
+    b = sorted(map(tuple, pq_topk(emb, query_ids_below=3).collect()))
+    assert a == b
