@@ -169,15 +169,21 @@ def register(name: str, oracle: str | None = None):
 def _rotation_order() -> list[str]:
     """Registry names, least-recently-driver-verified first.
 
-    Sort key: (last round the name was green, registration index) — so
-    never-verified names (last round 0) lead, then round-1-only names,
-    etc. Registration order is preserved within each group, keeping the
-    rotation deterministic round-over-round.
+    Sort key: (last round the name was green, rows-only?, registration
+    index) — never-verified names (last round 0) lead, then round-1-only
+    names, etc. Within a group, oracle-bearing entries precede rows-only
+    ones (a hash row is worth more than a rows-only row when the
+    driver's ~50-entry budget runs out), then registration order keeps
+    the rotation deterministic round-over-round.
     """
     names = list(_QUERIES)
     return sorted(
         names,
-        key=lambda n: (max(_VERIFIED_ROUNDS.get(n, (0,))), names.index(n)),
+        key=lambda n: (
+            max(_VERIFIED_ROUNDS.get(n, (0,))),
+            0 if n in _ORACLES else 1,
+            names.index(n),
+        ),
     )
 
 
