@@ -447,8 +447,7 @@ def pq_topk(
         (r[id_col], np.array(r["v"]))
         for r in vecs.filter(F.col(id_col) < query_ids_below).collect()
     ]
-    per_query = []
-    for qid, qv in queries:
+    def _adc(qid: int, qv) -> "F.Column":
         luts = [
             [float(((qv[s * ds : (s + 1) * ds] - books[s][j]) ** 2).sum()) for j in range(ksub)]
             for s in range(m)
@@ -459,16 +458,24 @@ def pq_topk(
                 F.array(*[F.lit(x) for x in luts[s]]), F.col(f"c{s}") + 1
             )
             score = term if score is None else score + term
-        per_query.append(
-            codes.filter(F.col(id_col) != qid).select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col(id_col).alias("neighbor_id"),
-                score.alias("approx_sq_dist"),
-            )
+        return F.struct(
+            F.lit(qid).cast("long").alias("query_id"),
+            score.alias("approx_sq_dist"),
         )
-    scored = per_query[0]
-    for df in per_query[1:]:
-        scored = scored.unionByName(df)
+
+    # All queries score in ONE pass over the code table: the per-query
+    # ADC structs explode from a single projection — the corpus is
+    # scanned once, not once per query.
+    scored = (
+        codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.explode(
+                F.array(*[_adc(qid, qv) for qid, qv in queries])
+            ).alias("q"),
+        )
+        .select("q.query_id", "neighbor_id", "q.approx_sq_dist")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_sq_dist").asc(), F.col("neighbor_id")
     )

@@ -97,3 +97,23 @@ def read_day_batch(
     if fmt == "csv":
         return read_csv(spark, path, schema)
     raise ValueError(f"unsupported format: {fmt}")
+
+
+def read_jsonl(spark, path: str, schema=None):
+    """JSONL corpus reader — the interchange format document corpora
+    actually arrive in. An explicit schema skips Spark's whole-file
+    inference scan (at 100 TB, inference reads everything twice);
+    `columnNameOfCorruptRecord` quarantines bad lines instead of
+    failing the ingest.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt"
+    ).json(path)
+
+
+def write_jsonl(df, path: str) -> None:
+    """JSONL writer (one object per line, parallel part files)."""
+    df.write.mode("overwrite").json(path)

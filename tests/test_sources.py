@@ -186,3 +186,29 @@ def test_write_sorted_for_skipping_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint (range-partitioned) files
     assert spark.read.parquet(path).count() == 20000
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from taxi_trips_etl_spark.sources.readers import read_jsonl, write_jsonl
+
+    path = str(tmp_path / "docs_jsonl")
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, 'quotes "inside" text')],
+        "doc_id long, text string",
+    )
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema="doc_id long, text string")
+    assert {tuple(r) for r in back.collect()} == {
+        (1, "hello world"),
+        (2, 'quotes "inside" text'),
+    }
+
+    # Corrupt line lands in _corrupt, not an ingest failure.
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"doc_id": 3, "text": "ok"}\nnot json at all\n')
+    got = read_jsonl(
+        spark, str(bad), schema="doc_id long, text string, _corrupt string"
+    ).collect()
+    assert len(got) == 2
+    assert {r["doc_id"] for r in got} == {3, None}
+    assert any(r["_corrupt"] == "not json at all" for r in got)
