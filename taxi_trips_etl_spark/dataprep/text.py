@@ -436,3 +436,75 @@ def c4_quality_filter(docs: DataFrame, text: str = "text") -> DataFrame:
         c = F.col(k) == 1
         verdict = c if verdict is None else (verdict & c)
     return out.withColumn("keep", verdict.cast("long"))
+
+
+def tokenize_with_vocab(
+    docs: DataFrame, vocab: DataFrame, text: str = "text"
+) -> DataFrame:
+    """Apply a vocabulary (from :func:`build_vocab`) to the corpus →
+    per-doc id sequences. OOV tokens map to -1 (the unk id).
+
+    The distributed tokenizer-apply shape: posexplode tokens →
+    broadcast-join the vocab (it's top-V rows — always broadcastable)
+    → reassemble in position order with one groupBy. Emits the id
+    sequence as a space-joined string plus counts; the shuffle carries
+    (doc_id, pos, id) ints, never text.
+    """
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    pos = tokens_table(docs, text).select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    )
+    joined = pos.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(-1)).cast("long").alias("tid"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "tid"))
+            ).alias("_a"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("tid") == -1).cast("long")).alias("n_unk"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("_a", lambda s: s["tid"].cast("string")), " "
+            ).alias("token_ids"),
+            F.col("n_tokens").cast("long"),
+            F.col("n_unk").cast("long"),
+        )
+    )
+
+
+def dedup_stats_by_source(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Dedup observability: per source, doc count, distinct-text count,
+    and duplicate rate — the dashboard numbers a corpus pipeline
+    watches to catch a crawler re-ingesting a domain.
+
+    Two partial-agg passes over (source, md5) — text never shuffles.
+    """
+    per_text = docs.groupBy(
+        "source", F.md5(F.col(text)).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_text.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_unique_texts"),
+            F.sum(F.col("c") - 1).alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("n_unique_texts").cast("long"),
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 4).alias(
+                "dup_rate"
+            ),
+        )
+    )

@@ -1320,6 +1320,58 @@ def q_tpch_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tokenize_with_vocab",
+    f"""
+    WITH tok0 AS (SELECT unnest({TOKS_SQL}) AS token FROM documents),
+    cnt AS (SELECT token, count(*) AS n FROM tok0 GROUP BY 1),
+    vocab AS (SELECT token,
+                     CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1
+                          AS BIGINT) AS token_id
+              FROM (SELECT token, n FROM cnt
+                    ORDER BY n DESC, token ASC LIMIT 1000)),
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    flat AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks)),
+                           i -> {{'pos': i, 'tok': toks[i]}})) AS u
+             FROM t),
+    f AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM flat),
+    j AS (SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS tid
+          FROM f LEFT JOIN vocab v USING (token))
+    SELECT doc_id,
+           string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_ids,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer apply: build_vocab's top-1000 vocabulary broadcast
+    onto posexploded tokens, reassembled in position order — id
+    sequences ready for packing; OOV → -1."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.tokenize_with_vocab(
+        docs, text.build_vocab(docs, vocab_size=1000)
+    )
+
+
+@register(
+    "dedup_stats_by_source",
+    """
+    WITH per AS (SELECT source, md5(text) AS h, count(*) AS c
+                 FROM documents GROUP BY 1, 2)
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_unique_texts,
+           round(CAST(sum(c - 1) AS DOUBLE) / sum(c), 4) AS dup_rate
+    FROM per GROUP BY source
+    """,
+)
+def q_dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability per source — doc counts, distinct texts,
+    duplicate rate (crawler re-ingest detector)."""
+    return text.dedup_stats_by_source(_t(spark, sf_dir, "documents"))
+
+
 def _zorder_oracle() -> str:
     from taxi_trips_etl_spark.functions.scalar import zorder_key_sql
 

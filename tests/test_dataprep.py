@@ -471,3 +471,29 @@ def test_minhash_incremental_touches_batch_only(spark):
     assert (1, 2) not in pairs
     # Every pair touches the batch.
     assert all(a >= 10 or b >= 10 for a, b in pairs)
+
+
+def test_tokenize_with_vocab_ids_and_oov(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a zzz"), (2, "b b b")], "doc_id long, text string"
+    )
+    vocab = text.build_vocab(docs, vocab_size=2)  # keeps b(4), a(2)
+    rows = {r["doc_id"]: r for r in
+            text.tokenize_with_vocab(docs, vocab).collect()}
+    # b -> 0, a -> 1, zzz OOV -> -1
+    assert rows[1]["token_ids"] == "1 0 1 -1"
+    assert rows[1]["n_unk"] == 1 and rows[1]["n_tokens"] == 4
+    assert rows[2]["token_ids"] == "0 0 0" and rows[2]["n_unk"] == 0
+
+
+def test_dedup_stats_by_source(spark):
+    docs = spark.createDataFrame(
+        [(1, "x", "s1"), (2, "x", "s1"), (3, "y", "s1"), (4, "z", "s2")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in
+            text.dedup_stats_by_source(docs).collect()}
+    assert rows["s1"]["n_docs"] == 3
+    assert rows["s1"]["n_unique_texts"] == 2
+    assert rows["s1"]["dup_rate"] == round(1 / 3, 4)
+    assert rows["s2"]["dup_rate"] == 0.0
