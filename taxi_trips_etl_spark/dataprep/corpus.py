@@ -60,3 +60,73 @@ def prepare_corpus(
         "chunk_tokens",
         "split",
     )
+
+
+def prepare_corpus_v2(
+    docs: DataFrame,
+    vocab_size: int = 500,
+    seq_len: int = 128,
+    test_rate: float = 0.2,
+) -> DataFrame:
+    """The modern pre-training recipe, composed end to end as ONE lazy
+    plan: C4 rule gate → PII scrub → exact dedup (on scrubbed text) →
+    benchmark decontamination (the doc_id%20==0 slice acts as the eval
+    set and is excluded from the corpus) → vocabulary build → tokenize
+    → sequence packing → leak-proof hash split.
+
+    → (doc_id, token_ids, n_tokens, n_unk, start_offset, first_seq,
+       last_seq, n_seqs, split)
+
+    Composition is the point: every stage is an operator from this
+    repo, filters prune before the expensive joins, the vocab is built
+    on the SURVIVING corpus (no leakage of dropped/eval text into the
+    token space), and packing runs on the final doc set so offsets are
+    dense. One Catalyst plan — nothing materializes between stages.
+    """
+    from taxi_trips_etl_spark.dataprep.packing import pack_sequences
+    from taxi_trips_etl_spark.dataprep.text import (
+        build_vocab,
+        c4_quality_filter,
+        ngram_decontaminate,
+        pii_scrub,
+        tokenize_with_vocab,
+    )
+
+    gated = docs.join(
+        c4_quality_filter(docs).filter(F.col("keep") == 1).select("doc_id"),
+        "doc_id",
+    )
+    scrubbed = gated.drop("text").join(
+        pii_scrub(gated).select(
+            "doc_id", F.col("scrubbed_text").alias("text")
+        ),
+        "doc_id",
+    )
+    canon = exact_duplicates(scrubbed).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    kept2 = scrubbed.join(canon, "doc_id").filter(
+        F.col("doc_id") % 20 != 0
+    )
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    contaminated = (
+        ngram_decontaminate(kept2, eval_docs, n=5)
+        .select("doc_id")
+        .distinct()
+    )
+    kept3 = kept2.join(contaminated, "doc_id", "left_anti")
+    tok = tokenize_with_vocab(kept3, build_vocab(kept3, vocab_size))
+    pack = pack_sequences(kept3, seq_len=seq_len).drop("n_tokens")
+    return train_test_split(
+        tok.join(pack, "doc_id"), key="doc_id", test_rate=test_rate
+    ).select(
+        "doc_id",
+        "token_ids",
+        "n_tokens",
+        "n_unk",
+        "start_offset",
+        "first_seq",
+        "last_seq",
+        "n_seqs",
+        "split",
+    )

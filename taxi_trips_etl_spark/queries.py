@@ -1372,6 +1372,102 @@ def q_dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dedup_stats_by_source(_t(spark, sf_dir, "documents"))
 
 
+def _corpus_v2_sql() -> str:
+    """End-to-end oracle for the v2 (round-2) corpus pipeline, chained
+    from the same per-stage fragments the individual oracles use."""
+    c4_keep = f"""
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   len({TOKS_SQL}) AS n_tokens,
+                   CAST(list_sum(list_transform({TOKS_SQL}, w -> length(w)))
+                        AS DOUBLE) / len({TOKS_SQL}) AS mean_len,
+                   length(text) AS n_chars,
+                   length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))
+                       AS n_weird,
+                   list_max(list_transform({TOKS_SQL}, w -> length(w)))
+                       AS max_tok
+            FROM documents)
+        WHERE n_tokens >= 5 AND n_tokens <= 10000
+          AND mean_len >= 2 AND mean_len <= 12
+          AND n_weird < n_chars * 0.3 AND max_tok <= 40
+    """
+
+    def five_gram(src: str) -> str:
+        return f"""
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, len({TOKS_SQL}) - 4),
+                   i -> concat_ws(' ', {TOKS_SQL}[i], {TOKS_SQL}[i+1],
+                                  {TOKS_SQL}[i+2], {TOKS_SQL}[i+3],
+                                  {TOKS_SQL}[i+4])))) AS gram
+        FROM {src} WHERE len({TOKS_SQL}) >= 5
+        """
+
+    return f"""
+    WITH gated AS (SELECT d.* FROM documents d JOIN ({c4_keep}) USING (doc_id)),
+    scrubbed AS (SELECT doc_id, lang, source, n_chars,
+                        {_pii_scrub_sql_expr()} AS text
+                 FROM gated),
+    canon AS (SELECT min(doc_id) AS doc_id FROM scrubbed GROUP BY md5(text)),
+    kept2 AS (SELECT s.* FROM scrubbed s JOIN canon USING (doc_id)
+              WHERE doc_id % 20 != 0),
+    evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    cg AS ({five_gram("kept2")}),
+    eg AS ({five_gram("evald")}),
+    contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram)
+                     WHERE cg.doc_id != eg.doc_id),
+    kept3 AS (SELECT * FROM kept2
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    tok0 AS (SELECT unnest({TOKS_SQL}) AS token FROM kept3),
+    cnt AS (SELECT token, count(*) AS n FROM tok0 GROUP BY 1),
+    vocab AS (SELECT token,
+                     CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1
+                          AS BIGINT) AS token_id
+              FROM (SELECT token, n FROM cnt
+                    ORDER BY n DESC, token ASC LIMIT 500)),
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM kept3),
+    flat AS (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks)),
+                           i -> {{'pos': i, 'tok': toks[i]}})) AS u
+             FROM t),
+    f AS (SELECT doc_id, u.pos AS pos, u.tok AS token FROM flat),
+    j AS (SELECT f.doc_id, f.pos, coalesce(v.token_id, -1) AS tid
+          FROM f LEFT JOIN vocab v USING (token)),
+    tokd AS (SELECT doc_id,
+                    string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)
+                        AS token_ids,
+                    CAST(count(*) AS BIGINT) AS n_tokens,
+                    CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_unk
+             FROM j GROUP BY doc_id),
+    packed AS (SELECT doc_id, n_tokens,
+                      CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS start_offset
+               FROM tokd)
+    SELECT tokd.doc_id, tokd.token_ids, tokd.n_tokens, tokd.n_unk,
+           p.start_offset,
+           p.start_offset // 128 AS first_seq,
+           (p.start_offset + tokd.n_tokens - 1) // 128 AS last_seq,
+           (p.start_offset + tokd.n_tokens - 1) // 128
+               - p.start_offset // 128 + 1 AS n_seqs,
+           CASE WHEN CAST(concat('0x', substr(md5('split:' ||
+                    CAST(tokd.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                < {int(0.2 * (1 << 32))}
+                THEN 'test' ELSE 'train' END AS split
+    FROM tokd JOIN packed p USING (doc_id)
+    """
+
+
+@register("corpus_prepare_v2", _corpus_v2_sql())
+def q_corpus_prepare_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 composed pipeline: C4 gate → PII scrub → exact dedup →
+    decontamination → vocab → tokenize → pack → split, one lazy plan,
+    oracle-checked end to end."""
+    from taxi_trips_etl_spark.dataprep.corpus import prepare_corpus_v2
+
+    return prepare_corpus_v2(_t(spark, sf_dir, "documents"))
+
+
 def _zorder_oracle() -> str:
     from taxi_trips_etl_spark.functions.scalar import zorder_key_sql
 

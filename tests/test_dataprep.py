@@ -497,3 +497,23 @@ def test_dedup_stats_by_source(spark):
     assert rows["s1"]["n_unique_texts"] == 2
     assert rows["s1"]["dup_rate"] == round(1 / 3, 4)
     assert rows["s2"]["dup_rate"] == 0.0
+
+
+def test_prepare_corpus_v2_stage_properties(spark, sf_dir):
+    from taxi_trips_etl_spark.dataprep.corpus import prepare_corpus_v2
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = prepare_corpus_v2(docs).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    # Eval slice excluded from the corpus.
+    assert all(i % 20 != 0 for i in ids)
+    # Packing offsets are a dense prefix sum in doc_id order.
+    rows = sorted(out, key=lambda r: r["doc_id"])
+    acc = 0
+    for r in rows:
+        assert r["start_offset"] == acc
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        assert len(r["token_ids"].split()) == r["n_tokens"]
+        assert r["split"] in ("train", "test")
+        acc += r["n_tokens"]
