@@ -44,6 +44,8 @@ EXPECT = {
     "pack_sequences": ["Window"],
     "domain_mixture_sample": ["BroadcastHashJoin"],
     "tpch_pricing_summary": ["HashAggregate"],
+    "corpus_prepare_v2": ["HashAggregate", "BroadcastHashJoin"],
+    "tokenize_with_vocab": ["BroadcastHashJoin"],
     "tpch_shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
 }
 
@@ -70,6 +72,9 @@ FORBID = {
     "text_repetition_scores": ["BatchEvalPython", "ArrowEvalPython"],
     "domain_mixture_sample": ["SortMergeJoin", "BatchEvalPython"],
     "tpch_pricing_summary": ["BatchEvalPython", "Exchange rangepartitioning"],
+    "corpus_prepare_v2": ["CartesianProduct", "BatchEvalPython",
+                          "ArrowEvalPython", "SinglePartition"],
+    "tokenize_with_vocab": ["BatchEvalPython", "SortMergeJoin"],
     "tpch_shipping_priority": ["CartesianProduct", "Exchange rangepartitioning"],
 }
 
