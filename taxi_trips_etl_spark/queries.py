@@ -1372,6 +1372,30 @@ def q_dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dedup_stats_by_source(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "winnowing_fingerprints",
+    """
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, length(s) - 8 + 1),
+                     i -> CAST(concat('0x', substr(md5(substr(s, i, 8)), 1, 8))
+                               AS BIGINT)) AS grams
+          FROM t WHERE length(s) - 8 + 1 >= 4),
+    m AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, len(grams) - 4 + 1),
+                     i -> list_min(grams[i : i + 3]))) AS fps
+          FROM g)
+    SELECT doc_id, unnest(fps) AS fp FROM m
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing fingerprints (k=8, w=4): windowed-min k-gram
+    hashes — any shared substring of length ≥ 11 chars shares a
+    fingerprint; posting-shaped output joins like every dedup op."""
+    return text.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _corpus_v2_sql() -> str:
     """End-to-end oracle for the v2 (round-2) corpus pipeline, chained
     from the same per-stage fragments the individual oracles use."""

@@ -517,3 +517,26 @@ def test_prepare_corpus_v2_stage_properties(spark, sf_dir):
         assert len(r["token_ids"].split()) == r["n_tokens"]
         assert r["split"] in ("train", "test")
         acc += r["n_tokens"]
+
+
+def test_winnowing_guarantee_and_shape(spark):
+    """Winnowing guarantee: docs sharing a substring of length >=
+    k+w-1 (= 11 here) share at least one fingerprint; disjoint texts
+    share none."""
+    shared = "commonsharedsubstringxyz"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefixAAA " + shared + " suffixBBB"),
+            (2, "totally other start " + shared + " and ending"),
+            (3, "qwertyuiopasdfghjklzxcvbnm0123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = text.winnowing_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared substring must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # Coverage bound: fingerprints per doc ~ 2n/(w+1), far below n.
+    assert 0 < len(by_doc[1]) < len(docs.collect()[0]["text"])
