@@ -51,10 +51,14 @@ def main() -> None:
     # Best-of-2 per query: this box is a shared VM with noisy
     # neighbors — identical runs vary up to 3× on the heavier queries.
     # The min of two executions is the standard way to measure the
-    # plan, not the neighbor's GC pause.
+    # plan, not the neighbor's GC pause. Sub-second queries skip the
+    # second run (noise there is bounded by the 1s they already
+    # measured), keeping total harness time ~1.3× a single pass.
     timings: dict[str, float] = {}
     for attempt in range(2):
         for name, fn in qs.items():
+            if attempt == 1 and timings[name] < 1.0:
+                continue
             t0 = time.monotonic()
             force(fn(spark, args.sf_dir))
             sec = round(time.monotonic() - t0, 3)

@@ -3297,6 +3297,54 @@ def q_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by first-activity
+    week; each cell counts cohort members active N weeks later.
+
+    Two partial-agg passes: (user → cohort week) is one groupBy-min;
+    activity distinct-collapses to (user, week) BEFORE the join, so
+    the cohort join fans out on weeks-per-user (bounded), never raw
+    events. All shuffles key on user_id."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            F.col("n_users").cast("long"),
+        )
+    )
+
+
+register(
+    "retention_cohorts",
+    """
+    WITH ev AS (SELECT user_id, date_trunc('week', ts) AS week FROM events),
+    cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, week FROM ev)
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.week) / 7 AS BIGINT)
+               AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)(q_retention_cohorts)
+
+
 @register(
     "funnel_conversion",
     """
