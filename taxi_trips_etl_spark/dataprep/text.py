@@ -534,30 +534,42 @@ def winnowing_fingerprints(
     """
     t = F.lower(F.col(text))
     n_grams = (F.length(t) - k + 1).cast("int")
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.conv(
-            F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
-        ).cast("long"),
+    # Explode POSITIONS, not a prebuilt gram array: inside a transform
+    # lambda, loop-invariant subexpressions (the lower()ed text) are
+    # re-evaluated per element — O(n²) chars per doc. After the
+    # Generate, `_s` is a materialized column and each output row does
+    # O(k) work: one substr + one md5.
+    # A small corpus arrives as one parquet split; repartition ahead
+    # of the CPU-bound gram expansion (same rationale as dedup.spread)
+    # so the O(n_grams) explode runs on every core.
+    base = docs.filter(n_grams >= w).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
-    exploded = docs.filter(n_grams >= w).select(
+    exploded = base.select(
         "doc_id",
         n_grams.alias("_n"),
-        F.posexplode(grams).alias("pos", "gh"),
+        t.alias("_s"),
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("i"),
     )
+    gh = F.conv(
+        F.substring(F.md5(F.col("_s").substr(F.col("i"), F.lit(k))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    hashed = exploded.select("doc_id", "_n", F.col("i").alias("pos"), gh.alias("gh"))
     w_win = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, w - 1)
     )
     return (
-        exploded.select(
+        hashed.select(
             "doc_id",
             "pos",
             "_n",
             F.min("gh").over(w_win).alias("fp"),
         )
-        .filter(F.col("pos") <= F.col("_n") - w)
+        .filter(F.col("pos") <= F.col("_n") - w + 1)
         .select("doc_id", "fp")
         .distinct()
     )
