@@ -32,3 +32,60 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         ),
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+def validate_constraints(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> DataFrame:
+    """Declarative data-quality checks (the dbt-tests / expectations
+    analog): → (rule, violations) with one row per declared rule.
+
+    All not-null and range rules fold into ONE conditional-aggregate
+    scan (no per-rule pass); each uniqueness rule is one partial-agg
+    groupBy counting keys seen more than once. At 100 TB that's a
+    single read plus one narrow shuffle per unique-key rule.
+    """
+    aggs = []
+    for c in not_null or []:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"not_null:{c}")
+        )
+    for c, (lo, hi) in (ranges or {}).items():
+        bad = ~F.col(c).between(lo, hi) | F.col(c).isNull()
+        aggs.append(F.sum(bad.cast("long")).alias(f"range:{c}:[{lo},{hi}]"))
+    parts = []
+    if aggs:
+        row = df.agg(*aggs)
+        cols = row.columns
+        parts.append(
+            row.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(c).alias("rule"),
+                            F.col(f"`{c}`").cast("long").alias("violations"),
+                        )
+                        for c in cols
+                    ])
+                ).alias("r")
+            ).select("r.rule", "r.violations")
+        )
+    for keys in unique or []:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1)
+            .agg(F.coalesce(F.sum(F.col("c")), F.lit(0)).alias("violations"))
+            .select(
+                F.lit("unique:" + ",".join(keys)).alias("rule"),
+                F.col("violations").cast("long"),
+            )
+        )
+        parts.append(dup)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1373,6 +1373,46 @@ def q_dedup_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "validate_constraints",
+    """
+    SELECT 'not_null:l_orderkey' AS rule,
+           CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_quantity:[1.0,50.0]',
+           CAST(sum(CASE WHEN l_quantity IS NULL
+                         OR NOT (l_quantity BETWEEN 1.0 AND 50.0)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_discount:[0.0,0.1]',
+           CAST(sum(CASE WHEN l_discount IS NULL
+                         OR NOT (l_discount BETWEEN 0.0 AND 0.1)
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           CAST(coalesce(sum(c), 0) AS BIGINT)
+    FROM (SELECT count(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1)
+    """,
+)
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem: not-null + ranges
+    fold into one conditional-aggregate scan; key uniqueness is one
+    partial-agg groupBy — the dbt-tests analog, engine-checked."""
+    from taxi_trips_etl_spark.dataprep.profile import validate_constraints
+
+    return validate_constraints(
+        _t(spark, sf_dir, "lineitem"),
+        not_null=["l_orderkey"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1)},
+    )
+
+
+@register(
     "winnowing_fingerprints",
     """
     WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),

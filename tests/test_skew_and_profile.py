@@ -56,3 +56,21 @@ def test_profile_table_counts(spark):
     assert out["x"].n_distinct == 3
     assert out["y"].n_nulls == 1
     assert out["y"].n_distinct == 2
+
+
+def test_validate_constraints_counts(spark):
+    from taxi_trips_etl_spark.dataprep.profile import validate_constraints
+
+    df = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 1, 60.0), (2, None, None)],
+        "k long, sub int, qty double",
+    )
+    rules = {r["rule"]: r["violations"] for r in validate_constraints(
+        df,
+        not_null=["sub"],
+        unique=[["k", "sub"]],
+        ranges={"qty": (1.0, 50.0)},
+    ).collect()}
+    assert rules["not_null:sub"] == 1
+    assert rules["range:qty:[1.0,50.0]"] == 2   # 60.0 out of range + NULL
+    assert rules["unique:k,sub"] == 2           # the (1,1) pair counted twice
