@@ -489,3 +489,63 @@ def pq_topk(
             F.col("knn_rank").cast("long").alias("knn_rank"),
         )
     )
+
+
+def random_projection_sql(
+    in_dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    salt: str = "rp",
+    dialect: str = "spark",
+) -> list[str]:
+    """SQL expression per output dimension for a deterministic
+    Achlioptas (±1) random projection — the Johnson-Lindenstrauss
+    dimension reduction that preserves pairwise distances within
+    (1±ε) at out_dim = O(log n / ε²).
+
+    Signs come from md5(salt:i:j) computed HERE (python), so the
+    literal coefficients are identical in the Spark plan and the
+    DuckDB oracle; the sum is written as one explicit left-associated
+    chain, so IEEE addition order matches bit-for-bit across engines.
+    One generator serves both dialects (element indexing aside):
+    projecting is a single narrow projection — no shuffle, no UDF,
+    and at 100 TB it shrinks every downstream ANN/dedup scan by
+    in_dim/out_dim.
+    """
+    import hashlib
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    elem = (
+        (lambda i: f"CAST(element_at({vec_col}, {i}) AS DOUBLE)")
+        if dialect == "spark"
+        else (lambda i: f"CAST({vec_col}[{i}] AS DOUBLE)")
+    )
+    exprs = []
+    for j in range(out_dim):
+        terms = []
+        for i in range(1, in_dim + 1):
+            h = hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()
+            sign = "-" if int(h[:8], 16) & 1 else ""
+            terms.append(f"({sign}{scale!r} * {elem(i)})")
+        exprs.append(" + ".join(terms))
+    return exprs
+
+
+def random_projection(
+    embeddings: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "rp",
+) -> DataFrame:
+    """→ (vec_id, rp_0 … rp_{out_dim-1}): JL-projected vectors."""
+    exprs = random_projection_sql(in_dim, out_dim, vec_col, salt, "spark")
+    return embeddings.select(
+        F.col(id_col),
+        *[
+            F.round(F.expr(e), 6).alias(f"rp_{j}")
+            for j, e in enumerate(exprs)
+        ],
+    )

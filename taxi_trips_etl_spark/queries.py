@@ -2798,6 +2798,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(pairs)
 
 
+def _random_projection_oracle() -> str:
+    from taxi_trips_etl_spark.dataprep.similarity import random_projection_sql
+
+    exprs = random_projection_sql(64, 16, dialect="duckdb")
+    cols = ",\n           ".join(
+        f"round({e}, 6) AS rp_{j}" for j, e in enumerate(exprs)
+    )
+    return f"SELECT vec_id,\n           {cols}\nFROM embeddings"
+
+
+@register("embedding_random_projection", _random_projection_oracle())
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection 64→16 dims (deterministic
+    Achlioptas ±1 signs, one shared expression generator for Spark and
+    the oracle) — the scan-shrinking preprocessor for ANN/dedup."""
+    from taxi_trips_etl_spark.dataprep.similarity import random_projection
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
+    )
+
+
 @register("similarity_pq_topk")  # rows-only: numpy codebook training
 def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-Quantization ANN: 8-byte codes + ADC lookup scoring —

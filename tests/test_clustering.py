@@ -153,3 +153,29 @@ def test_pq_determinism(spark, sf_dir):
     a = sorted(map(tuple, pq_topk(emb, query_ids_below=3).collect()))
     b = sorted(map(tuple, pq_topk(emb, query_ids_below=3).collect()))
     assert a == b
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: projected pairwise distances track the originals
+    (loose at out_dim=16, so assert correlation + bounded mean ratio,
+    not per-pair epsilon)."""
+    import numpy as np
+
+    from taxi_trips_etl_spark.dataprep.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    orig = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    proj = {r["vec_id"]: np.array([r[f"rp_{j}"] for j in range(16)])
+            for r in random_projection(emb, in_dim=64, out_dim=16).collect()}
+    ids = sorted(orig)
+    d0, d1 = [], []
+    for i in range(0, len(ids), 3):
+        for j in range(i + 1, len(ids), 7):
+            a, b = ids[i], ids[j]
+            d0.append(((orig[a] - orig[b]) ** 2).sum())
+            d1.append(((proj[a] - proj[b]) ** 2).sum())
+    corr = np.corrcoef(d0, d1)[0, 1]
+    ratio = np.mean(np.array(d1) / np.array(d0))
+    assert corr > 0.3, corr
+    assert 0.5 < ratio < 1.5, ratio   # E[||proj||^2] = ||x||^2 (unbiased)
