@@ -573,3 +573,35 @@ def winnowing_fingerprints(
         .select("doc_id", "fp")
         .distinct()
     )
+
+
+def winnowing_near_dup_pairs(
+    docs: DataFrame,
+    min_shared: int = 3,
+    k: int = 8,
+    w: int = 4,
+    text: str = "text",
+) -> DataFrame:
+    """Local-similarity near-dup pairs: docs sharing ≥ ``min_shared``
+    winnowing fingerprints → (doc_id_a, doc_id_b, n_shared).
+
+    Complements MinHash (whole-document resemblance): winnowing hits
+    PARTIAL overlap — a copied paragraph inside an otherwise-different
+    doc — because any shared ≥(k+w−1)-char run shares a fingerprint.
+    Same bucket-join scale shape as every other candidate generator
+    here: one equi-join on fp, pair-keyed count, never doc×doc."""
+    fps = winnowing_fingerprints(docs, k=k, w=w, text=text)
+    return (
+        fps.alias("a")
+        .join(
+            fps.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

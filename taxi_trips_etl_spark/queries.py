@@ -1436,6 +1436,39 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnowing_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+_WINNOW_FP_SQL = """
+    WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(generate_series(1, length(s) - 8 + 1),
+                     i -> CAST(concat('0x', substr(md5(substr(s, i, 8)), 1, 8))
+                               AS BIGINT)) AS grams
+          FROM t WHERE length(s) - 8 + 1 >= 4),
+    m AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     generate_series(1, len(grams) - 4 + 1),
+                     i -> list_min(grams[i : i + 3]))) AS fps
+          FROM g)
+    SELECT doc_id, unnest(fps) AS fp FROM m
+"""
+
+
+@register(
+    "winnowing_near_dup_pairs",
+    f"""
+    WITH fps AS ({_WINNOW_FP_SQL})
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 3
+    """,
+)
+def q_winnowing_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap near-dup pairs via shared winnowing
+    fingerprints — catches a copied paragraph inside an otherwise
+    different doc, which whole-doc MinHash resemblance misses."""
+    return text.winnowing_near_dup_pairs(_t(spark, sf_dir, "documents"))
+
+
 def _corpus_v2_sql() -> str:
     """End-to-end oracle for the v2 (round-2) corpus pipeline, chained
     from the same per-stage fragments the individual oracles use."""

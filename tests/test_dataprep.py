@@ -540,3 +540,19 @@ def test_winnowing_guarantee_and_shape(spark):
     assert not (by_doc[1] & by_doc[3])
     # Coverage bound: fingerprints per doc ~ 2n/(w+1), far below n.
     assert 0 < len(by_doc[1]) < len(docs.collect()[0]["text"])
+
+
+def test_winnowing_near_dup_pairs_partial_overlap(spark):
+    shared = "this exact paragraph was copied verbatim into another doc"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique preamble one. " + shared + " unique tail one"),
+            (2, "other intro text here. " + shared + " different close"),
+            (3, "nothing in common with anybody qwertyzxcvb mnbvcasdfg"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_id_a"], r["doc_id_b"]): r["n_shared"]
+             for r in text.winnowing_near_dup_pairs(docs).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 3
+    assert all(3 not in p for p in pairs)
