@@ -10,6 +10,11 @@ nearest-neighbor primitives for a training-data pipeline.
   is really a broadcast-nested-loop producing |Q|·|C| scored rows that
   immediately collapse through a per-query top-k — no shuffle of the
   corpus itself.
+- :func:`ivf_topk` / :func:`pq_topk` — the index paths: inverted
+  lists over coarse cells; product-quantization codes scored by ADC
+  table lookups (the compressed-scan shape for huge corpora).
+- :func:`random_projection` — deterministic JL dimension reduction,
+  bit-exact against the oracle via a shared expression generator.
 - :func:`cosine_topk_lsh` — the scale path: sign-LSH bucketing
   (axis-aligned hyperplanes over the first ``planes`` dimensions →
   deterministic and engine-portable), candidates limited to the query's

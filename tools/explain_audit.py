@@ -47,6 +47,9 @@ EXPECT = {
     "corpus_prepare_v2": ["HashAggregate", "BroadcastHashJoin"],
     "tokenize_with_vocab": ["BroadcastHashJoin"],
     "tpch_shipping_priority": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "validate_constraints": ["HashAggregate"],
+    "winnowing_near_dup_pairs": ["HashAggregate"],
+    "embedding_random_projection": ["codegen id"],
 }
 
 FORBID = {
@@ -76,6 +79,8 @@ FORBID = {
                           "ArrowEvalPython", "SinglePartition"],
     "tokenize_with_vocab": ["BatchEvalPython", "SortMergeJoin"],
     "tpch_shipping_priority": ["CartesianProduct", "Exchange rangepartitioning"],
+    "winnowing_near_dup_pairs": ["CartesianProduct", "BatchEvalPython"],
+    "embedding_random_projection": ["BatchEvalPython", "Exchange"],
 }
 
 
