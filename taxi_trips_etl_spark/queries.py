@@ -469,6 +469,82 @@ def q_flagship_known_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _populars_flat(cells)
 
 
+_HEX_OFFSETS = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+
+
+def _hex_smooth_sql() -> str:
+    nbrs = ", ".join(
+        "concat_ws('_', parts[1], "
+        f"CAST(CAST(parts[2] AS BIGINT) + {dq} AS VARCHAR), "
+        f"CAST(CAST(parts[3] AS BIGINT) + {dr} AS VARCHAR))"
+        for dq, dr in _HEX_OFFSETS
+    )
+    return f"""
+    WITH zm AS ({_zone_hex_values_sql()}),
+    counts AS (
+        SELECT d.hex AS cell, count(*) AS n
+        FROM ({NORM_SQL}) t
+        LEFT JOIN zm d ON t.dropoff_location_id = d.zone_id
+        WHERE d.hex IS NOT NULL
+        GROUP BY 1
+    ),
+    fan AS (
+        SELECT cell, n,
+               unnest([{nbrs}]) AS nbr_cell
+        FROM (SELECT cell, n, string_split(cell, '_') AS parts FROM counts)
+    ),
+    smoothed AS (
+        SELECT nbr_cell AS cell, sum(n) AS smoothed_count
+        FROM fan GROUP BY 1
+    )
+    SELECT c.cell, CAST(c.n AS BIGINT) AS raw_count,
+           CAST(s.smoothed_count AS BIGINT) AS smoothed_count
+    FROM counts c JOIN smoothed s USING (cell)
+    """
+
+
+@register("hex_neighbor_smoothing", _hex_smooth_sql())
+def q_hex_neighbor_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial smoothing over the hex grid: each cell's dropoff count
+    summed with its 6 axial neighbors' (hotspot detection robust to
+    cell-boundary jitter). The neighbor fan-out is a 7-way explode of
+    STRING ARITHMETIC on the cell id — no geometry at query time, so
+    the smoothing join is a plain equi-join that scales like any
+    groupBy. Exact oracle via the known-zone VALUES mapping."""
+    from taxi_trips_etl_spark.operators.enrich import enrich_trips
+    from taxi_trips_etl_spark.sources.taxi_testdata import zone_dim
+
+    enriched = enrich_trips(_norm_trips(spark, sf_dir), zone_dim(spark))
+    counts = (
+        enriched.filter(F.col("h3_dropoff").isNotNull())
+        .groupBy(F.col("h3_dropoff").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    parts = F.split("cell", "_")
+    qq = F.element_at(parts, 2).cast("long")
+    rr = F.element_at(parts, 3).cast("long")
+    nbrs = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.element_at(parts, 1),
+                (qq + dq).cast("string"),
+                (rr + dr).cast("string"),
+            )
+            for dq, dr in _HEX_OFFSETS
+        ]
+    )
+    fan = counts.select("cell", "n", F.explode(nbrs).alias("nbr_cell"))
+    smoothed = fan.groupBy(F.col("nbr_cell").alias("cell")).agg(
+        F.sum("n").alias("smoothed_count")
+    )
+    return counts.join(smoothed, "cell").select(
+        "cell",
+        F.col("n").cast("long").alias("raw_count"),
+        F.col("smoothed_count").cast("long"),
+    )
+
+
 @register(
     "daily_metrics",
     """

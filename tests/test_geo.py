@@ -72,3 +72,21 @@ def test_centroid_cell_composition():
     cell = centroid_cell(wkt, 9)
     assert cell == latlng_to_cell(40.705, -74.005, 9)
     assert centroid_cell(None) is None
+
+
+def test_hex_neighbor_smoothing_sums_neighborhood(spark, sf_dir):
+    from taxi_trips_etl_spark.queries import q_hex_neighbor_smoothing
+
+    rows = q_hex_neighbor_smoothing(spark, sf_dir).collect()
+    assert rows, "smoothing must produce cells"
+    by_cell = {r["cell"]: r for r in rows}
+    raw = {c: r["raw_count"] for c, r in by_cell.items()}
+    for c, r in by_cell.items():
+        # smoothed = self + any of the 6 axial neighbors present
+        prefix, q, s = c.split("_")
+        q, s = int(q), int(s)
+        expect = 0
+        for dq, dr in ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1)):
+            expect += raw.get(f"{prefix}_{q + dq}_{s + dr}", 0)
+        assert r["smoothed_count"] == expect, c
+        assert r["smoothed_count"] >= r["raw_count"]
