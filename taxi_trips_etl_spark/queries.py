@@ -2585,6 +2585,58 @@ def q_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_zscore_days",
+    """
+    WITH daily AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS d,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    st AS (
+        SELECT d, n,
+               avg(n) OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma,
+               count(*) OVER w AS n_base
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT d, n, round(mu, 4) AS trailing_mean,
+           round((n - mu) / sigma, 4) AS zscore,
+           CAST((n - mu) / sigma > 3.0 OR (n - mu) / sigma < -3.0
+                AS BIGINT) AS is_anomaly
+    FROM st
+    WHERE n_base >= 7 AND sigma > 0
+    """,
+)
+def q_anomaly_zscore_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection: each day's event count z-scored against
+    its OWN trailing 7-day window (current row excluded — yesterday's
+    spike must not mask today's). Post-aggregation window: the frame
+    runs over ~365 rows/year regardless of event volume, so the global
+    sort is safe at any scale; at multi-entity grain add PARTITION BY."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("d").rowsBetween(-7, -1)
+    st = daily.select(
+        "d",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_base"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return st.filter((F.col("n_base") >= 7) & (F.col("sigma") > 0)).select(
+        "d",
+        "n",
+        F.round("mu", 4).alias("trailing_mean"),
+        F.round(z, 4).alias("zscore"),
+        ((z > 3.0) | (z < -3.0)).cast("long").alias("is_anomaly"),
+    )
+
+
+@register(
     "window_moving_sum",
     """
     WITH daily AS (

@@ -10,6 +10,15 @@ config here is chosen for the 100 TB / 1000-executor target:
   cores and let AQE shrink.
 - Arrow enabled so the few Pandas-UDF paths (geo centroid on a ~260-row
   dim, multimodal decode) batch-transfer instead of pickling rows.
+- Runtime bloom-filter join pruning
+  (``spark.sql.optimizer.runtime.bloomFilter.enabled`` +
+  ``runtimeFilter.semiJoinReduction``) is deliberately NOT set here:
+  enabling it globally hung the Structured Streaming suite (injected
+  filter subqueries don't compose with stream-stream joins in this
+  build — measured: test_models_and_streaming 16s → timeout). On a
+  batch-only 100 TB cluster session, pass it via ``extra_conf`` —
+  it prunes the probe side of selective fact-fact joins by the build
+  side's selectivity with no operator changes.
 """
 
 from __future__ import annotations
