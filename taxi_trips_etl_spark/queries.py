@@ -1023,6 +1023,54 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_search_docs",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos
+        FROM e a JOIN e b ON a.vec_id < 5 AND a.vec_id != b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS knn_rank
+        FROM scored
+    )
+    SELECT r.query_id, r.neighbor_id, round(r.cos, 6) AS cosine,
+           CAST(r.knn_rank AS BIGINT) AS knn_rank,
+           substr(d.text, 1, 80) AS snippet, d.source
+    FROM ranked r JOIN documents d ON r.neighbor_id = d.doc_id
+    WHERE r.knn_rank <= 3
+    """,
+)
+def q_semantic_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval end-to-end: ANN over the embedding table joined back
+    to the documents table for display (the RAG-retrieval read path).
+    The hit list is tiny (queries × k), so the text join broadcasts
+    the HITS into documents — the corpus text is scanned once, never
+    shuffled, and only matching rows carry text."""
+    hits = similarity.cosine_topk_bruteforce(
+        _t(spark, sf_dir, "embeddings"), query_ids_below=5, k=3
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.join(
+            F.broadcast(hits),
+            F.col("doc_id") == F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            "knn_rank",
+            F.substring("text", 1, 80).alias("snippet"),
+            "source",
+        )
+    )
+
+
+@register(
     "similarity_lsh_topk",
     f"""
     WITH e AS (
