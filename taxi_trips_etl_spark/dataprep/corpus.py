@@ -67,6 +67,7 @@ def prepare_corpus_v2(
     vocab_size: int = 500,
     seq_len: int = 128,
     test_rate: float = 0.2,
+    materialize_survivors: bool = True,
 ) -> DataFrame:
     """The modern pre-training recipe, composed end to end as ONE lazy
     plan: C4 rule gate → PII scrub → exact dedup (on scrubbed text) →
@@ -81,7 +82,9 @@ def prepare_corpus_v2(
     repo, filters prune before the expensive joins, the vocab is built
     on the SURVIVING corpus (no leakage of dropped/eval text into the
     token space), and packing runs on the final doc set so offsets are
-    dense. One Catalyst plan — nothing materializes between stages.
+    dense. The survivor set is checkpointed once by default (three
+    consumers would otherwise recompute the whole upstream lineage);
+    pass ``materialize_survivors=False`` for a fully lazy single plan.
     """
     from taxi_trips_etl_spark.dataprep.packing import pack_sequences
     from taxi_trips_etl_spark.dataprep.text import (
@@ -115,6 +118,14 @@ def prepare_corpus_v2(
         .distinct()
     )
     kept3 = kept2.join(contaminated, "doc_id", "left_anti")
+    if materialize_survivors:
+        # Three downstream consumers (vocab, tokenize, pack) would each
+        # recompute the gate→scrub→dedup→decontaminate lineage — the
+        # measured plan re-scans the corpus ~100× with zero
+        # ReusedExchange. One checkpoint = one computation; at 100 TB
+        # this is the difference between reading the corpus once and
+        # three times (same ledger as the flagship auto-cache).
+        kept3 = kept3.localCheckpoint(eager=False)
     tok = tokenize_with_vocab(kept3, build_vocab(kept3, vocab_size))
     pack = pack_sequences(kept3, seq_len=seq_len).drop("n_tokens")
     return train_test_split(
