@@ -1023,6 +1023,43 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_centroid_by_source",
+    """
+    WITH j AS (SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS emb
+               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    f AS (SELECT source,
+                 unnest(list_transform(generate_series(1, len(emb)),
+                        i -> {'pos': i, 'x': emb[i]})) AS u
+          FROM j)
+    SELECT source, CAST(u.pos AS BIGINT) AS dim,
+           round(avg(u.x), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM f GROUP BY 1, 2
+    """,
+)
+def q_embedding_centroid_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain embedding centroids (long form: source × dim) — the
+    domain-profile vectors used for mixture diagnostics and drift
+    monitoring. posexplode → one partial-agg shuffle on (source, dim);
+    the shuffle carries scalar partial sums, never vectors."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = _t(spark, sf_dir, "embeddings")
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "source",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    f = j.select("source", F.posexplode("emb").alias("pos0", "x"))
+    return (
+        f.groupBy("source", (F.col("pos0") + 1).cast("long").alias("dim"))
+        .agg(
+            F.round(F.avg("x"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select("source", "dim", "centroid_val", F.col("n_vectors").cast("long"))
+    )
+
+
+@register(
     "semantic_search_docs",
     f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
