@@ -1023,6 +1023,85 @@ def q_similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_at_k",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos,
+               substr(list_aggregate(list_transform(
+                       generate_series(1, 6),
+                       i -> CASE WHEN a.emb[i] > 0 THEN '1' ELSE '0' END),
+                   'string_agg', ''), 1, 6) AS qb,
+               substr(list_aggregate(list_transform(
+                       generate_series(1, 6),
+                       i -> CASE WHEN b.emb[i] > 0 THEN '1' ELSE '0' END),
+                   'string_agg', ''), 1, 6) AS nb
+        FROM e a JOIN e b ON a.vec_id < 10 AND a.vec_id != b.vec_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS r
+        FROM scored
+    ),
+    truth AS (SELECT query_id, neighbor_id FROM exact WHERE r <= 3),
+    approx AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS r
+        FROM scored WHERE qb = nb
+    ),
+    hits AS (
+        SELECT t.query_id,
+               sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hit
+        FROM truth t
+        LEFT JOIN (SELECT query_id, neighbor_id FROM approx WHERE r <= 3) a
+          ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+        GROUP BY 1
+    )
+    SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           round(CAST(n_hit AS DOUBLE) / 3, 4) AS recall_at_3
+    FROM hits
+    """,
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN self-evaluation: recall@3 of the sign-LSH bucket index
+    against brute-force ground truth, per query — the metric that
+    tells you whether an index's speed is costing you quality. Both
+    sides are this repo's own operators; the comparison is one tiny
+    join on (query, neighbor)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = similarity.cosine_topk_bruteforce(
+        emb, query_ids_below=10, k=3
+    ).select("query_id", "neighbor_id")
+    approx = similarity.cosine_topk_lsh(
+        emb, query_ids_below=10, k=3, planes=6
+    ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+    return (
+        truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (truth["neighbor_id"] == approx["a_neighbor"]),
+            "left",
+        )
+        .drop(approx["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(F.col("a_neighbor").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hit")
+        )
+        .select(
+            "query_id",
+            "n_hit",
+            F.round(F.col("n_hit") / 3, 4).alias("recall_at_3"),
+        )
+    )
+
+
+@register(
     "embedding_centroid_by_source",
     """
     WITH j AS (SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS emb
