@@ -76,13 +76,16 @@ def main() -> None:
     }
     print(json.dumps(payload))
     # Compact, always-parseable artifact for round-over-round diffs —
-    # the driver's stdout capture can truncate the line above.
-    summary_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
-    )
-    with open(summary_path, "w") as fh:
-        json.dump(payload, fh, indent=1, sort_keys=True)
-        fh.write("\n")
+    # the driver's stdout capture can truncate the line above. Subset
+    # runs (--queries) are ad-hoc measurements; only a full-registry run
+    # may replace the committed summary.
+    if not args.queries:
+        summary_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
+        )
+        with open(summary_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
 
 
 if __name__ == "__main__":
