@@ -54,15 +54,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and truncate to micros exactly
-    (integer ``div`` — a double division would lose precision at 1e18).
-    DuckDB truncates nanos→micros the same way on read."""
+    """events.parquet's ``ts`` physical type has varied across testdata
+    generations (TIMESTAMP(NANOS), then NTZ micros); normalize to a
+    session-UTC TIMESTAMP either way — see
+    :func:`~taxi_trips_etl_spark.sources.readers.normalize_event_ts`."""
+    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return ev
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _ts_str(col: F.Column, alias: str) -> F.Column:

@@ -48,6 +48,35 @@ def list_day_files(base: str, ds: str, file_prefix: str = "000") -> list[str]:
     return sorted(_glob.glob(day_glob(base, ds, file_prefix)))
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-local TIMESTAMP no matter
+    how the parquet footer typed it across testdata generations:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+      ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
+      bigint nanos — truncate to micros with an exact integer ``div``
+      (a double division would lose precision at 1e18).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+      TIMESTAMP_NTZ; cast to TIMESTAMP reinterprets the wall-clock in
+      the session timezone (UTC everywhere in this repo), which matches
+      DuckDB's naive read of the same file bit-for-bit.
+    - TIMESTAMP: pass through unchanged.
+
+    Keeping event time as TIMESTAMP (not NTZ) also satisfies Structured
+    Streaming, whose watermarks reject NTZ event-time columns.
+    """
+    from pyspark.sql import functions as F
+
+    t = dict(df.dtypes).get(ts_col)
+    if t == "bigint":
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    elif t == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def read_parquet(
     spark: SparkSession, path: str | list[str], schema: StructType | None = None
 ) -> DataFrame:

@@ -26,8 +26,10 @@ def streaming_daypart_rollup(
     spark: SparkSession, events_dir: str, watermark: str = "1 day"
 ) -> DataFrame:
     """Streaming DF: per (1-day window, daypart, event_type) counts."""
-    # events parquet carries TIMESTAMP(NANOS) — read as long, truncate
-    # to micros with integer div (see queries._events for rationale).
+    # events parquet ts type varies by generation (nanos / NTZ micros);
+    # normalize to TIMESTAMP (watermarks reject NTZ) via the shared helper.
+    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_dir)  # schema from footer
     # The streaming file source wants a directory: when handed a single
@@ -40,8 +42,7 @@ def streaming_daypart_rollup(
         stream = reader.parquet(parent)
     else:
         stream = spark.readStream.schema(static.schema).parquet(events_dir)
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(

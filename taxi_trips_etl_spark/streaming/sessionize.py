@@ -132,10 +132,9 @@ def streaming_sessionize(
         )
     else:
         stream = spark.readStream.schema(static.schema).parquet(events_dir)
-    if dict(static.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
 
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(stream)
     return (
         stream.select("user_id", "event_id", "ts")
         .groupBy("user_id")

@@ -25,6 +25,8 @@ from pyspark.sql import functions as F
 
 
 def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
@@ -36,9 +38,7 @@ def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         )
     else:
         stream = spark.readStream.schema(static.schema).parquet(events_dir)
-    if dict(static.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 def streaming_click_attribution(
