@@ -125,9 +125,34 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r02.json
-# into this map as (…, 2) so the rotation keeps cycling fairly:
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r03.json
+# into this map as (…, 3) so the rotation keeps cycling fairly:
+_R2_VERIFIED: tuple[str, ...] = (
+    "ann_recall_at_k", "anomaly_zscore_days", "array_functions",
+    "build_vocab", "c4_quality_filter", "collect_set_agg",
+    "corpus_decontaminate", "corpus_prepare_v2",
+    "correlated_scalar_subquery", "cube_agg", "date_functions",
+    "dedup_minhash_incremental", "dedup_stats_by_source",
+    "domain_mixture_sample", "embedding_centroid_by_source",
+    "embedding_random_projection", "explode_top_tokens",
+    "filter_clause_agg", "flagship_known_zones", "grouping_sets_agg",
+    "hex_neighbor_smoothing", "hopping_window_counts", "latest_by_key",
+    "multimodal_features", "null_safe_join", "pack_sequences",
+    "percentiles_exact", "recursive_cte_date_spine", "rollup_agg",
+    "semantic_search_docs", "semi_anti_join", "set_ops",
+    "streaming_click_attribution", "streaming_sessionize_stateful",
+    "text_lexical_diversity", "text_pii_scrub",
+    "text_repetition_scores", "tokenize_with_vocab", "topk_per_group",
+    "tpch_pricing_summary", "tpch_shipping_priority",
+    "udtf_split_sentences", "validate_constraints",
+    "window_distribution", "window_distribution_approx",
+    "window_first_last", "window_moving_sum", "winnowing_fingerprints",
+    "winnowing_near_dup_pairs", "zorder_key_customers",
+)
 _VERIFIED_ROUNDS: dict[str, tuple[int, ...]] = {
+    name: (2,) for name in _R2_VERIFIED
+}
+_VERIFIED_ROUNDS.update({
     name: (1,)
     for name in (
         "normalize_filter", "daypart_case", "window_dedup_rank",
@@ -148,7 +173,7 @@ _VERIFIED_ROUNDS: dict[str, tuple[int, ...]] = {
         "range_join_windows", "json_extract_props", "string_functions",
         "pivot_event_types",
     )
-}
+})
 
 
 def register(name: str, oracle: str | None = None):

@@ -64,13 +64,36 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
     Keeping event time as TIMESTAMP (not NTZ) also satisfies Structured
     Streaming, whose watermarks reject NTZ event-time columns.
+
+    Preconditions this helper enforces rather than assumes:
+
+    - the bigint branch only means "nanos" when the session read the
+      file with ``spark.sql.legacy.parquet.nanosAsLong=true`` — callers
+      in this repo set it at session build (session.py), and we assert
+      it here so a foreign session can't silently mis-scale;
+    - the NTZ→TIMESTAMP cast is value-preserving only under a UTC
+      session timezone, so we pin ``spark.sql.session.timeZone=UTC``
+      ourselves instead of trusting the entry point that built the
+      session (streaming entry points historically didn't).
     """
     from pyspark.sql import functions as F
 
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     t = dict(df.dtypes).get(ts_col)
     if t == "bigint":
+        nanos_as_long = spark.conf.get(
+            "spark.sql.legacy.parquet.nanosAsLong", "false"
+        )
+        if str(nanos_as_long).lower() != "true":
+            raise ValueError(
+                f"normalize_event_ts: column {ts_col!r} is bigint but "
+                "spark.sql.legacy.parquet.nanosAsLong is not set; cannot "
+                "tell nanos from a plain integer column. Build the session "
+                "via taxi_trips_etl_spark.session.get_spark()."
+            )
         df = df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     elif t == "timestamp_ntz":
         df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))

@@ -212,3 +212,69 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
     assert len(got) == 2
     assert {r["doc_id"] for r in got} == {3, None}
     assert any(r["_corrupt"] == "not json at all" for r in got)
+
+
+def test_normalize_event_ts_nanos_and_ntz_agree(spark, tmp_path):
+    """ADVICE r2: both physical timestamp encodings normalize identically.
+
+    The same three wall-clock instants are written once as parquet
+    TIMESTAMP(NANOS) (arrives as bigint under nanosAsLong) and once as
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as timestamp_ntz);
+    normalize_event_ts must yield bit-identical TIMESTAMP values.
+    """
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+
+    instants = [
+        dt.datetime(2024, 3, 1, 0, 0, 0),
+        dt.datetime(2024, 3, 1, 12, 34, 56, 789000),
+        dt.datetime(2024, 3, 2, 23, 59, 59, 999999),
+    ]
+    ids = list(range(len(instants)))
+
+    ntz_path = str(tmp_path / "ntz.parquet")
+    pq.write_table(
+        pa.table({"event_id": ids, "ts": pa.array(instants, pa.timestamp("us"))}),
+        ntz_path,
+    )
+    nanos_path = str(tmp_path / "nanos.parquet")
+    pq.write_table(
+        pa.table({"event_id": ids, "ts": pa.array(instants, pa.timestamp("ns"))}),
+        nanos_path,
+        store_schema=False,  # force readers to honor the NANOS physical type
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ntz = normalize_event_ts(spark.read.parquet(ntz_path))
+    nanos = normalize_event_ts(spark.read.parquet(nanos_path))
+    assert dict(ntz.dtypes)["ts"] == "timestamp"
+    assert dict(nanos.dtypes)["ts"] == "timestamp"
+    a = {(r["event_id"], r["ts"]) for r in ntz.collect()}
+    b = {(r["event_id"], r["ts"]) for r in nanos.collect()}
+    assert a == b == {(i, t) for i, t in zip(ids, instants)}
+
+
+def test_normalize_event_ts_refuses_unannotated_bigint(spark, tmp_path):
+    """A bigint ts with nanosAsLong unset must raise, not silently scale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+
+    path = str(tmp_path / "plain_int.parquet")
+    pq.write_table(
+        pa.table({"event_id": [1], "ts": pa.array([123456789], pa.int64())}),
+        path,
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        df = spark.read.parquet(path)
+        with _pytest.raises(ValueError, match="nanosAsLong"):
+            normalize_event_ts(df)
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
