@@ -3876,3 +3876,432 @@ def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pickup_hexagon",
         "pickup_count",
     )
+
+
+# ===========================================================================
+# TPC-H derived batch (beyond-reference relational coverage).
+#
+# The testdata is TPC-H-ish but misses some spec columns
+# (l_commitdate/l_receiptdate/l_shipmode, partsupp, c_phone), so each
+# query keeps the SPEC'S PLAN SHAPE (the join graph, the agg, the
+# correlation) while adapting predicates to the columns that exist.
+# Money follows the repo rule: round to integer units per row BEFORE
+# summing (double sums are partition-order-dependent; integer sums are
+# exact and portable across engines).
+# ===========================================================================
+
+_REV_E4 = "CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)"
+
+
+@register(
+    "tpch_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join on
+    l_orderkey (lineitem never widens the orders rows), then a 5-group
+    partial-agg. The spec's commit<receipt lateness test is adapted to
+    shipped->30-days-after-order (those columns don't exist here); the
+    semi-join + tiny-agg plan is identical."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 30)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue_e4 DESC, n_name
+    """,
+)
+def q_tpch_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the region->nation chain broadcasts (tiny) and
+    prunes supplier BEFORE the fact joins; lineitem then joins orders
+    on l_orderkey (the one big shuffle) and the c_nationkey=s_nationkey
+    'local' correlation rides the customer join as an extra equi-key.
+    Output is <=25 rows no matter the input size."""
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(s), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(
+            c,
+            (F.col("o_custkey") == c["c_custkey"])
+            & (F.col("s_nationkey") == c["c_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("n_name"))
+    )
+
+
+@register(
+    "tpch_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                         AS BIGINT)) AS BIGINT) AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-side predicate (all three filters push
+    to parquet row-group stats) feeding a single global agg — zero
+    joins, one 2-column exchange of partial sums. The canonical
+    'is the filter actually pushed down' probe."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("long")
+    return li.agg(
+        F.sum(rev).alias("revenue_e4"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "tpch_volume_shipping",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two aliased broadcasts of the SAME tiny nation
+    dim (supplier-side and customer-side roles), the disjunctive
+    nation-pair predicate evaluated after both joins, and a
+    (nation,nation,year) partial-agg. The supplier dim is nation-pruned
+    before touching the fact table."""
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+    ).select("s_suppkey", "supp_nation")
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey", "cust_nation")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4,
+           CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue_e4 DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_tpch_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returnflag filter rides the lineitem scan, the
+    quarter filter prunes orders, the join tree aggregates per customer
+    and TakeOrderedAndProject keeps 20 — the global sort never
+    materializes. c_custkey tie-break pins the LIMIT set."""
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(n, c["c_nationkey"] == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).alias("revenue_e4"))
+        .select(
+            "c_custkey", "c_name", "revenue_e4",
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue_e4"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT join keeps order-less customers (their
+    count is 0, not a dropped row), first agg keys on c_custkey, the
+    second collapses to the tiny count-of-counts histogram. count() of
+    the RIGHT side's key is what makes the zero-order rows count 0."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_promo_effect",
+    f"""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN {_REV_E4} ELSE 0 END)
+                 / sum({_REV_E4}), 4) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q_tpch_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: month-filtered lineitem joins the part dim
+    (broadcast — part is orders of magnitude smaller than lineitem),
+    conditional-sum ratio in ONE agg pass. Integer-e4 revenue keeps the
+    ratio's numerator/denominator bit-identical across engines; the
+    final division is one double op on two exact integers."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        li.join(p, li["l_partkey"] == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0 * F.sum(promo) / F.sum(rev), 4
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_small_qty_revenue",
+    """
+    SELECT CAST(floor(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      / 7.0) AS BIGINT) AS avg_yearly_cents
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_threshold
+          FROM lineitem GROUP BY l_partkey) t
+      ON l.l_partkey = t.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < t.qty_threshold
+    """,
+)
+def q_tpch_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated 'below 20% of this part's mean
+    quantity' subquery decorrelates to a per-part aggregate joined back
+    on l_partkey. Quantities are small integers, so the double avg is
+    exact and the 0.2x threshold compares identically in both engines.
+    At scale both sides shuffle on l_partkey — one co-partitioned
+    exchange each; the brand filter broadcasts via the part dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    return (
+        li.join(p, li["l_partkey"] == F.col("p_partkey"))
+        .join(thresholds, li["l_partkey"] == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.floor(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 7
+            )
+            .cast("long")
+            .alias("avg_yearly_cents")
+        )
+    )
+
+
+@register(
+    "tpch_large_volume_customer",
+    """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(l_quantity) > 150)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice_cents DESC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_tpch_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING subquery is a self-aggregation of
+    lineitem reused as a LEFT SEMI join on l_orderkey; at scale the
+    semi-join's key set is tiny (only pathological orders survive), so
+    AQE turns it into a broadcast. Top-100 runs as
+    TakeOrderedAndProject with o_orderkey tie-break."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 150)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big["l_orderkey"], "left_semi"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            .alias("totalprice_cents"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )

@@ -50,6 +50,16 @@ EXPECT = {
     "validate_constraints": ["HashAggregate"],
     "winnowing_near_dup_pairs": ["HashAggregate"],
     "embedding_random_projection": ["codegen id"],
+    # TPC-H derived batch (r3): spec plan shapes.
+    "tpch_order_priority": ["LeftSemi", "HashAggregate"],
+    "tpch_local_supplier_volume": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_forecast_revenue": ["HashAggregate"],
+    "tpch_volume_shipping": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_returned_items": ["TakeOrderedAndProject", "BroadcastHashJoin"],
+    "tpch_customer_distribution": ["HashAggregate"],
+    "tpch_promo_effect": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_small_qty_revenue": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_large_volume_customer": ["LeftSemi", "TakeOrderedAndProject"],
 }
 
 FORBID = {
@@ -81,6 +91,17 @@ FORBID = {
     "tpch_shipping_priority": ["CartesianProduct", "Exchange rangepartitioning"],
     "winnowing_near_dup_pairs": ["CartesianProduct", "BatchEvalPython"],
     "embedding_random_projection": ["BatchEvalPython", "Exchange"],
+    "tpch_order_priority": ["CartesianProduct", "BatchEvalPython"],
+    "tpch_local_supplier_volume": ["CartesianProduct", "BatchEvalPython"],
+    "tpch_forecast_revenue": ["BatchEvalPython", "Exchange rangepartitioning",
+                              "SortMergeJoin"],
+    "tpch_volume_shipping": ["CartesianProduct", "BatchEvalPython"],
+    "tpch_returned_items": ["CartesianProduct", "Exchange rangepartitioning"],
+    "tpch_customer_distribution": ["BatchEvalPython", "CartesianProduct"],
+    "tpch_promo_effect": ["SortMergeJoin", "BatchEvalPython"],
+    "tpch_small_qty_revenue": ["CartesianProduct", "BatchEvalPython"],
+    "tpch_large_volume_customer": ["CartesianProduct",
+                                   "Exchange rangepartitioning"],
 }
 
 
