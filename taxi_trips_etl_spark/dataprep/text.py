@@ -605,3 +605,202 @@ def winnowing_near_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def gopher_quality_filter(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Gopher rule gate (Rae et al. 2021, App. A "quality filtering",
+    adapted to the whitespace tokenizer and this corpus's short docs):
+    keep docs that pass ALL of
+      - word count in [10, 100 000],
+      - mean word length in [2, 10],
+      - symbol-to-word ratio (# or ...) < 0.1,
+      - >= 80% of words contain at least one alphabetic character,
+      - >= 2 distinct English stopwords present (the, be, to, of, and,
+        that, have, with) — the "is it natural language at all" probe.
+    Per-rule booleans emitted for auditability, like c4_quality_filter.
+    Pure column expressions: codegen end to end at any scale.
+    """
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    mean_len = sum_len / n_words
+    n_symbols = (
+        F.size(F.filter(toks, lambda t: t.contains("#") | t.contains("...")))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(s) for s in stops])
+        )
+    )
+    rules = {
+        "ok_word_count": (n_words >= 10) & (n_words <= 100000),
+        "ok_mean_word_len": (mean_len >= 2) & (mean_len <= 10),
+        "ok_symbol_ratio": n_symbols < n_words * 0.1,
+        "ok_alpha_words": n_alpha >= n_words * 0.8,
+        "ok_stopwords": n_stop >= 2,
+    }
+    out = docs.select(
+        "doc_id", *[v.cast("long").alias(k) for k, v in rules.items()]
+    )
+    verdict = None
+    for k in rules:
+        c = F.col(k) == 1
+        verdict = c if verdict is None else (verdict & c)
+    return out.withColumn("keep", verdict.cast("long"))
+
+
+def dup_ngram_coverage(
+    docs: DataFrame, n: int = 8, text: str = "text"
+) -> DataFrame:
+    """Duplicated-span diagnostics (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better"): per doc, the fraction
+    of its distinct n-grams that also occur in at least one OTHER doc.
+    High coverage → the doc is largely boilerplate/copy.
+
+    Shape at 100 TB: explode distinct n-grams (bounded by doc length),
+    one partial-agg shuffle keyed on the gram to count distinct docs
+    per gram, join back on the gram (both sides partitioned by the same
+    key — one co-located exchange each), per-doc agg. Hot grams
+    (boilerplate) are the known skew hazard; the distinct-per-doc
+    explode caps a single doc's contribution at its gram count, and AQE
+    skew-join handles the reduce side.
+    """
+    toks = tokens_col(text)
+    grams = (
+        docs.filter(F.size(toks) >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - n),
+                        lambda i: F.concat_ws(
+                            " ", F.slice(toks, i + 1, n)
+                        ),
+                    )
+                )
+            ).alias("gram"),
+        )
+    )
+    gram_docs = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        grams.join(gram_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 4).alias(
+                "dup_coverage"
+            ),
+        )
+    )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    text: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", simplified to
+    unigram features): weight(doc) = mean over tokens of
+    log(p_target(w) / p_raw(w)), with add-one smoothing over the raw
+    vocabulary. Docs that look like the target domain get high weight;
+    resampling by weight skews a generic crawl toward the domain.
+
+    Shape: token explode → ONE (token) partial-agg computing both
+    conditional counts via count-if — the target and raw models come
+    out of a single shuffle, not two scans. The per-token log-ratio
+    table is vocabulary-sized (small); it broadcasts back onto the
+    token stream.
+    """
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.col("source") == target_source).alias("is_target"),
+            F.explode(tokens_col(text)).alias("tok"),
+        )
+    )
+    # Single-pass model fit: per-token target/raw counts.
+    model = toks.groupBy("tok").agg(
+        F.sum(F.col("is_target").cast("long")).alias("n_t"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    totals = model.agg(
+        F.sum("n_t").alias("tot_t"),
+        F.sum("n_all").alias("tot_all"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    ratio = model.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log((F.col("n_t") + 1) / (F.col("tot_t") + F.col("vocab")))
+            - F.log((F.col("n_all") + 1) / (F.col("tot_all") + F.col("vocab")))
+        ).alias("log_ratio"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("log_ratio"), 6).alias("importance_weight"),
+        )
+    )
+
+
+def unigram_logprob_score(
+    docs: DataFrame, n_buckets: int = 4, text: str = "text"
+) -> DataFrame:
+    """Perplexity-proxy bucketing (CCNet, Wenzek et al. 2020, with a
+    corpus-fit unigram LM standing in for KenLM — no LM binaries in
+    this container, and the bucketing mechanics are identical): score
+    each doc by mean token log-probability under the corpus unigram
+    distribution (add-one smoothed), then cut into ``n_buckets``
+    equal-width buckets between the corpus min/max score. CCNet keeps
+    head/middle buckets and drops the tail.
+
+    Equal-WIDTH (not quantile) buckets keep the op one aggregation +
+    one broadcast join — no global sort; the min/max reduce is 2
+    doubles.
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col(text)).alias("tok"))
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    totals = model.agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("vocab")
+    )
+    probs = model.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.log((F.col("n") + 1) / (F.col("tot") + F.col("vocab"))).alias("lp"),
+    )
+    scored = (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lp"), 6).alias("mean_logprob"))
+    )
+    rng = scored.agg(
+        F.min("mean_logprob").alias("lo"), F.max("mean_logprob").alias("hi")
+    )
+    return scored.crossJoin(F.broadcast(rng)).select(
+        "doc_id",
+        "mean_logprob",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col("mean_logprob") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / n_buckets)
+            ),
+        )
+        .cast("long")
+        .alias("ppl_bucket"),
+    )

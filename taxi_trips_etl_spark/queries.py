@@ -4305,3 +4305,139 @@ def q_tpch_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# ===========================================================================
+# Training-data curation batch (r3): Gopher rules, duplicated-span
+# diagnostics, DSIR importance weights, perplexity-proxy bucketing.
+# ===========================================================================
+
+_GOPHER_SQL = f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks, text FROM documents),
+    m AS (SELECT doc_id,
+                 len(toks) AS n_words,
+                 CAST(list_sum(list_transform(toks, w -> length(w)))
+                      AS DOUBLE) / len(toks) AS mean_len,
+                 len(list_filter(toks, w -> contains(w, '#')
+                                         OR contains(w, '...'))) AS n_symbols,
+                 len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]')))
+                     AS n_alpha,
+                 len(list_intersect(list_distinct(toks),
+                     ['the','be','to','of','and','that','have','with']))
+                     AS n_stop
+          FROM t)
+    SELECT doc_id,
+           CAST(n_words >= 10 AND n_words <= 100000 AS BIGINT)
+               AS ok_word_count,
+           CAST(mean_len >= 2 AND mean_len <= 10 AS BIGINT)
+               AS ok_mean_word_len,
+           CAST(n_symbols < n_words * 0.1 AS BIGINT) AS ok_symbol_ratio,
+           CAST(n_alpha >= n_words * 0.8 AS BIGINT) AS ok_alpha_words,
+           CAST(n_stop >= 2 AS BIGINT) AS ok_stopwords,
+           CAST(n_words >= 10 AND n_words <= 100000
+                AND mean_len >= 2 AND mean_len <= 10
+                AND n_symbols < n_words * 0.1
+                AND n_alpha >= n_words * 0.8
+                AND n_stop >= 2 AS BIGINT) AS keep
+    FROM m
+"""
+
+
+@register("gopher_quality_filter", _GOPHER_SQL)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule gate (Rae et al. 2021) — see
+    dataprep/text.py:gopher_quality_filter for the rule inventory."""
+    from taxi_trips_etl_spark.dataprep.text import gopher_quality_filter
+
+    return gopher_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+_DUPCOV_N = 8
+_DUPCOV_SQL = f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                     generate_series(1, len(toks) - {_DUPCOV_N - 1}),
+                     i -> array_to_string(toks[i:i + {_DUPCOV_N - 1}], ' ')
+                 ))) AS gram
+          FROM t WHERE len(toks) >= {_DUPCOV_N}),
+    gd AS (SELECT gram, count(DISTINCT doc_id) AS n_docs FROM g GROUP BY 1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_grams,
+           round(CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS dup_coverage
+    FROM g JOIN gd USING (gram)
+    GROUP BY doc_id
+"""
+
+
+@register("dup_ngram_coverage", _DUPCOV_SQL)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2021 duplicated-span diagnostics — fraction of each
+    doc's 8-grams shared with at least one other doc. Posting-list shuffle on the
+    gram key; see dataprep/text.py:dup_ngram_coverage."""
+    from taxi_trips_etl_spark.dataprep.text import dup_ngram_coverage
+
+    return dup_ngram_coverage(_t(spark, sf_dir, "documents"), n=_DUPCOV_N)
+
+
+_DSIR_SQL = f"""
+    WITH t AS (SELECT doc_id, source = 'src0' AS is_target,
+                      unnest({TOKS_SQL}) AS tok
+               FROM documents),
+    m AS (SELECT tok,
+                 CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_t,
+                 count(*) AS n_all
+          FROM t GROUP BY 1),
+    tot AS (SELECT sum(n_t) AS tot_t, sum(n_all) AS tot_all,
+                   count(*) AS vocab FROM m),
+    r AS (SELECT tok,
+                 ln(CAST(n_t + 1 AS DOUBLE) / (tot_t + vocab))
+                 - ln(CAST(n_all + 1 AS DOUBLE) / (tot_all + vocab))
+                     AS log_ratio
+          FROM m CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(log_ratio), 6) AS importance_weight
+    FROM t JOIN r USING (tok)
+    GROUP BY doc_id
+"""
+
+
+@register("dsir_importance_weights", _DSIR_SQL)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR unigram importance weights targeting source 'src0' — see
+    dataprep/text.py:dsir_importance_weights."""
+    from taxi_trips_etl_spark.dataprep.text import dsir_importance_weights
+
+    return dsir_importance_weights(
+        _t(spark, sf_dir, "documents"), target_source="src0"
+    )
+
+
+_PPL_SQL = f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    m AS (SELECT tok, count(*) AS n FROM t GROUP BY 1),
+    tot AS (SELECT sum(n) AS tot, count(*) AS vocab FROM m),
+    p AS (SELECT tok, ln(CAST(n + 1 AS DOUBLE) / (tot + vocab)) AS lp
+          FROM m CROSS JOIN tot),
+    s AS (SELECT doc_id, round(avg(lp), 6) AS mean_logprob
+          FROM t JOIN p USING (tok) GROUP BY 1),
+    r AS (SELECT min(mean_logprob) AS lo, max(mean_logprob) AS hi FROM s)
+    SELECT doc_id, mean_logprob,
+           CAST(least(3, floor((mean_logprob - lo) / ((hi - lo) / 4)))
+                AS BIGINT) AS ppl_bucket
+    FROM s CROSS JOIN r
+"""
+
+
+@register("unigram_logprob_buckets", _PPL_SQL)
+def q_unigram_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing with a corpus-fit unigram LM —
+    see dataprep/text.py:unigram_logprob_score."""
+    from taxi_trips_etl_spark.dataprep.text import unigram_logprob_score
+
+    return unigram_logprob_score(_t(spark, sf_dir, "documents"), n_buckets=4)

@@ -60,6 +60,11 @@ EXPECT = {
     "tpch_promo_effect": ["BroadcastHashJoin", "HashAggregate"],
     "tpch_small_qty_revenue": ["BroadcastHashJoin", "HashAggregate"],
     "tpch_large_volume_customer": ["LeftSemi", "TakeOrderedAndProject"],
+    # Curation batch (r3): all JVM-side; model joins broadcast.
+    "gopher_quality_filter": ["codegen id"],
+    "dup_ngram_coverage": ["HashAggregate"],
+    "dsir_importance_weights": ["BroadcastHashJoin", "HashAggregate"],
+    "unigram_logprob_buckets": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 FORBID = {
@@ -102,6 +107,11 @@ FORBID = {
     "tpch_small_qty_revenue": ["CartesianProduct", "BatchEvalPython"],
     "tpch_large_volume_customer": ["CartesianProduct",
                                    "Exchange rangepartitioning"],
+    "gopher_quality_filter": ["BatchEvalPython", "ArrowEvalPython",
+                              "Exchange"],
+    "dup_ngram_coverage": ["BatchEvalPython", "CartesianProduct"],
+    "dsir_importance_weights": ["BatchEvalPython", "SortMergeJoin"],
+    "unigram_logprob_buckets": ["BatchEvalPython", "SortMergeJoin"],
 }
 
 
