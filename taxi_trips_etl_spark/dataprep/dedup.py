@@ -187,6 +187,13 @@ def minhash_lsh_candidates(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
+    # Self-joins get NO ReusedExchange from Catalyst (the broadcast side
+    # rebuilds the whole child plan), so without this checkpoint BOTH
+    # sides recompute the signatures from a full corpus scan — at 100 TB
+    # that is two reads of the corpus and 2x the shingle hashing. The
+    # banded signature table is tiny next to the corpus (doc_id + band
+    # key per band); materializing it once is the scale-correct trade.
+    b = b.localCheckpoint(eager=False)
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -267,6 +274,9 @@ def simhash_near_duplicates(
     banded = fp.select("doc_id", "simhash", F.explode(band_arr).alias("band")).select(
         "doc_id", "simhash", "band.band_id", "band.band_val"
     )
+    # Same no-ReusedExchange trap as minhash_lsh_candidates: checkpoint
+    # the banded fingerprints so the self-join computes simhash ONCE.
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -363,6 +373,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("_psz") <= max_posting_size)
             .drop("_psz")
         )
+    # Checkpoint the posting lists: the candidate self-join would
+    # otherwise recompute tokenize->shingle->prefix-filter on both sides
+    # (no ReusedExchange for self-joins).
+    prefix = prefix.localCheckpoint(eager=False)
     cand = (
         prefix.alias("a")
         .join(

@@ -209,6 +209,14 @@ def embedding_near_dup_pairs(
         F.col(vec_col),
         sign_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    # NOT checkpointed, deliberately (unlike the text-dedup candidate
+    # generators): the subtree above the scan is a trivial projection
+    # (6 dot products per row), so the self-join's second evaluation
+    # re-reads compressed parquet — cheaper than writing the full
+    # uncompressed vector table to block storage and reading it back
+    # (measured: checkpoint 3.5s vs rescan 2.3s at sf0.1). Checkpoint
+    # only pays when the recomputed subtree is expensive (hashing,
+    # aggregation), not when it is scan-dominated.
     a = with_bucket.select(
         F.col(id_col).alias("vec_id_a"),
         F.col(vec_col).alias("va"),

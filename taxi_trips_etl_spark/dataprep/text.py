@@ -591,6 +591,9 @@ def winnowing_near_dup_pairs(
     Same bucket-join scale shape as every other candidate generator
     here: one equi-join on fp, pair-keyed count, never doc×doc."""
     fps = winnowing_fingerprints(docs, k=k, w=w, text=text)
+    # Checkpoint: self-joins get no ReusedExchange, so both sides would
+    # recompute the windowed fingerprint selection from the corpus scan.
+    fps = fps.localCheckpoint(eager=False)
     return (
         fps.alias("a")
         .join(
