@@ -60,11 +60,20 @@ def kmeans_assign(
         # Centroids as literal arrays: the k distances are k column
         # expressions in ONE narrow projection — no join, no window, no
         # shuffle for assignment; argmin ties break to the lower id.
-        dists = F.array(
-            *[
-                _sq_dist(F.col("v"), F.array(*[F.lit(x) for x in c]))
+        # Built as ONE SQL string: k·d literal Columns via py4j cost
+        # ~0.5 s of driver time PER ITERATION before any task ran (the
+        # same construction trap as similarity.pq_topk — see there).
+        def arr(xs: list[float]) -> str:
+            return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+        dists = F.expr(
+            "array("
+            + ",".join(
+                f"aggregate(zip_with(v, {arr(c)}, (a, b) -> (a - b) * (a - b)),"
+                " 0.0D, (acc, x) -> acc + x)"
                 for c in cents
-            ]
+            )
+            + ")"
         )
         return vecs.select(
             id_col,
@@ -89,7 +98,7 @@ def kmeans_assign(
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 *[
-                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    F.expr(f"sum(element_at(v, {i + 1})) AS s{i}")
                     for i in range(dim)
                 ],
             )

@@ -432,27 +432,40 @@ def pq_topk(
                     C[j] = X[assign == j].mean(0)
         books.append(C)
 
-    def _sub(col, s):
-        return F.slice(col, s * ds + 1, ds)
+    # Expression construction note: every F.lit/F.array/zip_with is a
+    # py4j round-trip, and this operator needs m*ksub literal centroid
+    # arrays plus n_queries*m literal lookup tables — built as Column
+    # objects that was ~6 s of DRIVER time before a single task ran.
+    # Building each expression as ONE SQL string (parsed JVM-side by
+    # F.expr) collapses thousands of round-trips into m + n_queries.
+    def _arr(xs) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
 
-    def _sqd(sub_col, cent_row):
-        pairs = F.zip_with(
-            sub_col,
-            F.array(*[F.lit(float(x)) for x in cent_row]),
-            lambda a, b: (a - b) * (a - b),
+    def _sqd_sql(s: int, cent_row) -> str:
+        return (
+            f"aggregate(zip_with(slice(v, {s * ds + 1}, {ds}), "
+            f"{_arr(cent_row)}, (a, b) -> (a - b) * (a - b)), "
+            f"0.0D, (acc, x) -> acc + x)"
         )
-        return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
 
-    # Encode: per subspace, argmin over ksub literal centroids.
-    code_cols = []
-    for s in range(m):
-        dists = F.array(*[_sqd(_sub(F.col("v"), s), books[s][j]) for j in range(ksub)])
-        code_cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias(f"c{s}")
-        )
-    codes = vecs.select(id_col, *code_cols)
+    # Encode: per subspace, argmin over ksub literal centroids. Two
+    # selects so the distance array is computed once per row, not once
+    # per argmin reference.
+    dist_cols = [
+        F.expr(
+            "array(" + ",".join(_sqd_sql(s, books[s][j]) for j in range(ksub)) + ")"
+        ).alias(f"d{s}")
+        for s in range(m)
+    ]
+    codes = vecs.select(id_col, *dist_cols).select(
+        id_col,
+        *[
+            F.expr(
+                f"CAST(array_position(d{s}, array_min(d{s})) - 1 AS INT)"
+            ).alias(f"c{s}")
+            for s in range(m)
+        ],
+    )
 
     # Queries: ADC lookup tables computed driver-side (tiny), applied
     # as literal-array lookups over the code table.
@@ -460,20 +473,17 @@ def pq_topk(
         (r[id_col], np.array(r["v"]))
         for r in vecs.filter(F.col(id_col) < query_ids_below).collect()
     ]
-    def _adc(qid: int, qv) -> "F.Column":
+    def _adc_sql(qid: int, qv) -> str:
         luts = [
             [float(((qv[s * ds : (s + 1) * ds] - books[s][j]) ** 2).sum()) for j in range(ksub)]
             for s in range(m)
         ]
-        score = None
-        for s in range(m):
-            term = F.element_at(
-                F.array(*[F.lit(x) for x in luts[s]]), F.col(f"c{s}") + 1
-            )
-            score = term if score is None else score + term
-        return F.struct(
-            F.lit(qid).cast("long").alias("query_id"),
-            score.alias("approx_sq_dist"),
+        score = " + ".join(
+            f"element_at({_arr(luts[s])}, c{s} + 1)" for s in range(m)
+        )
+        return (
+            f"struct(CAST({qid} AS BIGINT) AS query_id, "
+            f"{score} AS approx_sq_dist)"
         )
 
     # All queries score in ONE pass over the code table: the per-query
@@ -483,7 +493,11 @@ def pq_topk(
         codes.select(
             F.col(id_col).alias("neighbor_id"),
             F.explode(
-                F.array(*[_adc(qid, qv) for qid, qv in queries])
+                F.expr(
+                    "array("
+                    + ",".join(_adc_sql(qid, qv) for qid, qv in queries)
+                    + ")"
+                )
             ).alias("q"),
         )
         .select("q.query_id", "neighbor_id", "q.approx_sq_dist")
