@@ -169,3 +169,28 @@ def read_jsonl(spark, path: str, schema=None):
 def write_jsonl(df, path: str) -> None:
     """JSONL writer (one object per line, parallel part files)."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark, path: str, schema=None):
+    """ORC load — the other columnar format a warehouse migration
+    brings along. Same pushdown/pruning properties as parquet in
+    Spark's vectorized reader."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def read_avro(spark, path: str):
+    """Avro load, gated: the spark-avro module is NOT bundled in this
+    pyspark distribution (it is an external module since Spark 2.4 —
+    add ``org.apache.spark:spark-avro_2.13:<ver>`` to
+    ``spark.jars.packages`` on a real cluster). Raises a clear error
+    here instead of Spark's generic lookup failure."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as e:  # pragma: no cover - message depends on build
+        raise NotImplementedError(
+            "spark-avro is not bundled in this environment; add "
+            "org.apache.spark:spark-avro to spark.jars.packages"
+        ) from e

@@ -123,3 +123,9 @@ def write_sorted_for_skipping(
         else df.repartitionByRange(*cols)
     )
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (overwrite) — matching read_orc; columnar with the
+    same min/max-stat data skipping story as parquet."""
+    df.write.mode("overwrite").orc(path)

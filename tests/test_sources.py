@@ -278,3 +278,30 @@ def test_normalize_event_ts_refuses_unannotated_bigint(spark, tmp_path):
             normalize_event_ts(df)
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def test_orc_roundtrip_preserves_schema_and_rows(spark, sf_dir, tmp_path):
+    """ORC write→read roundtrip keeps schema and values (S2/S3 analog
+    for the other columnar format)."""
+    from taxi_trips_etl_spark.sources.readers import read_orc
+    from taxi_trips_etl_spark.sources.writers import write_orc
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    path = str(tmp_path / "nation_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+
+
+def test_avro_reader_raises_actionable_error(spark, tmp_path):
+    from taxi_trips_etl_spark.sources.readers import read_avro
+
+    try:
+        read_avro(spark, str(tmp_path / "nope"))
+    except NotImplementedError as e:
+        assert "spark-avro" in str(e)
+    else:  # pragma: no cover
+        raise AssertionError("expected NotImplementedError")
