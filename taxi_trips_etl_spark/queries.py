@@ -4441,3 +4441,51 @@ def q_unigram_logprob_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.dataprep.text import unigram_logprob_score
 
     return unigram_logprob_score(_t(spark, sf_dir, "documents"), n_buckets=4)
+
+
+_SESSION_WINDOW_SQL = """
+    WITH o AS (SELECT user_id, epoch_us(ts) AS us, ts FROM events),
+    gaps AS (
+        SELECT user_id, us, ts,
+               CASE WHEN lag(us) OVER w IS NULL
+                         OR us - lag(us) OVER w >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+"""
+
+
+@register("session_window_agg", _SESSION_WINDOW_SQL)
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (F.session_window): unlike the
+    lag+cumsum islands of ``sessionize_events``, this runs Spark's
+    dedicated session-window operator — one shuffle on user_id, sessions
+    merged inside the aggregate (and in streaming, a purpose-built
+    session state store — no arbitrary-state UDF needed). Semantics
+    pinned by the oracle: events merge iff gap < 30 min STRICTLY
+    (window end is exclusive), session_end = last event + gap.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            _ts_str(F.col("session_window.start"), "session_start"),
+            _ts_str(F.col("session_window.end"), "session_end"),
+            "n_events",
+        )
+    )
