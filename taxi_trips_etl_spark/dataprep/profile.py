@@ -89,3 +89,38 @@ def validate_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    partial_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Mergeable distinct-count rollup via DataSketches HLL
+    (hll_sketch_agg → hll_union_agg → hll_sketch_estimate).
+
+    THE cardinality pattern at 100 TB: exact countDistinct re-shuffles
+    raw values for every regrouping, but sketches are built once per
+    fine partition (here ``partial_col``, e.g. a day), persisted as
+    ~2^lg_k-byte binaries, and any coarser rollup is a cheap union of
+    sketches — no second pass over the data. Standard error
+    ~1.04/sqrt(2^lg_k) ≈ 1.6% at lg_k=12; the error-bound pytest pins
+    it against exact countDistinct.
+
+    Returns per ``key_cols`` group: the merged estimate and how many
+    partial sketches were unioned.
+    """
+    partials = df.groupBy(*key_cols, partial_col).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+    return (
+        partials.groupBy(*key_cols)
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_distinct"
+            ),
+            F.count(F.lit(1)).alias("n_partials_merged"),
+        )
+    )

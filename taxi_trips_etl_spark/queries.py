@@ -4489,3 +4489,21 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register("hll_distinct_rollup")  # rows-only: sketch estimates are
+# implementation-defined (DataSketches HLL), no DuckDB twin; the
+# error bound vs exact countDistinct is pytest-pinned instead.
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via per-day HLL sketches merged
+    upward — see dataprep/profile.py:hll_distinct_rollup."""
+    from taxi_trips_etl_spark.dataprep.profile import hll_distinct_rollup
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    return hll_distinct_rollup(
+        ev, ["event_type"], "user_id", "day"
+    ).select(
+        "event_type",
+        F.col("approx_distinct").cast("long").alias("approx_distinct"),
+        "n_partials_merged",
+    )

@@ -74,3 +74,46 @@ def test_validate_constraints_counts(spark):
     assert rules["not_null:sub"] == 1
     assert rules["range:qty:[1.0,50.0]"] == 2   # 60.0 out of range + NULL
     assert rules["unique:k,sub"] == 2           # the (1,1) pair counted twice
+
+
+def test_hll_rollup_error_bound_and_merge_equivalence(spark, sf_dir):
+    """Merged per-day sketches estimate within ~3*SE of exact, and
+    equal a single direct sketch over the same data (mergeability)."""
+    from pyspark.sql import functions as F
+
+    from taxi_trips_etl_spark.dataprep.profile import hll_distinct_rollup
+    from taxi_trips_etl_spark.queries import _events
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct_rollup(
+            ev, ["event_type"], "user_id", "day"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, nd in exact.items():
+        rel_err = abs(merged[et] - nd) / max(nd, 1)
+        assert rel_err < 0.05, (et, merged[et], nd)
+
+    direct = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("nd")
+        )
+        .collect()
+    }
+    # Union-of-partials must equal the one-shot sketch exactly: HLL
+    # register merge is deterministic, so rollup order cannot matter.
+    assert {k: int(v) for k, v in merged.items()} == {
+        k: int(v) for k, v in direct.items()
+    }
