@@ -576,3 +576,78 @@ def random_projection(
             for j, e in enumerate(exprs)
         ],
     )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    n_components: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA projection of an embedding column, Spark-first:
+
+    1. ONE aggregation pass computes the d means and the d·(d+1)/2
+       upper-triangle second moments — all inside a single struct
+       expression (one py4j call, one partial-agg shuffle of ~d²/2
+       doubles; the data is never centered row-wise, so the pass is a
+       pure sum).
+    2. The d×d covariance assembles DRIVER-side from those sums
+       (E[xy] − E[x]E[y]); ``numpy.linalg.eigh`` gives the top
+       ``n_components`` eigenvectors — d×d work, independent of row
+       count (the classic big-n/small-d split; same ledger as PQ
+       codebook training).
+    3. Projection is one narrow F.expr with the eigenvectors inlined as
+       literal arrays — no join, no shuffle, whole-stage codegen.
+
+    Eigenvector sign is fixed (first nonzero coordinate positive) so
+    the projection is deterministic across platforms. Returns
+    (vec_id, pc) with pc = array of ``n_components`` doubles, variance-
+    ordered (largest first).
+    """
+    import numpy as np
+
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    d = len(vecs.select("v").first()["v"])
+    sums = ", ".join(
+        [f"count(1) AS n"]
+        + [f"sum(element_at(v, {i + 1})) AS m{i}" for i in range(d)]
+        + [
+            f"sum(element_at(v, {i + 1}) * element_at(v, {j + 1})) AS p{i}_{j}"
+            for i in range(d)
+            for j in range(i, d)
+        ]
+    )
+    row = vecs.agg(F.expr(f"struct({sums})").alias("s")).first()["s"]
+    n = row["n"]
+    mean = np.array([row[f"m{i}"] for i in range(d)]) / n
+    cov = np.zeros((d, d))
+    for i in range(d):
+        for j in range(i, d):
+            c = row[f"p{i}_{j}"] / n - mean[i] * mean[j]
+            cov[i, j] = cov[j, i] = c
+    vals, vecs_np = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        e = vecs_np[:, idx]
+        nz = np.nonzero(np.abs(e) > 1e-12)[0]
+        if len(nz) and e[nz[0]] < 0:
+            e = -e
+        comps.append(e)
+
+    def arr(xs) -> str:
+        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+
+    # pc_j(v) = <v, e_j> - <mean, e_j>  (centering folded into a
+    # precomputed scalar so the row expression is a pure dot product).
+    proj = ", ".join(
+        f"round(aggregate(zip_with(v, {arr(e)}, (a, b) -> a * b), "
+        f"0.0D, (acc, x) -> acc + x) - {float(np.dot(mean, e))!r}D, 6)"
+        for e in comps
+    )
+    return vecs.select(
+        id_col, F.expr(f"array({proj})").alias("pc")
+    )

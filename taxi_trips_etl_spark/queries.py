@@ -4507,3 +4507,97 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_distinct").cast("long").alias("approx_distinct"),
         "n_partials_merged",
     )
+
+
+@register(
+    "tpch_market_share",
+    f"""
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN nation = 'NATION_1' THEN volume_e4
+                               ELSE 0 END) AS DOUBLE)
+                 / sum(volume_e4), 4) AS mkt_share
+    FROM (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 {_REV_E4.replace('l_extendedprice', 'l.l_extendedprice')
+                         .replace('l_discount', 'l.l_discount')} AS volume_e4,
+                 n2.n_name AS nation
+          FROM lineitem l
+          JOIN part p     ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+          JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+          JOIN region r   ON r.r_regionkey = n1.n_regionkey
+          WHERE r.r_name = 'ASIA'
+            AND p.p_type = 'PROMO'
+            AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the deepest join tree in the suite (lineitem ×
+    part × supplier × orders × customer × nation×2 × region). Dims all
+    broadcast; the only big shuffle is lineitem⋈orders on l_orderkey.
+    The supplier-side nation (n2) survives to the conditional sum —
+    market share = NATION_1's fraction of promo volume into ASIA
+    customers. Integer-e4 volume keeps the ratio bit-portable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select("s_suppkey", "nation")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    n1 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    vol = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    return (
+        li.join(p, li["l_partkey"] == F.col("p_partkey"))
+        .join(s, li["l_suppkey"] == F.col("s_suppkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(0))
+                .cast("double")
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register("embedding_pca_project")  # rows-only: eigendecomposition has
+# no DuckDB twin; Spark≡numpy projection equality is pytest-pinned.
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA to 4 components: one covariance agg pass + driver eigh +
+    literal-eigenvector projection — see similarity.py:pca_project."""
+    from taxi_trips_etl_spark.dataprep.similarity import pca_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_project(emb, n_components=4).select(
+        "vec_id", F.col("pc").cast("array<double>").alias("pc")
+    )

@@ -179,3 +179,41 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     ratio = np.mean(np.array(d1) / np.array(d0))
     assert corr > 0.3, corr
     assert 0.5 < ratio < 1.5, ratio   # E[||proj||^2] = ||x||^2 (unbiased)
+
+
+def test_pca_project_matches_numpy_and_orders_variance(spark, sf_dir):
+    """pca_project == numpy PCA (same sign convention) to rounding
+    precision; component variances are non-increasing."""
+    import numpy as np
+
+    from taxi_trips_etl_spark.dataprep.similarity import pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = {
+        int(r["vec_id"]): np.array(r["pc"])
+        for r in pca_project(emb, n_components=4).collect()
+    }
+
+    pdf = emb.toPandas()
+    X = np.array([np.array(v, dtype=float) for v in pdf["embedding"]])
+    cov = (X.T @ X) / len(X) - np.outer(X.mean(0), X.mean(0))
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    comps = []
+    for i in order:
+        e = vecs[:, i]
+        nz = np.nonzero(np.abs(e) > 1e-12)[0]
+        if len(nz) and e[nz[0]] < 0:
+            e = -e
+        comps.append(e)
+    P = (X - X.mean(0)) @ np.array(comps).T
+    ref = {int(i): P[n] for n, i in enumerate(pdf["vec_id"].to_numpy())}
+
+    assert set(out) == set(ref)
+    worst = max(float(np.abs(out[i] - ref[i]).max()) for i in out)
+    assert worst < 1e-5, worst
+
+    # Variance ordering: pc1 >= pc2 >= pc3 >= pc4 in sample variance.
+    M = np.array([out[i] for i in sorted(out)])
+    v = M.var(axis=0)
+    assert all(v[i] >= v[i + 1] - 1e-12 for i in range(len(v) - 1)), v
