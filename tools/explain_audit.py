@@ -65,6 +65,9 @@ EXPECT = {
     "dup_ngram_coverage": ["HashAggregate"],
     "dsir_importance_weights": ["BroadcastHashJoin", "HashAggregate"],
     "unigram_logprob_buckets": ["BroadcastHashJoin", "HashAggregate"],
+    "tpch_market_share": ["BroadcastHashJoin", "HashAggregate"],
+    "session_window_agg": ["HashAggregate"],
+    "embedding_pca_project": ["codegen id"],
 }
 
 FORBID = {
@@ -112,6 +115,11 @@ FORBID = {
     "dup_ngram_coverage": ["BatchEvalPython", "CartesianProduct"],
     "dsir_importance_weights": ["BatchEvalPython", "SortMergeJoin"],
     "unigram_logprob_buckets": ["BatchEvalPython", "SortMergeJoin"],
+    "tpch_market_share": ["SortMergeJoin", "CartesianProduct",
+                          "BatchEvalPython"],
+    "session_window_agg": ["BatchEvalPython", "CartesianProduct"],
+    "embedding_pca_project": ["BatchEvalPython", "ArrowEvalPython",
+                              "Exchange", "Join"],
 }
 
 
