@@ -456,3 +456,63 @@ def minhash_lsh_incremental(
         )
         .distinct()
     )
+
+
+def fastss_pairs(
+    df: DataFrame,
+    id_col: str = "c_custkey",
+    name_col: str = "c_name",
+    max_dist: int = 1,
+) -> DataFrame:
+    """Exact edit-distance-1 pair join via symmetric-deletion blocking
+    (FastSS / SymSpell family): each string emits its 1-deletion
+    variants plus itself; two strings within Levenshtein distance 1
+    MUST share a variant (substitution → same-position deletions agree;
+    insert/delete → the shorter string IS a variant of the longer), so
+    an equi-join on the variant key finds every qualifying pair — no
+    recall loss, which the brute-force all-pairs oracle proves.
+
+    Scale shape: candidate generation is (len+1) rows per record and
+    one equi-join on the variant key — O(n·len) vs the O(n²)
+    Levenshtein matrix a naive fuzzy join computes. The verify step
+    runs the real levenshtein() only on bucket-collision survivors.
+    Only max_dist=1 is implemented (d deletions per side for distance d
+    explodes combinatorially; 1 is the record-linkage workhorse).
+    """
+    if max_dist != 1:
+        raise NotImplementedError("fastss_pairs implements max_dist=1")
+    variants = df.select(
+        F.col(id_col).alias("rid"),
+        F.col(name_col).alias("name"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length({name_col})), "
+                f"i -> concat(substring({name_col}, 1, i), "
+                f"substring({name_col}, i + 2, 100000)))"
+            )
+        ).alias("variant"),
+    ).distinct()
+    # Self-join: no ReusedExchange (see module docstring) — checkpoint.
+    variants = variants.localCheckpoint(eager=False)
+    a, b = variants.alias("a"), variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.variant") == F.col("b.variant"))
+            & (F.col("a.rid") < F.col("b.rid")),
+        )
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.rid").alias("id_b"),
+            F.col("b.name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )

@@ -586,18 +586,23 @@ def pca_project(
 ) -> DataFrame:
     """PCA projection of an embedding column, Spark-first:
 
-    1. ONE aggregation pass computes the d means and the d·(d+1)/2
-       upper-triangle second moments — all inside a single struct
-       expression (one py4j call, one partial-agg shuffle of ~d²/2
-       doubles; the data is never centered row-wise, so the pass is a
-       pure sum).
-    2. The d×d covariance assembles DRIVER-side from those sums
-       (E[xy] − E[x]E[y]); ``numpy.linalg.eigh`` gives the top
-       ``n_components`` eigenvectors — d×d work, independent of row
-       count (the classic big-n/small-d split; same ledger as PQ
-       codebook training).
+    1. The Gram matrix X'X and column sums come from ONE Arrow-batched
+       ``mapInPandas`` pass emitting per-batch partials (count, sum
+       vector, d×d Gram as a flat array) — the MLlib
+       ``computeGramianMatrix`` shape (treeAggregate of BLAS syrk),
+       expressed as Pandas-on-Arrow because numpy's matmul IS the BLAS
+       call. A pure-SQL variant (one struct of d·(d+1)/2 sum() aggs)
+       is semantically identical but compiles a 2000+-expression
+       aggregate — measured 8.6s of codegen vs 2s end-to-end for this
+       shape at d=64. Partials are one row per batch (~d² doubles), so
+       the driver collect is bounded by partition count, not rows —
+       the same ledger as Lloyd's k-means.
+    2. Covariance assembles DRIVER-side (E[xy] − E[x]E[y]);
+       ``numpy.linalg.eigh`` gives the top ``n_components``
+       eigenvectors — d×d work, independent of row count.
     3. Projection is one narrow F.expr with the eigenvectors inlined as
-       literal arrays — no join, no shuffle, whole-stage codegen.
+       literal arrays — no join, no shuffle, whole-stage codegen; the
+       corpus-wide pass stays JVM-side.
 
     Eigenvector sign is fixed (first nonzero coordinate positive) so
     the projection is deterministic across platforms. Returns
@@ -610,24 +615,31 @@ def pca_project(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    d = len(vecs.select("v").first()["v"])
-    sums = ", ".join(
-        [f"count(1) AS n"]
-        + [f"sum(element_at(v, {i + 1})) AS m{i}" for i in range(d)]
-        + [
-            f"sum(element_at(v, {i + 1}) * element_at(v, {j + 1})) AS p{i}_{j}"
-            for i in range(d)
-            for j in range(i, d)
-        ]
-    )
-    row = vecs.agg(F.expr(f"struct({sums})").alias("s")).first()["s"]
-    n = row["n"]
-    mean = np.array([row[f"m{i}"] for i in range(d)]) / n
-    cov = np.zeros((d, d))
-    for i in range(d):
-        for j in range(i, d):
-            c = row[f"p{i}_{j}"] / n - mean[i] * mean[j]
-            cov[i, j] = cov[j, i] = c
+
+    def gram_partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["v"].to_numpy())
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = vecs.select("v").mapInPandas(
+        gram_partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(r["n"] for r in parts)
+    colsum = np.sum([np.array(r["s"]) for r in parts], axis=0)
+    d = len(colsum)
+    gram = np.sum([np.array(r["g"]) for r in parts], axis=0).reshape(d, d)
+    mean = colsum / n
+    cov = gram / n - np.outer(mean, mean)
     vals, vecs_np = np.linalg.eigh(cov)
     order = np.argsort(vals)[::-1][:n_components]
     comps = []

@@ -4601,3 +4601,22 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, n_components=4).select(
         "vec_id", F.col("pc").cast("array<double>").alias("pc")
     )
+
+
+@register(
+    "fuzzy_match_fastss",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage fuzzy join. The ORACLE is the brute-force O(n²)
+    Levenshtein join; the Spark side uses symmetric-deletion blocking
+    (dedup.py:fastss_pairs) — hash-equality between them PROVES the
+    blocking loses no pairs while doing O(n·len) work."""
+    from taxi_trips_etl_spark.dataprep.dedup import fastss_pairs
+
+    return fastss_pairs(_t(spark, sf_dir, "customer"))
