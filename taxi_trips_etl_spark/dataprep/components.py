@@ -178,13 +178,18 @@ def connected_components_star(
         mins = sym.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
+        # eager=False: the lazy checkpoint still deduplicates the two
+        # downstream consumers (smallest + the join read the SAME
+        # materialized blocks at the small-star action), but skips the
+        # extra per-round job an eager checkpoint runs just to fill
+        # them — one action per round instead of two.
         large = (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("m").alias("a"), F.col("b").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # small-star: edges oriented large→small; u and its smaller
         # neighbors all link to the smallest.

@@ -4620,3 +4620,49 @@ def q_fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.dataprep.dedup import fastss_pairs
 
     return fastss_pairs(_t(spark, sf_dir, "customer"))
+
+
+@register(
+    "tpch_top_supplier",
+    f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum({_REV_E4}) AS BIGINT) AS total_revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' is built once and consumed
+    twice (per-supplier totals + the scalar max) — a lazy checkpoint
+    materializes it once, mirroring the spec's CREATE VIEW, and the
+    scalar max comes back as a broadcast filter, not a second
+    aggregation of lineitem."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("total_revenue_e4"))
+        .localCheckpoint(eager=False)
+    )
+    best = revenue.agg(F.max("total_revenue_e4").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(best),
+                     F.col("total_revenue_e4") == F.col("mx"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_e4")
+        .orderBy("s_suppkey")
+    )
