@@ -4666,3 +4666,14 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue_e4")
         .orderBy("s_suppkey")
     )
+
+
+@register("streaming_session_window", _SESSION_WINDOW_SQL)
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of session_window_agg: same oracle — AvailableNow
+    over the static events dir must equal the batch session windows."""
+    from taxi_trips_etl_spark.streaming.session_window import (
+        run_streaming_session_window,
+    )
+
+    return run_streaming_session_window(spark, f"{sf_dir}/events.parquet")

@@ -1,0 +1,74 @@
+"""Streaming NATIVE session windows (F.session_window + watermark).
+
+The streaming twin of the batch ``session_window_agg`` query: Spark's
+dedicated session-window state store merges/extends sessions as events
+arrive — no applyInPandasWithState needed when the per-session output
+is an aggregate (the arbitrary-state sessionizer in sessionize.py
+remains the tool when per-session custom payloads are required).
+
+State at scale: keyed by (user_id, session); the watermark closes
+sessions whose end precedes it, so state is bounded by ACTIVE sessions,
+not history. ``Trigger.AvailableNow`` + complete mode over a static
+directory makes the output equal the batch query bit-for-bit — which is
+exactly what the shared DuckDB oracle asserts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.streaming.stream_join import _event_stream
+
+
+def streaming_session_window(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming DF: (user_id, session_window, n_events)."""
+    stream = _event_stream(spark, events_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_streaming_session_window(
+    spark: SparkSession,
+    events_dir: str,
+    sink_table: str = "session_windows",
+    state_partitions: int = 8,
+) -> DataFrame:
+    """Run to completion (AvailableNow, complete mode) → flat table.
+
+    ``state_partitions`` sizes the session state store exactly like the
+    stream-stream join runner (see stream_join.py): store-commit
+    overhead scales with partition count, not data.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_session_window(spark, events_dir)
+            .writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    return spark.table(sink_table).select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
