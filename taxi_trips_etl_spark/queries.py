@@ -3129,11 +3129,40 @@ def q_streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("dedup_components")  # rows-only: iterative label propagation
+_COMPONENTS_SQL = f"""
+    WITH RECURSIVE fp AS ({_simhash_fp_sql()}),
+    banded AS (
+        SELECT doc_id, simhash, b.band_id,
+               (simhash >> (b.band_id * 15)) & 32767 AS band_val
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+            UNION SELECT doc_id_b, doc_id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
+    )
+    SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", _COMPONENTS_SQL)
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over SimHash near-dup pairs → canonical
-    component id per doc. Iterative, hence rows-only; chain/clique
-    correctness and min-label≡star equality are pytest-verified.
+    component id per doc. The iterative star contraction is verified
+    EXACTLY against a DuckDB recursive-CTE transitive closure (min
+    reachable id per node) — feasible because near-dup components are
+    small; chain/clique correctness and min-label≡star equality are
+    additionally pytest-verified.
 
     Uses star contraction (O(log n) rounds, depth-proof) — measured
     ~25% faster than min-label on this input at sf0.1 with an
