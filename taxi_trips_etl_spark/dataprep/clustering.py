@@ -24,12 +24,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sq_dist(vec, cent) -> "F.Column":
-    return F.aggregate(
-        F.zip_with(vec, cent, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _sql_double(x) -> str:
+    """SQL double literal that survives non-finite values (repr(nan)
+    would emit the unparseable token ``nanD``)."""
+    import math
+
+    x = float(x)
+    if math.isnan(x):
+        return "double('NaN')"
+    if math.isinf(x):
+        return f"double('{'-' if x < 0 else ''}Infinity')"
+    return f"{x!r}D"
 
 
 def kmeans_assign(
@@ -64,7 +69,7 @@ def kmeans_assign(
         # ~0.5 s of driver time PER ITERATION before any task ran (the
         # same construction trap as similarity.pq_topk — see there).
         def arr(xs: list[float]) -> str:
-            return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+            return "array(" + ",".join(_sql_double(x) for x in xs) + ")"
 
         dists = F.expr(
             "array("

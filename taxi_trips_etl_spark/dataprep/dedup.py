@@ -488,7 +488,7 @@ def fastss_pairs(
             F.expr(
                 f"transform(sequence(0, length({name_col})), "
                 f"i -> concat(substring({name_col}, 1, i), "
-                f"substring({name_col}, i + 2, 100000)))"
+                f"substring({name_col}, i + 2, length({name_col}))))"
             )
         ).alias("variant"),
     ).distinct()

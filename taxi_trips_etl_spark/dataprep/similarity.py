@@ -438,8 +438,10 @@ def pq_topk(
     # objects that was ~6 s of DRIVER time before a single task ran.
     # Building each expression as ONE SQL string (parsed JVM-side by
     # F.expr) collapses thousands of round-trips into m + n_queries.
+    from taxi_trips_etl_spark.dataprep.clustering import _sql_double
+
     def _arr(xs) -> str:
-        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+        return "array(" + ",".join(_sql_double(x) for x in xs) + ")"
 
     def _sqd_sql(s: int, cent_row) -> str:
         return (
@@ -634,6 +636,8 @@ def pca_project(
     parts = vecs.select("v").mapInPandas(
         gram_partials, "n long, s array<double>, g array<double>"
     ).collect()
+    if not parts:
+        raise ValueError("pca_project: embeddings input is empty")
     n = sum(r["n"] for r in parts)
     colsum = np.sum([np.array(r["s"]) for r in parts], axis=0)
     d = len(colsum)
@@ -650,8 +654,10 @@ def pca_project(
             e = -e
         comps.append(e)
 
+    from taxi_trips_etl_spark.dataprep.clustering import _sql_double
+
     def arr(xs) -> str:
-        return "array(" + ",".join(f"{float(x)!r}D" for x in xs) + ")"
+        return "array(" + ",".join(_sql_double(x) for x in xs) + ")"
 
     # pc_j(v) = <v, e_j> - <mean, e_j>  (centering folded into a
     # precomputed scalar so the row expression is a pure dot product).

@@ -149,12 +149,19 @@ _R2_VERIFIED: tuple[str, ...] = (
     "window_first_last", "window_moving_sum", "winnowing_fingerprints",
     "winnowing_near_dup_pairs", "zorder_key_customers",
 )
-_VERIFIED_ROUNDS: dict[str, tuple[int, ...]] = {
-    name: (2,) for name in _R2_VERIFIED
-}
-_VERIFIED_ROUNDS.update({
-    name: (1,)
-    for name in (
+# Merge-safe accumulation: a name green in several rounds keeps ALL its
+# rounds (max() drives the rotation) — append new rounds via _mark_verified
+# so re-verifications never clobber history.
+_VERIFIED_ROUNDS: dict[str, tuple[int, ...]] = {}
+
+
+def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
+    for n in names:
+        _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
+
+
+_mark_verified(2, _R2_VERIFIED)
+_mark_verified(1, (
         "normalize_filter", "daypart_case", "window_dedup_rank",
         "broadcast_left_join", "composite_key_join", "most_populars_flat",
         "daily_metrics", "global_count", "topk_limit", "rank_topk",
@@ -172,8 +179,7 @@ _VERIFIED_ROUNDS.update({
         "sessionize_events", "profile_columns", "asof_join_purchases",
         "range_join_windows", "json_extract_props", "string_functions",
         "pivot_event_types",
-    )
-})
+    ))
 
 
 def register(name: str, oracle: str | None = None):
@@ -3950,7 +3956,7 @@ def q_tpch_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = o.join(
         li,
         (li["l_orderkey"] == o["o_orderkey"])
-        & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 30)),
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
         "left_semi",
     )
     return (

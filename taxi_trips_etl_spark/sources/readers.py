@@ -72,14 +72,24 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
       in this repo set it at session build (session.py), and we assert
       it here so a foreign session can't silently mis-scale;
     - the NTZ→TIMESTAMP cast is value-preserving only under a UTC
-      session timezone, so we pin ``spark.sql.session.timeZone=UTC``
-      ourselves instead of trusting the entry point that built the
-      session (streaming entry points historically didn't).
+      session timezone. Like the nanosAsLong check below, we RAISE on a
+      non-UTC session instead of silently flipping a global conf a
+      caller may have set deliberately (the cast evaluates lazily, so a
+      set-and-restore here would not even govern execution time). Every
+      entry point in this repo pins UTC itself (queries._utc, the
+      streaming readers).
     """
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"normalize_event_ts requires a UTC session timezone "
+            f"(got {tz!r}): the NTZ->TIMESTAMP cast reinterprets "
+            "wall-clock in the session zone. Set "
+            "spark.sql.session.timeZone=UTC at the entry point."
+        )
     t = dict(df.dtypes).get(ts_col)
     if t == "bigint":
         nanos_as_long = spark.conf.get(

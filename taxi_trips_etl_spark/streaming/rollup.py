@@ -31,6 +31,7 @@ def streaming_daypart_rollup(
     from taxi_trips_etl_spark.sources.readers import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(events_dir)  # schema from footer
     # The streaming file source wants a directory: when handed a single
     # file, stream its parent dir with a glob filter on the filename.

@@ -44,13 +44,14 @@ def run_streaming_session_window(
 ) -> DataFrame:
     """Run to completion (AvailableNow, complete mode) → flat table.
 
-    ``state_partitions`` sizes the session state store exactly like the
-    stream-stream join runner (see stream_join.py): store-commit
-    overhead scales with partition count, not data.
+    ``state_partitions`` sizes the session state store — see
+    streaming/state.py for the sizing rule.
     """
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    from taxi_trips_etl_spark.streaming.state import (
+        state_partitions as _pin,
+    )
+
+    with _pin(spark, state_partitions):
         q = (
             streaming_session_window(spark, events_dir)
             .writeStream.format("memory")
@@ -60,8 +61,6 @@ def run_streaming_session_window(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(sink_table).select(
         "user_id",
         F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(

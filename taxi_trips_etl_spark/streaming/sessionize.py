@@ -122,6 +122,7 @@ def streaming_sessionize(
     lets AvailableNow runs terminate deterministically.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
         parent, fname = os.path.split(events_dir)

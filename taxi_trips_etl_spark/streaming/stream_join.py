@@ -28,6 +28,7 @@ def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.sources.readers import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
         parent, fname = os.path.split(events_dir)
@@ -91,20 +92,16 @@ def run_streaming_click_attribution(
     """Run to completion over a static dir (AvailableNow) — output
     equals the batch join.
 
-    ``state_partitions`` sizes the join's state stores: a stream-stream
-    join keeps FOUR stores per shuffle partition (key-to-count +
-    key-with-index per side), each committing a delta to the checkpoint
-    every micro-batch — so partition count multiplies per-batch commit
-    overhead whether or not the partitions hold data. Size it to key
-    cardinality × event rate, NOT to the batch shuffle default (32
-    here; 8 measures ~2× faster on this workload with identical
-    output). The conf is pinned at query START (state stores cannot be
-    re-partitioned later without a checkpoint rebuild), then restored
-    for subsequent batch work.
+    ``state_partitions`` sizes the join's state stores — a
+    stream-stream join keeps FOUR per shuffle partition (key-to-count +
+    key-with-index per side); see streaming/state.py for the sizing
+    rule (8 vs the batch 32 measures ~2× faster here, same output).
     """
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
+    from taxi_trips_etl_spark.streaming.state import (
+        state_partitions as _pin,
+    )
+
+    with _pin(spark, state_partitions):
         q = (
             streaming_click_attribution(spark, events_dir)
             .writeStream.format("memory")
@@ -114,6 +111,4 @@ def run_streaming_click_attribution(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(sink_table)
