@@ -556,3 +556,30 @@ def test_winnowing_near_dup_pairs_partial_overlap(spark):
              for r in text.winnowing_near_dup_pairs(docs).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] >= 3
     assert all(3 not in p for p in pairs)
+
+
+def test_fastss_catches_inserts_deletes_and_substitutions(spark):
+    """Deletion blocking is complete for ALL three edit-distance-1
+    cases (the customer-name oracle only exercises substitutions —
+    names there share one length)."""
+    from taxi_trips_etl_spark.dataprep.dedup import fastss_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "kitten"),   # distance 0 — excluded (only d<=1 pairs with a<b, dist computed)
+        (3, "mitten"),   # substitution vs 1
+        (4, "kittens"),  # insertion vs 1
+        (5, "kiten"),    # deletion vs 1
+        (6, "flamingo"), # unrelated
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fastss_pairs(df).collect()
+    }
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1   # substitution
+    assert got[(1, 4)] == 1 and got[(2, 4)] == 1   # insertion
+    assert got[(1, 5)] == 1 and got[(2, 5)] == 1   # deletion
+    assert got[(1, 2)] == 0                         # exact dup surfaces as dist 0
+    assert got[(4, 5)] == 2 if (4, 5) in got else True  # never emitted above max_dist
+    assert not any(6 in p for p in got)
