@@ -4712,3 +4712,53 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_session_window(spark, f"{sf_dir}/events.parquet")
+
+
+@register(
+    "dedup_canonicalize",
+    f"""
+    WITH RECURSIVE fp AS ({_simhash_fp_sql()}),
+    banded AS (
+        SELECT doc_id, simhash, b.band_id,
+               (simhash >> (b.band_id * 15)) & 32767 AS band_val
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    prs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM prs
+            UNION SELECT doc_id_b, doc_id_a FROM prs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component_id
+             FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.doc_id = c.component_id
+    """,
+)
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end component-aware dedup: SimHash pairs → connected
+    components → keep exactly the component minimum per near-dup
+    cluster (plus every untouched doc). Unlike keep-first pair
+    dropping, cliques/chains lose all but ONE member — the oracle is
+    the recursive-CTE closure, so the whole LSH→components→survivors
+    composition is hash-verified."""
+    from taxi_trips_etl_spark.dataprep.components import (
+        canonicalize_near_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_duplicates(docs)
+    return canonicalize_near_dups(docs, pairs).select(
+        "doc_id", "lang", "source"
+    )
