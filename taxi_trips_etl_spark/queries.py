@@ -4762,3 +4762,66 @@ def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonicalize_near_dups(docs, pairs).select(
         "doc_id", "lang", "source"
     )
+
+
+_SPLIT_CASE = (
+    "CASE WHEN CAST(concat('0x', substr(md5('split:' || "
+    "CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < "
+    f"{int(0.2 * (1 << 32))} THEN 'test' ELSE 'train' END"
+)
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH fp AS ({_simhash_fp_sql()}),
+    banded AS (
+        SELECT doc_id, simhash, b.band_id,
+               (simhash >> (b.band_id * 15)) & 32767 AS band_val
+        FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_id) b
+    ),
+    prs AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM banded a JOIN banded b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ),
+    sp AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+    SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+           CAST(sum(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_pairs
+    FROM prs
+    JOIN sp sa ON prs.doc_id_a = sa.doc_id
+    JOIN sp sb ON prs.doc_id_b = sb.doc_id
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: near-dup pairs whose members
+    land on OPPOSITE sides of the hash split are eval-set leakage (the
+    reason dedup-then-split must key on the canonical id). One number
+    to alert on per corpus build; the pair side reuses the SimHash
+    candidate shuffle, the split side is a scan-side hash expression."""
+    from taxi_trips_etl_spark.dataprep.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_duplicates(docs)
+    split = train_test_split(docs, key="doc_id").select("doc_id", "split")
+    return (
+        pairs.join(
+            split.select(F.col("doc_id").alias("doc_id_a"),
+                         F.col("split").alias("split_a")),
+            "doc_id_a",
+        )
+        .join(
+            split.select(F.col("doc_id").alias("doc_id_b"),
+                         F.col("split").alias("split_b")),
+            "doc_id_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_near_dup_pairs"),
+            F.sum(
+                (F.col("split_a") != F.col("split_b")).cast("long")
+            ).alias("n_leaked_pairs"),
+        )
+    )
