@@ -4825,3 +4825,73 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_leaked_pairs"),
         )
     )
+
+
+@register(
+    "embedding_canonicalize",
+    """
+    WITH RECURSIVE e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+               array_to_string(list_transform(embedding[1:6],
+                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+        FROM embeddings
+    ),
+    prs AS (
+        SELECT vec_id_a, vec_id_b FROM (
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(
+                       list_sum(list_transform(generate_series(1, len(a.emb)),
+                                               i -> a.emb[i] * b.emb[i]))
+                       / (sqrt(list_sum(list_transform(
+                              generate_series(1, len(a.emb)),
+                              i -> a.emb[i] * a.emb[i])))
+                          * sqrt(list_sum(list_transform(
+                              generate_series(1, len(b.emb)),
+                              i -> b.emb[i] * b.emb[i])))),
+                       6) AS cosine
+            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.3
+    ),
+    sym AS (SELECT vec_id_a AS a, vec_id_b AS b FROM prs
+            UNION SELECT vec_id_b, vec_id_a FROM prs),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
+    ),
+    comp AS (SELECT node AS vec_id, min(r) AS component_id
+             FROM reach GROUP BY node)
+    SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
+    FROM embeddings em
+    LEFT JOIN comp c ON em.vec_id = c.vec_id
+    WHERE c.vec_id IS NULL OR c.vec_id = c.component_id
+    """,
+)
+def q_embedding_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space dedup end to end: sign-LSH cosine near-dup
+    pairs → connected components → keep one vector (the component
+    minimum) per semantic cluster. The embedding twin of
+    dedup_canonicalize, hash-verified through the same recursive-CTE
+    closure oracle."""
+    from taxi_trips_etl_spark.dataprep.components import (
+        connected_components_star,
+    )
+    from taxi_trips_etl_spark.dataprep.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb)
+    comp = connected_components_star(
+        pairs, a_col="vec_id_a", b_col="vec_id_b"
+    )
+    keep = comp.filter(F.col("doc_id") == F.col("component_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    in_graph = comp.select(F.col("doc_id").alias("vec_id"))
+    untouched = emb.select("vec_id").join(in_graph, "vec_id", "left_anti")
+    survivors = untouched.unionByName(keep)
+    return emb.join(survivors, "vec_id").select(
+        "vec_id", F.col("label").cast("long").alias("label")
+    )
