@@ -4895,3 +4895,52 @@ def q_embedding_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(survivors, "vec_id").select(
         "vec_id", F.col("label").cast("long").alias("label")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH o AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS from_type,
+               event_type AS to_type
+        FROM o
+    ),
+    t AS (SELECT from_type, to_type, count(*) AS n
+          FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM t
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type Markov transitions: lag over (ts, event_id)
+    builds the bigram stream, one partial-agg shuffle counts the
+    |types|² matrix, and row-normalized probabilities come from a
+    window over the TINY aggregated matrix — never the event stream.
+    The classic session-behavior feature for recommendation/anomaly
+    models."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_row = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(w_row), 6).alias(
+            "p"
+        ),
+    )
