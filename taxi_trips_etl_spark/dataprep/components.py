@@ -228,14 +228,28 @@ def connected_components_star(
     )
 
 
-def canonicalize_near_dups(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Component-aware dedup: keep exactly one doc (the component min)
-    per near-dup component; untouched docs pass through."""
-    comp = connected_components(pairs)
+def canonicalize_near_dups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """Component-aware dedup: keep exactly one record (the component
+    min) per near-dup component; untouched records pass through.
+
+    Uses star contraction (O(log n) rounds) so depth-proofness holds on
+    chain-shaped graphs too — min-label's O(diameter) warning path can
+    never under-merge here. Column names are parameters so the text
+    (doc_id) and embedding (vec_id) paths share this implementation.
+    """
+    comp = connected_components_star(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("doc_id").alias(id_col), "component_id"
+    )
     keep_from_components = comp.filter(
-        F.col("doc_id") == F.col("component_id")
-    ).select("doc_id")
-    in_graph = comp.select("doc_id")
-    untouched = docs.select("doc_id").join(in_graph, "doc_id", "left_anti")
+        F.col(id_col) == F.col("component_id")
+    ).select(id_col)
+    in_graph = comp.select(id_col)
+    untouched = docs.select(id_col).join(in_graph, id_col, "left_anti")
     keepers = untouched.unionByName(keep_from_components)
-    return docs.join(keepers, "doc_id")
+    return docs.join(keepers, id_col)

@@ -2251,9 +2251,7 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_near_dup",
-    """
+_EMB_PAIRS_SQL = """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
                array_to_string(list_transform(embedding[1:6],
@@ -2272,7 +2270,12 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    6) AS cosine
         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.3
-    """,
+"""
+
+
+@register(
+    "embedding_near_dup",
+    _EMB_PAIRS_SQL,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: sign-LSH bucket candidates + exact
@@ -4717,32 +4720,9 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_canonicalize",
     f"""
-    WITH RECURSIVE fp AS ({_simhash_fp_sql()}),
-    banded AS (
-        SELECT doc_id, simhash, b.band_id,
-               (simhash >> (b.band_id * 15)) & 32767 AS band_val
-        FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_id) b
-    ),
-    prs AS (
-        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
-        FROM banded a JOIN banded b
-          ON a.band_id = b.band_id AND a.band_val = b.band_val
-         AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    ),
-    sym AS (SELECT doc_id_a AS a, doc_id_b AS b FROM prs
-            UNION SELECT doc_id_b, doc_id_a FROM prs),
-    nodes AS (SELECT DISTINCT a AS node FROM sym),
-    reach(node, r) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
-    ),
-    comp AS (SELECT node AS doc_id, min(r) AS component_id
-             FROM reach GROUP BY node)
     SELECT d.doc_id, d.lang, d.source
     FROM documents d
-    LEFT JOIN comp c ON d.doc_id = c.doc_id
+    LEFT JOIN ({_COMPONENTS_SQL}) c ON d.doc_id = c.doc_id
     WHERE c.doc_id IS NULL OR c.doc_id = c.component_id
     """,
 )
@@ -4827,31 +4807,8 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_canonicalize",
-    """
-    WITH RECURSIVE e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               array_to_string(list_transform(embedding[1:6],
-                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
-        FROM embeddings
-    ),
-    prs AS (
-        SELECT vec_id_a, vec_id_b FROM (
-            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
-                   round(
-                       list_sum(list_transform(generate_series(1, len(a.emb)),
-                                               i -> a.emb[i] * b.emb[i]))
-                       / (sqrt(list_sum(list_transform(
-                              generate_series(1, len(a.emb)),
-                              i -> a.emb[i] * a.emb[i])))
-                          * sqrt(list_sum(list_transform(
-                              generate_series(1, len(b.emb)),
-                              i -> b.emb[i] * b.emb[i])))),
-                       6) AS cosine
-            FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        ) WHERE cosine >= 0.3
-    ),
+_EMB_COMPONENTS_SQL = f"""
+    WITH RECURSIVE prs AS ({_EMB_PAIRS_SQL}),
     sym AS (SELECT vec_id_a AS a, vec_id_b AS b FROM prs
             UNION SELECT vec_id_b, vec_id_a FROM prs),
     nodes AS (SELECT DISTINCT a AS node FROM sym),
@@ -4859,12 +4816,17 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT node, node FROM nodes
         UNION
         SELECT re.node, s.b FROM reach re JOIN sym s ON re.r = s.a
-    ),
-    comp AS (SELECT node AS vec_id, min(r) AS component_id
-             FROM reach GROUP BY node)
+    )
+    SELECT node AS vec_id, min(r) AS component_id FROM reach GROUP BY node
+"""
+
+
+@register(
+    "embedding_canonicalize",
+    f"""
     SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
     FROM embeddings em
-    LEFT JOIN comp c ON em.vec_id = c.vec_id
+    LEFT JOIN ({_EMB_COMPONENTS_SQL}) c ON em.vec_id = c.vec_id
     WHERE c.vec_id IS NULL OR c.vec_id = c.component_id
     """,
 )
@@ -4875,7 +4837,7 @@ def q_embedding_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_canonicalize, hash-verified through the same recursive-CTE
     closure oracle."""
     from taxi_trips_etl_spark.dataprep.components import (
-        connected_components_star,
+        canonicalize_near_dups,
     )
     from taxi_trips_etl_spark.dataprep.similarity import (
         embedding_near_dup_pairs,
@@ -4883,18 +4845,9 @@ def q_embedding_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_pairs(emb)
-    comp = connected_components_star(
-        pairs, a_col="vec_id_a", b_col="vec_id_b"
-    )
-    keep = comp.filter(F.col("doc_id") == F.col("component_id")).select(
-        F.col("doc_id").alias("vec_id")
-    )
-    in_graph = comp.select(F.col("doc_id").alias("vec_id"))
-    untouched = emb.select("vec_id").join(in_graph, "vec_id", "left_anti")
-    survivors = untouched.unionByName(keep)
-    return emb.join(survivors, "vec_id").select(
-        "vec_id", F.col("label").cast("long").alias("label")
-    )
+    return canonicalize_near_dups(
+        emb, pairs, id_col="vec_id", a_col="vec_id_a", b_col="vec_id_b"
+    ).select("vec_id", F.col("label").cast("long").alias("label"))
 
 
 @register(

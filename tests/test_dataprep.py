@@ -566,7 +566,7 @@ def test_fastss_catches_inserts_deletes_and_substitutions(spark):
 
     rows = [
         (1, "kitten"),
-        (2, "kitten"),   # distance 0 — excluded (only d<=1 pairs with a<b, dist computed)
+        (2, "kitten"),   # exact dup: emitted as a distance-0 pair
         (3, "mitten"),   # substitution vs 1
         (4, "kittens"),  # insertion vs 1
         (5, "kiten"),    # deletion vs 1
@@ -581,5 +581,5 @@ def test_fastss_catches_inserts_deletes_and_substitutions(spark):
     assert got[(1, 4)] == 1 and got[(2, 4)] == 1   # insertion
     assert got[(1, 5)] == 1 and got[(2, 5)] == 1   # deletion
     assert got[(1, 2)] == 0                         # exact dup surfaces as dist 0
-    assert got[(4, 5)] == 2 if (4, 5) in got else True  # never emitted above max_dist
+    assert (4, 5) not in got                        # dist 2: above max_dist
     assert not any(6 in p for p in got)
