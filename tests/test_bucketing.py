@@ -44,3 +44,46 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime row-level filtering: a selective dim filter injects a
+    bloom_filter_agg on the build side and a might_contain probe on the
+    fact side (the shuffle-reduction lever when broadcast is off /
+    impossible). At 100 TB the defaults trigger this on their own —
+    the scan-size threshold is lowered here only because the test
+    corpus is tiny."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "1GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        plan = j._jdf.queryExecution().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        # And the filtered result is still correct.
+        expect = (
+            li.join(o.hint("broadcast"), li["l_orderkey"] == o["o_orderkey"])
+            .count()
+        )
+        assert j.count() == expect
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
