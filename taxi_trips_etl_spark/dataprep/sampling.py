@@ -110,3 +110,15 @@ def domain_mixture_sample(
         .filter(_key_bucket(F.col(key), salt) < F.col("_threshold"))
         .drop("_threshold")
     )
+
+
+def kfold_assign(
+    df: DataFrame, key: str, k: int = 5, salt: str = "fold"
+) -> DataFrame:
+    """Adds a ``fold`` column in [0, k): hash-keyed cross-validation
+    folds. Same key → same fold forever (append-stable, like
+    :func:`train_test_split`); fold i's holdout is ``fold == i`` and
+    training is everything else — no RNG, no state to persist."""
+    return df.withColumn(
+        "fold", (_key_bucket(F.col(key), salt) % k).cast("long")
+    )

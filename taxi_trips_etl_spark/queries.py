@@ -4897,3 +4897,26 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p"
         ),
     )
+
+
+@register(
+    "kfold_assignment",
+    f"""
+    SELECT fold, count(*) AS n, min(doc_id) AS min_doc
+    FROM (SELECT doc_id,
+                 CAST(concat('0x', substr(md5('fold:' ||
+                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 AS fold
+          FROM documents)
+    GROUP BY 1
+    """,
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-keyed 5-fold CV assignment (append-stable, RNG-free) —
+    the k-fold sibling of train_test_split."""
+    from taxi_trips_etl_spark.dataprep.sampling import kfold_assign
+
+    return (
+        kfold_assign(_t(spark, sf_dir, "documents"), key="doc_id", k=5)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
+    )
