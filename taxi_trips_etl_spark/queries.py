@@ -4920,3 +4920,72 @@ def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fold")
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc"))
     )
+
+
+@register(
+    "tpch_disjunctive_pricing",
+    f"""
+    SELECT CAST(sum({_REV_E4}) AS BIGINT) AS revenue_e4,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_disjunctive_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR-of-ANDs join predicate. Catalyst must
+    extract the common join key (equi on p_partkey), push the
+    quantity-range disjunction's union bounds (1..30) to the lineitem
+    scan, and evaluate the full disjunction post-join — the predicate
+    never degrades the join to a nested loop. Adapted to the available
+    columns (no p_container/l_shipmode in this testdata)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(p, li["l_partkey"] == F.col("p_partkey"))
+        .filter(cond)
+        .agg(F.sum(rev).alias("revenue_e4"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@register(
+    "window_range_interval",
+    """
+    SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_30d_cents
+    FROM orders
+    """,
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time (not ROWS): per customer, revenue in
+    the trailing 30 DAYS — the frame is value-based, so same-day orders
+    aggregate together and gaps matter, unlike a row-count frame.
+    Spark's rangeBetween needs a numeric ordering key → order by epoch
+    seconds with a 2 592 000-second preceding bound; the oracle uses
+    the identical numeric frame, making the semantics engine-portable
+    by construction."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, 0)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return o.select(
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(cents).over(w).alias("trailing_30d_cents"),
+    )
