@@ -4989,3 +4989,37 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.sum(cents).over(w).alias("trailing_30d_cents"),
     )
+
+
+@register(
+    "unpivot_metrics",
+    """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                   AS total_qty,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+        FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (total_qty, n_lines, n_orders))
+    """,
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long reshape): the inverse of pivot_event_types.
+    Spark's native unpivot keeps it one narrow projection (each input
+    row fans out to n_metrics rows — no shuffle beyond the upstream
+    agg); metric/value long form is what plotting and metric-store
+    sinks consume."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.round("l_quantity").cast("long")).alias("total_qty"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["total_qty", "n_lines", "n_orders"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
