@@ -68,6 +68,12 @@ EXPECT = {
     "tpch_market_share": ["BroadcastHashJoin", "HashAggregate"],
     "session_window_agg": ["HashAggregate"],
     "embedding_pca_project": ["codegen id"],
+    "tpch_disjunctive_pricing": ["BroadcastHashJoin", "HashAggregate"],
+    "window_range_interval": ["Window"],
+    "unpivot_metrics": ["Expand", "HashAggregate"],
+    "event_transition_matrix": ["Window", "HashAggregate"],
+    "kfold_assignment": ["HashAggregate"],
+    "split_leakage_audit": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 FORBID = {
@@ -120,6 +126,14 @@ FORBID = {
     "session_window_agg": ["BatchEvalPython", "CartesianProduct"],
     "embedding_pca_project": ["BatchEvalPython", "ArrowEvalPython",
                               "Exchange", "Join"],
+    "tpch_disjunctive_pricing": ["CartesianProduct", "SortMergeJoin",
+                                 "BatchEvalPython"],
+    "window_range_interval": ["BatchEvalPython", "CartesianProduct"],
+    "unpivot_metrics": ["BatchEvalPython", "CartesianProduct"],
+    "event_transition_matrix": ["BatchEvalPython", "CartesianProduct"],
+    "kfold_assignment": ["BatchEvalPython", "CartesianProduct"],
+    "split_leakage_audit": ["CartesianProduct", "BatchEvalPython",
+                            "SortMergeJoin"],
 }
 
 
