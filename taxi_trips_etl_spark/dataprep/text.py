@@ -808,3 +808,71 @@ def unigram_logprob_score(
         .cast("long")
         .alias("ppl_bucket"),
     )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+    text: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval (Robertson/Spärck Jones): rank documents
+    for a bag-of-terms query — the lexical complement to the
+    embedding-based semantic_search path (production retrieval is
+    usually the hybrid of both).
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·len/avglen)),
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Shape at scale: one token explode filtered to the query terms
+    (tiny posting subset — the filter pushes into the explode
+    projection), per-(doc, term) tf aggregation, a broadcast of the
+    |terms|-row df/idf table, and a document-length table joined by
+    doc_id. Nothing touches non-query terms after the filter; the
+    global stats (N, avg length) broadcast as a one-row cross join.
+    """
+    toks = tokens_col(text)
+    lens = docs.select(
+        "doc_id", F.size(toks).cast("double").alias("dl")
+    )
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    posting = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term").isin(query_terms))
+    )
+    tf = posting.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = df_.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * F.col("tf")
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_n)
+    )

@@ -5023,3 +5023,40 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+_BM25_TERMS = ("join", "hash", "filter")
+_BM25_SQL = f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(len({TOKS_SQL}) AS DOUBLE) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+    posting AS (
+        SELECT doc_id, tok AS term
+        FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+        WHERE tok IN ('join', 'hash', 'filter')
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM posting GROUP BY 1, 2),
+    dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+    idf AS (SELECT term,
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+            FROM dfx CROSS JOIN stats)
+    SELECT doc_id, round(sum(idf * tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                   / avgdl))), 6) AS bm25
+    FROM tf JOIN idf USING (term) JOIN lens USING (doc_id)
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 20
+"""
+
+
+@register("bm25_keyword_search", _BM25_SQL)
+def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the query {join, hash, filter} — see
+    dataprep/text.py:bm25_search."""
+    from taxi_trips_etl_spark.dataprep.text import bm25_search
+
+    return bm25_search(
+        _t(spark, sf_dir, "documents"), list(_BM25_TERMS), top_n=20
+    )
