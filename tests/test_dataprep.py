@@ -583,3 +583,46 @@ def test_fastss_catches_inserts_deletes_and_substitutions(spark):
     assert got[(1, 2)] == 0                         # exact dup surfaces as dist 0
     assert (4, 5) not in got                        # dist 2: above max_dist
     assert not any(6 in p for p in got)
+
+
+def test_fastss_equals_bruteforce_on_random_corpus(spark):
+    """Exactness on a seeded random corpus over a tiny alphabet (lots
+    of near-collisions): fastss_pairs must equal the all-pairs
+    Levenshtein ground truth computed in Python."""
+    import random
+
+    from taxi_trips_etl_spark.dataprep.dedup import fastss_pairs
+
+    rng = random.Random(42)
+    names = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 6)))
+        for _ in range(60)
+    ]
+    rows = [(i, s) for i, s in enumerate(names)]
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (i, j): lev(a, b)
+        for i, a in rows
+        for j, b in rows
+        if i < j and lev(a, b) <= 1
+    }
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fastss_pairs(df).collect()
+    }
+    assert got == want and len(want) > 0
