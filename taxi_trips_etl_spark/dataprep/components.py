@@ -152,11 +152,13 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Derived from the already-checkpointed edge list and consumed
+    # exactly once (the final mapping join), so it needs neither its
+    # own checkpoint nor an upfront materialization job.
     all_nodes = (
         edges.select(F.col("a").alias("node"))
         .unionByName(edges.select(F.col("b").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def signature(e: DataFrame) -> tuple[int, int]:
