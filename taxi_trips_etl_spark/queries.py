@@ -5060,3 +5060,153 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_search(
         _t(spark, sf_dir, "documents"), list(_BM25_TERMS), top_n=20
     )
+
+
+@register(
+    "tpch_sales_opportunity",
+    """
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS totacctbal_cents
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q_tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted — no c_phone country codes in this
+    testdata): above-average-balance customers with NO orders. The
+    scalar subquery evaluates once and broadcasts as a filter; NOT
+    EXISTS decorrelates to a LEFT ANTI join on o_custkey. Both are the
+    shapes that keep this one scan of each table."""
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("ab"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "totacctbal_cents"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "string_agg_ordered",
+    """
+    SELECT l_returnflag, l_linestatus,
+           string_agg(DISTINCT l_shipmode_proxy, ','
+                      ORDER BY l_shipmode_proxy) AS modes
+    FROM (SELECT l_returnflag, l_linestatus,
+                 concat('M', CAST(l_linenumber % 4 AS VARCHAR))
+                     AS l_shipmode_proxy
+          FROM lineitem)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): collect_set →
+    array_sort → concat_ws gives deterministic order regardless of
+    partitioning — the portable form of an ORDER BY inside an
+    aggregate (Spark's collect_list order is partition-dependent;
+    sorting after the fact is the engine-safe idiom)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.concat(F.lit("M"), (F.col("l_linenumber") % 4).cast("string")).alias(
+            "mode"
+        ),
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("mode"))).alias(
+                "modes"
+            )
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "forward_fill_gaps",
+    """
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                      INTERVAL 1 DAY))::DATE AS day
+    ),
+    daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.revenue_cents,
+                    last_value(d.revenue_cents IGNORE NULLS)
+                        OVER (ORDER BY s.day ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING),
+                    0) AS revenue_cents_filled,
+           CAST(d.revenue_cents IS NULL AS BIGINT) AS was_gap
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+)
+def q_forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling over a date spine: LEFT join daily aggregates onto a
+    generated calendar, then forward-fill missing days with the LAST
+    known value (last_value IGNORE NULLS over the preceding frame) —
+    the standard time-series densification before ML featurization.
+    The spine is sequence()-generated — no data dependency. The fill
+    window is global-unpartitioned BY DESIGN: it runs on the
+    post-aggregation calendar (rows = days, not orders), the repo's
+    bounded-cardinality window rule; per-entity fills would partition
+    by the entity key."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-03-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(
+                F.col("revenue_cents"),
+                F.last("revenue_cents", ignorenulls=True).over(w),
+                F.lit(0),
+            ).alias("revenue_cents_filled"),
+            F.col("revenue_cents").isNull().cast("long").alias("was_gap"),
+        )
+    )
