@@ -125,8 +125,29 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r03.json
-# into this map as (…, 3) so the rotation keeps cycling fairly:
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r04.json
+# into this map as (…, 4) so the rotation keeps cycling fairly:
+_R3_VERIFIED: tuple[str, ...] = (
+    "dedup_components", "variant_json_shred", "lag_lead_order_gaps",
+    "numeric_histogram", "iqr_outliers", "retention_cohorts",
+    "funnel_conversion", "activity_streaks", "tpch_order_priority",
+    "tpch_local_supplier_volume", "tpch_forecast_revenue",
+    "tpch_volume_shipping", "tpch_returned_items",
+    "tpch_customer_distribution", "tpch_promo_effect",
+    "tpch_small_qty_revenue", "tpch_large_volume_customer",
+    "gopher_quality_filter", "dup_ngram_coverage",
+    "dsir_importance_weights", "unigram_logprob_buckets",
+    "session_window_agg", "tpch_market_share", "fuzzy_match_fastss",
+    "tpch_top_supplier", "streaming_session_window",
+    "dedup_canonicalize", "split_leakage_audit",
+    "embedding_canonicalize", "event_transition_matrix",
+    "kfold_assignment", "tpch_disjunctive_pricing",
+    "window_range_interval", "unpivot_metrics", "bm25_keyword_search",
+    "tpch_sales_opportunity", "string_agg_ordered", "forward_fill_gaps",
+    "normalize_filter", "daypart_case", "window_dedup_rank",
+    "broadcast_left_join", "composite_key_join", "most_populars_flat",
+    "daily_metrics",
+)
 _R2_VERIFIED: tuple[str, ...] = (
     "ann_recall_at_k", "anomaly_zscore_days", "array_functions",
     "build_vocab", "c4_quality_filter", "collect_set_agg",
@@ -160,6 +181,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
 _mark_verified(1, (
         "normalize_filter", "daypart_case", "window_dedup_rank",
@@ -3220,11 +3242,78 @@ def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_kmeans")  # rows-only: iterative algorithm (driver loop)
+# Lloyd's unrolled in DuckDB CTEs: the Spark side's fixed init (k
+# lowest-id vectors) + fixed 3 iterations make the whole trajectory
+# deterministic, so the oracle replays it — init c0, three
+# assign/update rounds, final assignment, summary. Floating-point
+# accumulation order differs (DuckDB avg vs Spark partial sums), but
+# the synthetic blobs are well-separated so argmin assignments agree
+# and the rounded inertia absorbs the ~1e-12 noise.
+_KM_DIST = (
+    "list_sum(list_transform(generate_series(1, len(v)),"
+    " i -> (v[i] - c[i]) * (v[i] - c[i])))"
+)
+
+
+def _km_assign(prev: str) -> str:
+    return f"""
+  SELECT vec_id, cluster_id, d FROM (
+    SELECT vec_id, cluster_id, d,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+    FROM (
+      SELECT vecs.vec_id, {prev}.cluster_id, {_KM_DIST} AS d
+      FROM vecs CROSS JOIN {prev}
+    )
+  ) WHERE rn = 1
+"""
+
+
+def _km_update(assign: str, prev: str) -> str:
+    return f"""
+  SELECT {prev}.cluster_id, coalesce(m.c, {prev}.c) AS c
+  FROM {prev} LEFT JOIN (
+    SELECT cluster_id, list(mi ORDER BY i) AS c FROM (
+      SELECT cluster_id, i, avg(x) AS mi FROM (
+        SELECT a.cluster_id,
+               unnest(generate_series(1, len(v))) AS i,
+               unnest(v) AS x
+        FROM {assign} a JOIN vecs USING (vec_id)
+      ) GROUP BY cluster_id, i
+    ) GROUP BY cluster_id
+  ) m USING (cluster_id)
+"""
+
+
+KMEANS_ORACLE_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster_id, v AS c
+  FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT 8)
+),
+a1 AS ({_km_assign('c0')}),
+c1 AS ({_km_update('a1', 'c0')}),
+a2 AS ({_km_assign('c1')}),
+c2 AS ({_km_update('a2', 'c1')}),
+a3 AS ({_km_assign('c2')}),
+c3 AS ({_km_update('a3', 'c2')}),
+afinal AS ({_km_assign('c3')})
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       count(*) AS n_vectors,
+       round(sum(round(d, 6)), 4) AS inertia
+FROM afinal GROUP BY cluster_id
+"""
+
+
+@register("embedding_kmeans", KMEANS_ORACLE_SQL)
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DataFrame k-means over the embeddings table —
-    per-cluster sizes + inertia. Iterative (Lloyd's, 3 rounds), hence
-    no single-statement SQL oracle; determinism is pytest-verified."""
+    per-cluster sizes + inertia. Iterative (Lloyd's, 3 rounds); the
+    fixed init (k lowest-id vectors) makes the trajectory replayable,
+    so the oracle unrolls the same three Lloyd iterations in DuckDB
+    CTEs (KMEANS_ORACLE_SQL above) and checks the final summary."""
     from taxi_trips_etl_spark.dataprep.clustering import (
         cluster_summary,
         kmeans_assign,
@@ -4632,12 +4721,21 @@ def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no DuckDB twin; Spark≡numpy projection equality is pytest-pinned.
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA to 4 components: one covariance agg pass + driver eigh +
-    literal-eigenvector projection — see similarity.py:pca_project."""
+    literal-eigenvector projection — see similarity.py:pca_project.
+
+    Output is posexploded to scalar (vec_id, component_idx, value) rows
+    per the registry's BIGINT/DOUBLE/VARCHAR portability rule — array
+    cells are unhashable in pandas-side canonicalization."""
     from taxi_trips_etl_spark.dataprep.similarity import pca_project
 
     emb = _t(spark, sf_dir, "embeddings")
-    return pca_project(emb, n_components=4).select(
-        "vec_id", F.col("pc").cast("array<double>").alias("pc")
+    projected = pca_project(emb, n_components=4)
+    return projected.select(
+        "vec_id", F.posexplode(F.col("pc").cast("array<double>"))
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("pos").cast("long").alias("component_idx"),
+        F.col("col").cast("double").alias("value"),
     )
 
 
