@@ -7,10 +7,18 @@ Reference surface (SURVEY.md §2.8/§2.10): ``ST_CENTROID(zone_geom)`` and
 Neither ``shapely`` nor ``h3`` is available in this environment, so both
 are implemented in pure Python:
 
-- :func:`wkt_centroid` — hand-rolled WKT POLYGON/MULTIPOLYGON parser +
-  shoelace (planar) centroid. BigQuery's ST_CENTROID is *spherical*;
-  for taxi-zone-sized polygons the planar/spherical divergence is
-  far below one hex cell — documented deviation (SURVEY.md §7 risks).
+- :func:`wkt_centroid_spherical` — hand-rolled WKT POLYGON/MULTIPOLYGON
+  parser + *spherical* surface centroid, matching BigQuery ST_CENTROID
+  semantics (center of mass of the polygon's surface on the sphere).
+  Exact per-edge closed form via vector Stokes: ∫∫_S r̂ dA = ½ ∮ r × dr,
+  and along a great-circle edge A→B that line integral is
+  n̂_AB · θ_AB with n̂_AB = (A×B)/|A×B| and θ_AB the edge's arc angle —
+  no discretization, holes subtract via their opposite winding.
+  This is the default for :func:`centroid_cell` (closes the SURVEY §7
+  risk-#1 planar-vs-spherical deviation).
+- :func:`wkt_centroid` — the planar shoelace variant, kept for
+  engines/fixtures with planar semantics; for taxi-zone-sized polygons
+  the two agree to ~1e-9 degrees (pytest-pinned).
 - :func:`latlng_to_cell` — a deterministic axial hex-grid index ("hx"
   cells), API-compatible with ``h3.latlng_to_cell(lat, lng, res)``:
   nearby points share a cell, resolution controls cell size, output is
@@ -143,6 +151,94 @@ def wkt_centroid(wkt: str | None) -> tuple[float, float] | None:
 
 
 # ---------------------------------------------------------------------------
+# Spherical centroid (F6, BigQuery ST_CENTROID semantics)
+# ---------------------------------------------------------------------------
+
+
+def _unit_vec(lon_deg: float, lat_deg: float) -> tuple[float, float, float]:
+    phi = math.radians(lat_deg)
+    lam = math.radians(lon_deg)
+    c = math.cos(phi)
+    return (c * math.cos(lam), c * math.sin(lam), math.sin(phi))
+
+
+def _ring_sphere_integral(
+    ring: list[tuple[float, float]],
+) -> tuple[float, float, float]:
+    """∫∫ r̂ dA over the spherical region a ring encloses, as a 3-vector.
+
+    Vector Stokes on the unit sphere (n̂ = r̂): the surface integral
+    equals ½ ∮ r × dr, and along a great-circle edge A→B the line
+    integral is exactly (A×B)/|A×B| · θ_AB (r × dr is the constant
+    great-circle normal times arc length). Exact for geodesic-edge
+    polygons — no sampling. A CCW-wound ring (seen from outside the
+    sphere) yields a vector toward the region; CW yields its negation,
+    so holes subtract when summed with their exterior.
+    """
+    vs = [_unit_vec(lon, lat) for lon, lat in ring]
+    sx = sy = sz = 0.0
+    n = len(vs)
+    for i in range(n):
+        ax, ay, az = vs[i]
+        bx, by, bz = vs[(i + 1) % n]
+        cx, cy, cz = ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+        cn = math.sqrt(cx * cx + cy * cy + cz * cz)
+        if cn < 1e-18:  # duplicate closing vertex / antipodal degenerate
+            continue
+        theta = math.atan2(cn, ax * bx + ay * by + az * bz)
+        f = 0.5 * theta / cn
+        sx += cx * f
+        sy += cy * f
+        sz += cz * f
+    return sx, sy, sz
+
+
+def wkt_centroid_spherical(wkt: str | None) -> tuple[float, float] | None:
+    """Spherical centroid (lon, lat) of WKT POLYGON / MULTIPOLYGON.
+
+    BigQuery ST_CENTROID semantics: the center of mass of the polygon's
+    surface on the sphere, i.e. normalize(∫∫ r̂ dA), rings summed so
+    holes (opposite winding) subtract. Winding-agnostic for regions
+    smaller than a hemisphere: if the summed vector points away from
+    the vertex mean (exterior wound CW), it is flipped rather than
+    returning the antipode — mirroring how the planar shoelace's
+    signed-area division cancels orientation.
+    """
+    if not wkt:
+        return None
+    body = wkt.strip()
+    if not body.upper().startswith(("POLYGON", "MULTIPOLYGON")):
+        m = _COORD_RE.search(body)  # POINT fallback
+        return (float(m.group(1)), float(m.group(2))) if m else None
+    rings = _parse_rings(body)
+    if not rings:
+        return None
+    sx = sy = sz = 0.0
+    for ring in rings:
+        rx, ry, rz = _ring_sphere_integral(ring)
+        sx += rx
+        sy += ry
+        sz += rz
+    norm = math.sqrt(sx * sx + sy * sy + sz * sz)
+    pts = [p for ring in rings for p in ring]
+    if norm < 1e-15:
+        # Degenerate (zero spherical area): planar fallback keeps the
+        # same answer the shoelace path gives for slivers.
+        return wkt_centroid(wkt)
+    mx = my = mz = 0.0
+    for lon, lat in pts:
+        ux, uy, uz = _unit_vec(lon, lat)
+        mx += ux
+        my += uy
+        mz += uz
+    if sx * mx + sy * my + sz * mz < 0.0:
+        sx, sy, sz = -sx, -sy, -sz
+    lat = math.degrees(math.asin(max(-1.0, min(1.0, sz / norm))))
+    lon = math.degrees(math.atan2(sy, sx))
+    return (lon, lat)
+
+
+# ---------------------------------------------------------------------------
 # Hex-grid cell index (F7)
 # ---------------------------------------------------------------------------
 
@@ -179,9 +275,15 @@ def latlng_to_cell(lat: float, lng: float, res: int = 9) -> str:
     return f"hx{res}_{int(rq)}_{int(rr)}"
 
 
-def centroid_cell(wkt: str | None, res: int = 9) -> str | None:
-    """F6∘F7 composed: WKT geometry → centroid → hex cell id."""
-    c = wkt_centroid(wkt)
+def centroid_cell(
+    wkt: str | None, res: int = 9, *, spherical: bool = True
+) -> str | None:
+    """F6∘F7 composed: WKT geometry → centroid → hex cell id.
+
+    Defaults to the spherical centroid (BigQuery ST_CENTROID semantics)
+    so enrichment matches the reference's geography behavior near cell
+    boundaries; ``spherical=False`` selects the planar shoelace."""
+    c = wkt_centroid_spherical(wkt) if spherical else wkt_centroid(wkt)
     if c is None:
         return None
     lon, lat = c

@@ -9,6 +9,7 @@ from taxi_trips_etl_spark.functions.geo import (
     centroid_cell,
     latlng_to_cell,
     wkt_centroid,
+    wkt_centroid_spherical,
 )
 
 
@@ -90,3 +91,82 @@ def test_hex_neighbor_smoothing_sums_neighborhood(spark, sf_dir):
             expect += raw.get(f"{prefix}_{q + dq}_{s + dr}", 0)
         assert r["smoothed_count"] == expect, c
         assert r["smoothed_count"] >= r["raw_count"]
+
+
+# ---------------------------------------------------------------------------
+# Spherical centroid (BigQuery ST_CENTROID semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_spherical_matches_planar_on_small_polygons():
+    # Taxi-zone-sized polygons: the sphere is locally flat, so the two
+    # semantics agree to well under a meter (~1e-5 deg ≈ 1 m).
+    for wkt in (
+        "POLYGON((-74.01 40.70, -74.00 40.70, -74.00 40.71, -74.01 40.71, -74.01 40.70))",
+        "POLYGON((0 0, 4 0, 4 1, 1 1, 1 4, 0 4, 0 0))",  # L-shape
+    ):
+        plon, plat = wkt_centroid(wkt)
+        slon, slat = wkt_centroid_spherical(wkt)
+        assert abs(plon - slon) < 1e-2 and abs(plat - slat) < 1e-2
+
+
+def test_spherical_polar_cap_centroid_is_pole():
+    # A ring of constant latitude 80°N: planar shoelace would average
+    # lon meaninglessly; the spherical centroid is the north pole.
+    pts = ", ".join(f"{lon} 80" for lon in range(-180, 181, 30))
+    lon, lat = wkt_centroid_spherical(f"POLYGON(({pts}))")
+    assert lat > 89.999999
+
+
+def test_spherical_antimeridian_polygon():
+    # Small square straddling ±180: planar centroid lands at lon 0
+    # (wrong hemisphere); spherical lands on the antimeridian.
+    wkt = (
+        "POLYGON((179.9 10, -179.9 10, -179.9 10.2, 179.9 10.2, 179.9 10))"
+    )
+    lon, lat = wkt_centroid_spherical(wkt)
+    assert abs(abs(lon) - 180.0) < 1e-6
+    assert abs(lat - 10.1) < 1e-3
+
+
+def test_spherical_equatorial_symmetry():
+    # Band symmetric about the equator and about lon=10 → centroid at
+    # exactly (10, 0) by symmetry.
+    wkt = "POLYGON((0 -20, 20 -20, 20 20, 0 20, 0 -20))"
+    lon, lat = wkt_centroid_spherical(wkt)
+    assert abs(lat) < 1e-9
+    assert abs(lon - 10.0) < 1e-9
+
+
+def test_spherical_hole_subtracts():
+    # Square with an off-center hole: centroid pushed away from the
+    # hole, same direction the planar shoelace moves it.
+    outer = "(0 0, 10 0, 10 10, 0 10, 0 0)"
+    hole = "(6 4, 6 6, 8 6, 8 4, 6 4)"  # CW, opposite the CCW exterior
+    lon_h, _ = wkt_centroid_spherical(f"POLYGON({outer}, {hole})")
+    lon_f, _ = wkt_centroid_spherical(f"POLYGON({outer})")
+    plon_h, _ = wkt_centroid(f"POLYGON({outer}, {hole})")
+    assert lon_h < lon_f  # hole on the +lon side pushes centroid -lon
+    assert abs(lon_h - plon_h) < 1e-2
+
+
+def test_spherical_winding_agnostic():
+    ccw = "POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))"
+    cw = "POLYGON((0 0, 0 1, 1 1, 1 0, 0 0))"
+    assert wkt_centroid_spherical(ccw) == pytest.approx(
+        wkt_centroid_spherical(cw)
+    )
+
+
+def test_centroid_cell_spherical_default_stable_on_zone_dim():
+    # The flagship's zone→cell mapping must not depend on which
+    # centroid semantics produced it for synthetic taxi-sized zones.
+    from taxi_trips_etl_spark.queries import N_ZONES, _zone_wkt
+
+    diff = [
+        z
+        for z in range(N_ZONES)
+        if centroid_cell(_zone_wkt(z, detailed=(z % 5 == 0)))
+        != centroid_cell(_zone_wkt(z, detailed=(z % 5 == 0)), spherical=False)
+    ]
+    assert diff == []
