@@ -15,7 +15,8 @@ needed.
 
 Scale mechanics: per round, one join of the (symmetrized) edge list to
 the label table + one min-aggregate — both keyed shuffles. The label
-table is ``localCheckpoint``-ed each round: iterative lineage otherwise
+table is materialized each round (``materialize`` — reliable checkpoint
+when a checkpoint dir is set, executor-local otherwise): lineage otherwise
 grows exponentially and re-executes every prior round (classic Spark
 iterative-algorithm trap). Driver sees only the changed-row count.
 """
@@ -26,6 +27,8 @@ import logging
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep.materialize import materialize
 
 log = logging.getLogger(__name__)
 
@@ -59,19 +62,19 @@ def connected_components(
     # minhash→components query.
     base = pairs.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(materialize, eager=True)
     edges = (
         base.unionByName(
             base.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     for _ in range(max_rounds):
         neighbor_min = (
@@ -91,7 +94,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         changed = cand.filter(F.col("label") != F.col("old_label")).count()
         labels = cand.select("node", "label")
@@ -133,7 +136,7 @@ def connected_components_star(
     is a forest of stars whose centers are the component minima, so the
     final edge list IS the (node → component_id) mapping. Per phase:
     one groupBy-min + one equi-join, both keyed shuffles;
-    ``localCheckpoint`` per phase caps iterative lineage exactly as in
+    ``materialize`` per phase caps iterative lineage exactly as in
     :func:`connected_components`. Convergence is detected by an
     (edge-count, xor-of-edge-hashes) signature going stable across one
     full large+small round — the same kind of O(1)-driver check the
@@ -150,7 +153,7 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize, eager=True)
     )
     # Derived from the already-checkpointed edge list and consumed
     # exactly once (the final mapping join), so it needs neither its
@@ -191,7 +194,7 @@ def connected_components_star(
             .select(F.col("m").alias("a"), F.col("b").alias("b"))
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(materialize, eager=False)
         )
         # small-star: edges oriented large→small; u and its smaller
         # neighbors all link to the smallest.
@@ -209,7 +212,7 @@ def connected_components_star(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(materialize, eager=True)
         )
         edges = small
         new_sig = signature(edges)

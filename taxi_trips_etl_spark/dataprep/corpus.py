@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
 from taxi_trips_etl_spark.dataprep.dedup import (
     exact_duplicates,
     ngram_jaccard_pairs,
@@ -125,7 +127,7 @@ def prepare_corpus_v2(
         # ReusedExchange. One checkpoint = one computation; at 100 TB
         # this is the difference between reading the corpus once and
         # three times (same ledger as the flagship auto-cache).
-        kept3 = kept3.localCheckpoint(eager=False)
+        kept3 = kept3.transform(materialize, eager=False)
     tok = tokenize_with_vocab(kept3, build_vocab(kept3, vocab_size))
     pack = pack_sequences(kept3, seq_len=seq_len).drop("n_tokens")
     return train_test_split(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
 # ---------------------------------------------------------------------------
 # shared tokenization (portable: lower → regex-split on whitespace)
 # ---------------------------------------------------------------------------
@@ -193,7 +195,7 @@ def minhash_lsh_candidates(
     # that is two reads of the corpus and 2x the shingle hashing. The
     # banded signature table is tiny next to the corpus (doc_id + band
     # key per band); materializing it once is the scale-correct trade.
-    b = b.localCheckpoint(eager=False)
+    b = b.transform(materialize, eager=False)
     left = b.alias("a")
     right = b.alias("b")
     return (
@@ -276,7 +278,7 @@ def simhash_near_duplicates(
     )
     # Same no-ReusedExchange trap as minhash_lsh_candidates: checkpoint
     # the banded fingerprints so the self-join computes simhash ONCE.
-    banded = banded.localCheckpoint(eager=False)
+    banded = banded.transform(materialize, eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -376,7 +378,7 @@ def ngram_jaccard_pairs(
     # Checkpoint the posting lists: the candidate self-join would
     # otherwise recompute tokenize->shingle->prefix-filter on both sides
     # (no ReusedExchange for self-joins).
-    prefix = prefix.localCheckpoint(eager=False)
+    prefix = prefix.transform(materialize, eager=False)
     cand = (
         prefix.alias("a")
         .join(
@@ -493,7 +495,7 @@ def fastss_pairs(
         ).alias("variant"),
     ).distinct()
     # Self-join: no ReusedExchange (see module docstring) — checkpoint.
-    variants = variants.localCheckpoint(eager=False)
+    variants = variants.transform(materialize, eager=False)
     a, b = variants.alias("a"), variants.alias("b")
     cand = (
         a.join(

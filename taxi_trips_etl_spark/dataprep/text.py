@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
 from taxi_trips_etl_spark.dataprep.dedup import tokens_col
 
 # Tiny per-language stopword inventories for the n-gram/stopword
@@ -593,7 +595,7 @@ def winnowing_near_dup_pairs(
     fps = winnowing_fingerprints(docs, k=k, w=w, text=text)
     # Checkpoint: self-joins get no ReusedExchange, so both sides would
     # recompute the windowed fingerprint selection from the corpus scan.
-    fps = fps.localCheckpoint(eager=False)
+    fps = fps.transform(materialize, eager=False)
     return (
         fps.alias("a")
         .join(

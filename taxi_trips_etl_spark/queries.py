@@ -26,6 +26,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
 from taxi_trips_etl_spark.dataprep import dedup, multimodal, similarity, text
 from taxi_trips_etl_spark.functions.scalar import daypart, timestamp_diff_minutes
 from taxi_trips_etl_spark.operators.normalize import normalize_trips
@@ -4791,7 +4793,7 @@ def q_tpch_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(rev).alias("total_revenue_e4"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     best = revenue.agg(F.max("total_revenue_e4").alias("mx"))
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -5171,23 +5173,31 @@ def q_bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
                          WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey)
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '2000-01-01')
     GROUP BY c.c_nationkey
     ORDER BY c.c_nationkey
     """,
 )
 def q_tpch_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (adapted — no c_phone country codes in this
-    testdata): above-average-balance customers with NO orders. The
+    testdata): above-average-balance customers with no RECENT orders
+    (lapsed since 2000 — this testdata has no order-less customers at
+    all, so the unscoped anti-join made the green row vacuous). The
     scalar subquery evaluates once and broadcasts as a filter; NOT
-    EXISTS decorrelates to a LEFT ANTI join on o_custkey. Both are the
-    shapes that keep this one scan of each table."""
+    EXISTS decorrelates to a LEFT ANTI join on o_custkey with the date
+    predicate pushed into the anti-side scan. Both are the shapes that
+    keep this one scan of each table."""
     c = _t(spark, sf_dir, "customer")
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(F.avg("c_acctbal").alias("ab"))
     )
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.to_date("o_orderdate") >= F.lit("2000-01-01"))
+        .select("o_custkey")
+    )
     return (
         c.crossJoin(F.broadcast(avg_bal))
         .filter(F.col("c_acctbal") > F.col("ab"))

@@ -32,6 +32,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
 from taxi_trips_etl_spark.dataprep.dedup import lsh_bands, minhash_signature
 
 
@@ -51,7 +53,7 @@ def dedup_batch_against_index(
     text: str = "text",
 ) -> None:
     """The foreachBatch body (callable directly for batch backfills)."""
-    b = lsh_bands(minhash_signature(batch, text)).localCheckpoint(eager=True)
+    b = lsh_bands(minhash_signature(batch, text)).transform(materialize, eager=True)
     if _index_exists(spark, index_path):
         idx = spark.read.parquet(index_path)
         all_b = idx.unionByName(b)

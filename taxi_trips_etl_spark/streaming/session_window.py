@@ -6,11 +6,17 @@ arrive — no applyInPandasWithState needed when the per-session output
 is an aggregate (the arbitrary-state sessionizer in sessionize.py
 remains the tool when per-session custom payloads are required).
 
-State at scale: keyed by (user_id, session); the watermark closes
-sessions whose end precedes it, so state is bounded by ACTIVE sessions,
-not history. ``Trigger.AvailableNow`` + complete mode over a static
-directory makes the output equal the batch query bit-for-bit — which is
-exactly what the shared DuckDB oracle asserts.
+State at scale: keyed by (user_id, session). In **append** mode — the
+production path for a continuous stream — the watermark finalizes and
+EVICTS sessions whose end precedes it, so state is bounded by active
+sessions, not history. The oracle harness below instead runs
+**complete** mode, where the watermark never evicts aggregation state:
+with ``Trigger.AvailableNow`` over a static directory, append would
+withhold every session newer than the final watermark, while complete
+emits all of them, making the output equal the batch query bit-for-bit
+— which is exactly what the shared DuckDB oracle asserts. Complete mode
+therefore retains ALL session state and is only for this bounded
+oracle-comparison use; pass ``output_mode="append"`` on a real stream.
 """
 
 from __future__ import annotations
@@ -41,11 +47,16 @@ def run_streaming_session_window(
     events_dir: str,
     sink_table: str = "session_windows",
     state_partitions: int = 8,
+    output_mode: str = "complete",
 ) -> DataFrame:
-    """Run to completion (AvailableNow, complete mode) → flat table.
+    """Run to completion (AvailableNow) → flat table.
 
-    ``state_partitions`` sizes the session state store — see
-    streaming/state.py for the sizing rule.
+    Default ``output_mode="complete"`` exists for the static-directory
+    oracle comparison (see module docstring — append would withhold
+    sessions newer than the final watermark). On a continuous stream,
+    pass ``"append"`` so the watermark actually closes sessions and
+    bounds the state store. ``state_partitions`` sizes the session
+    state store — see streaming/state.py for the sizing rule.
     """
     from taxi_trips_etl_spark.streaming.state import (
         state_partitions as _pin,
@@ -56,7 +67,7 @@ def run_streaming_session_window(
             streaming_session_window(spark, events_dir)
             .writeStream.format("memory")
             .queryName(sink_table)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )

@@ -90,3 +90,26 @@ def test_min_label_nonconvergence_signals(spark):
     )
     with pytest.raises(RuntimeError, match="under-merged"):
         connected_components(pairs, max_rounds=3, strict=True)
+
+
+def test_materialize_prefers_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir set, materialize() must use the reliable
+    (executor-loss-safe) path; without one, localCheckpoint."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    df = spark.range(10)
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    assert materialize(df, eager=True).count() == 10
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        reliable = materialize(df, eager=True)
+        assert reliable.count() == 10
+        # Reliable checkpoints write RDD files under the configured dir.
+        assert list((tmp_path / "ckpt").rglob("*")), "dir must receive data"
+    finally:
+        # Unset so later tests keep the executor-local fast path.
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._gateway.jvm.scala.Option.apply(None)
+        )
+    assert sc.getCheckpointDir() is None
