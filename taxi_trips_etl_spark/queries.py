@@ -5318,3 +5318,215 @@ def q_forward_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue_cents").isNull().cast("long").alias("was_gap"),
         )
     )
+
+
+# ===========================================================================
+# TPC-H shape batch 4 (round 4): Q2 / Q9 / Q11 / Q12 adapted to this
+# testdata's columns (no partsupp table; no l_shipmode column)
+# ===========================================================================
+
+
+@register(
+    "tpch_min_cost_supplier",
+    """
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(min(round(l_extendedprice * 100 / l_quantity)) AS BIGINT)
+                   AS unit_cost_cents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, s.s_suppkey, s.s_name, n.n_name, c.unit_cost_cents
+    FROM cost c
+    JOIN part p ON c.l_partkey = p.p_partkey
+    JOIN supplier s ON c.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 5
+      AND c.unit_cost_cents = (SELECT min(c2.unit_cost_cents) FROM cost c2
+                               WHERE c2.l_partkey = c.l_partkey)
+    """,
+)
+def q_tpch_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted — no partsupp: the observed minimum unit
+    price from lineitem stands in for ps_supplycost): for each small
+    part, every supplier achieving the part's minimum unit cost. The
+    correlated min subquery decorrelates to a window-min over the
+    already-aggregated (part, supplier) table — the window input is the
+    post-agg cardinality, not the fact table — and ties survive, as Q2
+    requires. Unit cost is one IEEE divide then cents-rounded, so both
+    engines derive bit-identical integers."""
+    li = _t(spark, sf_dir, "lineitem")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"))
+            .cast("long")
+        ).alias("unit_cost_cents")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = cost.withColumn(
+        "_min_cp", F.min("unit_cost_cents").over(w)
+    ).filter(F.col("unit_cost_cents") == F.col("_min_cp"))
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        best.join(p, best["l_partkey"] == p["p_partkey"])
+        .join(s, best["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "unit_cost_cents")
+    )
+
+
+@register(
+    "tpch_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               {_REV_E4}
+                 - CAST(round(p.p_retailprice * 100) AS BIGINT)
+                   * CAST(l.l_quantity AS BIGINT) * 10 AS amount_e4
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%red%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted — 10% of p_retailprice stands in for
+    ps_supplycost): profit by supplier nation x order year over
+    name-filtered parts. The one real shuffle is lineitem ⋈ orders on
+    orderkey; part/supplier/nation broadcast, and the p_name filter
+    prunes the broadcast BEFORE the fact join so Catalyst turns it into
+    a semi-join reduction on the fact side. Money stays integer-e4."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    n = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    cost_e4 = (
+        F.round(F.col("p_retailprice") * 100).cast("long")
+        * F.col("l_quantity").cast("long")
+        * F.lit(10).cast("long")
+    )
+    return (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(rev_e4 - cost_e4).alias("profit_e4"))
+    )
+
+
+@register(
+    "tpch_important_parts",
+    f"""
+    WITH val AS (
+        SELECT l_partkey, CAST(sum({_REV_E4}) AS BIGINT) AS value_e4
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey = 7
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_e4
+    FROM val
+    WHERE value_e4 > (SELECT sum(value_e4) * 0.001 FROM val)
+    """,
+)
+def q_tpch_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted — revenue through one nation's
+    suppliers stands in for partsupp stock value): parts whose value
+    exceeds a fraction of the national total. The HAVING-style global
+    threshold is a 1-row broadcast crossJoin onto the per-part
+    aggregate (never a single-partition window); the per-part agg is
+    the only full shuffle and the fraction compare is BIGINT-vs-double
+    on exact integer sums, identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == 7)
+        .select("s_suppkey")
+    )
+    rev_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
+    val = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_e4).alias("value_e4"))
+    )
+    threshold = val.agg((F.sum("value_e4") * 0.001).alias("_thr"))
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value_e4") > F.col("_thr"))
+        .select("l_partkey", "value_e4")
+    )
+
+
+@register(
+    "tpch_shipmode_priority",
+    """
+    SELECT shipmode_proxy,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM (SELECT l_orderkey,
+                 concat('M', CAST(l_linenumber % 4 AS VARCHAR))
+                     AS shipmode_proxy
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00') l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY shipmode_proxy
+    """,
+)
+def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted — the linenumber-derived shipmode proxy
+    this repo's string_agg query also uses, since the testdata carries
+    no l_shipmode): per-mode counts of high- vs low-priority order
+    lines in a shipdate year. The date filter is pushed to the lineitem
+    scan; the priority CASE runs as two conditional sums in ONE agg
+    pass after the orderkey join (fact-fact shuffle, no broadcast —
+    orders is the same magnitude as lineitem)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select(
+        "l_orderkey",
+        F.concat(
+            F.lit("M"), (F.col("l_linenumber") % 4).cast("string")
+        ).alias("shipmode_proxy"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("shipmode_proxy")
+        .agg(
+            F.sum(is_high.cast("long")).alias("high_line_count"),
+            F.sum((~is_high).cast("long")).alias("low_line_count"),
+        )
+    )
