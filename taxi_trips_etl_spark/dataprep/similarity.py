@@ -669,3 +669,60 @@ def pca_project(
     return vecs.select(
         id_col, F.expr(f"array({proj})").alias("pc")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "eval_id",
+) -> DataFrame:
+    """Flag corpus vectors semantically close to ANY eval-set vector —
+    the embedding-space analogue of n-gram decontamination
+    (text.decontaminate): a benchmark rephrased beyond n-gram overlap
+    still collides in embedding space.
+
+    → (vec_id, matched_eval_id, max_cosine) for corpus rows whose best
+    eval cosine ≥ threshold; at most one row per corpus vector (its
+    argmax eval, ties to the lower eval id).
+
+    Scale shape: eval sets are BOUNDED (a benchmark suite is thousands
+    of rows, the corpus is billions), so the eval side broadcasts and
+    the corpus streams through a BroadcastNestedLoopJoin exactly once —
+    no shuffle of raw vectors. The per-corpus-row argmax collapses
+    map-side (partial aggregation runs before the exchange), so the one
+    shuffle moves ≤ one small row per corpus row, never the |corpus| ×
+    |eval| pair stream. For eval sets too big to broadcast, compose
+    sign-LSH bucketing (embedding_near_dup_pairs) instead.
+
+    Cosine is rounded to 6 decimals BEFORE thresholding/argmax so the
+    fold order of the JVM-side lambda sum cannot flip a boundary
+    decision between engines.
+    """
+    c = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("_vn", F.sqrt(_dot(F.col("_v"), F.col("_v"))))
+    e = eval_set.select(
+        F.col(eval_id_col), _as_double(F.col(vec_col)).alias("_w")
+    ).withColumn("_wn", F.sqrt(_dot(F.col("_w"), F.col("_w"))))
+    cos_r = F.round(
+        _dot(F.col("_v"), F.col("_w")) / (F.col("_vn") * F.col("_wn")), 6
+    )
+    best = (
+        c.crossJoin(F.broadcast(e))
+        .select(
+            id_col,
+            F.struct(
+                cos_r.alias("c"), (-F.col(eval_id_col)).alias("nid")
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("_s").alias("_b"))
+    )
+    return best.filter(F.col("_b.c") >= threshold).select(
+        F.col(id_col),
+        (-F.col("_b.nid")).cast("long").alias("matched_eval_id"),
+        F.col("_b.c").alias("max_cosine"),
+    )

@@ -5530,3 +5530,59 @@ def q_tpch_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((~is_high).cast("long")).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "semantic_decontaminate",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    ev AS (
+        SELECT vec_id AS eval_id, v AS w,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS wn
+        FROM e WHERE vec_id < 50
+    ),
+    co AS (
+        SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS vn
+        FROM e WHERE vec_id >= 50
+    ),
+    scored AS (
+        SELECT co.vec_id, ev.eval_id,
+               round(list_sum(list_transform(generate_series(1, len(v)),
+                                             i -> v[i] * w[i]))
+                     / (vn * wn), 6) AS cos_r
+        FROM co CROSS JOIN ev
+    ),
+    best AS (
+        SELECT vec_id, eval_id, cos_r,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos_r DESC, eval_id) AS rn
+        FROM scored
+    )
+    SELECT vec_id, CAST(eval_id AS BIGINT) AS matched_eval_id,
+           cos_r AS max_cosine
+    FROM best WHERE rn = 1 AND cos_r >= 0.4
+    """,
+)
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors (vec_id ≥ 50)
+    whose cosine to ANY eval vector (vec_id < 50) reaches 0.4 — the
+    semantic sibling of corpus_decontaminate's n-gram overlap. Eval
+    side broadcasts (bounded benchmark suite); corpus streams once;
+    argmax collapses map-side. See similarity.semantic_decontaminate."""
+    from taxi_trips_etl_spark.dataprep.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter(F.col("vec_id") >= 50),
+        emb.filter(F.col("vec_id") < 50).select(
+            F.col("vec_id").alias("eval_id"), "embedding"
+        ),
+        threshold=0.4,
+    )

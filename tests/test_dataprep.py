@@ -626,3 +626,56 @@ def test_fastss_equals_bruteforce_on_random_corpus(spark):
         for r in fastss_pairs(df).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_semantic_decontaminate_matches_numpy_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from taxi_trips_etl_spark.dataprep.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["matched_eval_id"], r["max_cosine"])
+        for r in semantic_decontaminate(
+            emb.filter("vec_id >= 50"),
+            emb.filter("vec_id < 50").selectExpr(
+                "vec_id AS eval_id", "embedding"
+            ),
+            threshold=0.4,
+        ).collect()
+    }
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    E = np.vstack(t.embedding.values).astype(float)
+    vid = t.vec_id.values
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ev_mask, co_mask = vid < 50, vid >= 50
+    sims = np.round(N[co_mask] @ N[ev_mask].T, 6)
+    ev_ids, co_ids = vid[ev_mask], vid[co_mask]
+    want = {}
+    for i, cid in enumerate(co_ids):
+        j = int(np.argmax(sims[i]))  # ties: first = lowest eval index
+        if sims[i, j] >= 0.4:
+            want[int(cid)] = (int(ev_ids[j]), float(sims[i, j]))
+    assert got == want and got, "must flag the numpy-exact set (non-empty)"
+
+
+def test_semantic_decontaminate_tie_prefers_lower_eval_id(spark):
+    from taxi_trips_etl_spark.dataprep.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    eval_set = spark.createDataFrame(
+        [(7, [2.0, 0.0]), (3, [5.0, 0.0])],
+        "eval_id long, embedding array<double>",
+    )
+    rows = semantic_decontaminate(corpus, eval_set, threshold=0.9).collect()
+    assert len(rows) == 1
+    assert rows[0]["matched_eval_id"] == 3  # both cos=1.0 → lower id
+    assert rows[0]["max_cosine"] == 1.0
