@@ -233,6 +233,71 @@ def connected_components_star(
     )
 
 
+def connected_components_auto(
+    pairs: DataFrame,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    driver_edge_cap: int = 1_000_000,
+) -> DataFrame:
+    """→ (doc_id, component_id): driver union-find for small pair
+    graphs, star contraction beyond ``driver_edge_cap`` edges.
+
+    Why a driver path exists at all: banded-LSH candidate graphs are
+    orders of magnitude smaller than the corpus (only colliding docs
+    produce edges), and the distributed star contraction pays 2+ Spark
+    jobs PER ROUND in scheduling overhead — on a small graph that is
+    seconds of overhead for milliseconds of actual union-find work.
+    Below the cap the deduped edge list Arrow-collects (bounded: cap ×
+    16 bytes = 16 MB), union-finds with path compression, and the
+    (node → component-min) mapping ships back as a DataFrame. Above
+    the cap — the 100 TB posture, where the pair graph itself can be
+    billions of edges — :func:`connected_components_star` runs
+    unchanged. Both paths produce the identical mapping (component ids
+    are component minima), pytest-pinned against each other.
+    """
+    edges_df = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .transform(materialize, eager=True)
+    )
+    # limit(cap+1) bounds the probe: never a full collect of an
+    # over-cap list, and the Arrow path moves columns, not Row objects.
+    probe = edges_df.limit(driver_edge_cap + 1).toPandas()
+    if len(probe) > driver_edge_cap:
+        return connected_components_star(edges_df, a_col="a", b_col="b")
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(probe["a"].tolist(), probe["b"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # Union by MIN root so roots stay component minima.
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    mapping = [(n, find(n)) for n in parent]
+    spark = pairs.sparkSession
+    schema = pairs.select(
+        F.col(a_col).alias("doc_id"), F.col(a_col).alias("component_id")
+    ).schema
+    if not mapping:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(mapping, schema)
+
+
 def canonicalize_near_dups(
     docs: DataFrame,
     pairs: DataFrame,
@@ -243,12 +308,14 @@ def canonicalize_near_dups(
     """Component-aware dedup: keep exactly one record (the component
     min) per near-dup component; untouched records pass through.
 
-    Uses star contraction (O(log n) rounds) so depth-proofness holds on
-    chain-shaped graphs too — min-label's O(diameter) warning path can
-    never under-merge here. Column names are parameters so the text
-    (doc_id) and embedding (vec_id) paths share this implementation.
+    Uses :func:`connected_components_auto`: driver union-find when the
+    pair graph is small, star contraction (O(log n) rounds, depth-proof
+    on chain-shaped graphs) beyond the cap — min-label's O(diameter)
+    warning path can never under-merge here. Column names are
+    parameters so the text (doc_id) and embedding (vec_id) paths share
+    this implementation.
     """
-    comp = connected_components_star(pairs, a_col=a_col, b_col=b_col).select(
+    comp = connected_components_auto(pairs, a_col=a_col, b_col=b_col).select(
         F.col("doc_id").alias(id_col), "component_id"
     )
     keep_from_components = comp.filter(

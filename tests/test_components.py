@@ -113,3 +113,48 @@ def test_materialize_prefers_reliable_checkpoint(spark, tmp_path):
             sc._gateway.jvm.scala.Option.apply(None)
         )
     assert sc.getCheckpointDir() is None
+
+
+def test_auto_components_equals_star_on_random_graphs(spark):
+    """Driver union-find and distributed star contraction must produce
+    the identical (node → component-min) mapping."""
+    import random
+
+    from taxi_trips_etl_spark.dataprep.components import (
+        connected_components_auto,
+        connected_components_star,
+    )
+
+    rnd = random.Random(7)
+    edges = [
+        (rnd.randrange(60), rnd.randrange(60)) for _ in range(80)
+    ] + [(100, 101), (101, 102), (102, 103)]  # a chain
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    star = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components_star(df).collect()
+    }
+    auto = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components_auto(df).collect()
+    }
+    assert auto == star and auto
+
+
+def test_auto_components_distributed_path_above_cap(spark):
+    """Above the edge cap the auto variant must fall through to star
+    contraction (same mapping, no driver collect of the full list)."""
+    from taxi_trips_etl_spark.dataprep.components import (
+        connected_components_auto,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 50, 2)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components_auto(df, driver_edge_cap=5).collect()
+    }
+    want = {(i, i - (i % 2)) for i in range(50)}
+    assert got == want
