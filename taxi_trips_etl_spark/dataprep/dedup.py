@@ -474,25 +474,45 @@ def fastss_pairs(
     an equi-join on the variant key finds every qualifying pair — no
     recall loss, which the brute-force all-pairs oracle proves.
 
-    Scale shape: candidate generation is (len+1) rows per record and
-    one equi-join on the variant key — O(n·len) vs the O(n²)
-    Levenshtein matrix a naive fuzzy join computes. The verify step
-    runs the real levenshtein() only on bucket-collision survivors.
-    Only max_dist=1 is implemented (d deletions per side for distance d
-    explodes combinatorially; 1 is the record-linkage workhorse).
+    Scale shape: candidate generation is (len+1) rows per record for
+    max_dist=1 and O(len²/2) for max_dist=2, with one equi-join on the
+    variant key — vs the O(n²) Levenshtein matrix a naive fuzzy join
+    computes. The verify step runs the real levenshtein() only on
+    bucket-collision survivors, so false bucket collisions cost a
+    string compare, never a wrong answer. Completeness for distance k:
+    any ≤k-cost alignment deletes ≤k positions from each side
+    (deleted/substituted on the left, inserted/substituted on the
+    right) leaving equal strings, so the depth-k deletion
+    neighborhoods intersect — the brute-force all-pairs oracle proves
+    it. max_dist ∈ {1, 2} (deeper neighborhoods explode
+    combinatorially; 1-2 is the record-linkage range).
     """
-    if max_dist != 1:
-        raise NotImplementedError("fastss_pairs implements max_dist=1")
+    if max_dist not in (1, 2):
+        raise NotImplementedError("fastss_pairs implements max_dist in {1, 2}")
+    del1 = (
+        f"transform(sequence(0, length({name_col})), "
+        f"i -> concat(substring({name_col}, 1, i), "
+        f"substring({name_col}, i + 2, length({name_col}))))"
+    )
+    if max_dist == 1:
+        variant_expr = del1
+    else:
+        # i < j 0-based deletion positions; guard len < 2 (descending
+        # sequence() pitfall), dedup inside the array before explode.
+        del2 = (
+            f"case when length({name_col}) < 2 then array() else "
+            f"flatten(transform(sequence(0, length({name_col}) - 2), "
+            f"i -> transform(sequence(i + 1, length({name_col}) - 1), "
+            f"j -> concat(substring({name_col}, 1, i), "
+            f"substring({name_col}, i + 2, j - i - 1), "
+            f"substring({name_col}, j + 2, length({name_col}))))))"
+            " end"
+        )
+        variant_expr = f"array_distinct(concat({del1}, {del2}))"
     variants = df.select(
         F.col(id_col).alias("rid"),
         F.col(name_col).alias("name"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, length({name_col})), "
-                f"i -> concat(substring({name_col}, 1, i), "
-                f"substring({name_col}, i + 2, length({name_col}))))"
-            )
-        ).alias("variant"),
+        F.explode(F.expr(variant_expr)).alias("variant"),
     ).distinct()
     # Self-join: no ReusedExchange (see module docstring) — checkpoint.
     variants = variants.transform(materialize, eager=False)

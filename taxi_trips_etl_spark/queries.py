@@ -5586,3 +5586,372 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         threshold=0.4,
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4: warehouse mutation ops, skew-proof join, quantization, graphs
+# ---------------------------------------------------------------------------
+
+_SCD2_UPD = """
+    SELECT c_custkey AS k,
+           CASE WHEN c_custkey % 4 = 0 THEN c_mktsegment || '-V2'
+                ELSE c_mktsegment END AS u_seg,
+           c_nationkey AS u_nat
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEWSEG', c_nationkey
+    FROM customer WHERE c_custkey % 50 = 0
+"""
+
+
+@register(
+    "scd2_customer_history",
+    f"""
+    WITH upd AS ({_SCD2_UPD}),
+    j AS (
+        SELECT d.c_custkey AS dk, d.c_mktsegment AS seg,
+               d.c_nationkey AS nat, u.k AS uk, u.u_seg, u.u_nat
+        FROM customer d FULL OUTER JOIN upd u ON d.c_custkey = u.k
+    )
+    SELECT dk AS c_custkey, seg AS c_mktsegment,
+           CAST(nat AS BIGINT) AS c_nationkey,
+           '1990-01-01 00:00:00' AS valid_from_s,
+           CAST(NULL AS VARCHAR) AS valid_to_s
+    FROM j WHERE dk IS NOT NULL
+      AND (uk IS NULL OR (seg = u_seg AND nat = u_nat))
+    UNION ALL
+    SELECT dk, seg, CAST(nat AS BIGINT),
+           '1990-01-01 00:00:00', '1996-06-01 00:00:00'
+    FROM j WHERE dk IS NOT NULL AND uk IS NOT NULL
+      AND NOT (seg = u_seg AND nat = u_nat)
+    UNION ALL
+    SELECT uk, u_seg, CAST(u_nat AS BIGINT),
+           '1996-06-01 00:00:00', CAST(NULL AS VARCHAR)
+    FROM j WHERE uk IS NOT NULL
+      AND (dk IS NULL OR NOT (seg = u_seg AND nat = u_nat))
+    """,
+)
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 apply (operators/scd2.py): a deterministic update
+    batch (half the keys, a quarter of them actually changed, plus a
+    tranche of brand-new keys) hits an all-open customer dimension;
+    output is the full version history. The oracle replays the three
+    branch outcomes (untouched / closed / opened) with a direct
+    attribute compare — proving the md5 change-hash decides exactly
+    like attribute equality. One full-outer shuffle on the business
+    key; the dimension is small by definition at 100 TB (the fact side
+    never enters this op)."""
+    from taxi_trips_etl_spark.operators.scd2 import scd2_apply
+
+    c = _t(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.lit("1990-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = (
+        c.filter(F.col("c_custkey") % 2 == 0)
+        .select(
+            "c_custkey",
+            F.when(
+                F.col("c_custkey") % 4 == 0,
+                F.concat(F.col("c_mktsegment"), F.lit("-V2")),
+            )
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_nationkey",
+            F.lit("1996-06-01 00:00:00").cast("timestamp").alias(
+                "effective_ts"
+            ),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                "c_nationkey",
+                F.lit("1996-06-01 00:00:00").cast("timestamp").alias(
+                    "effective_ts"
+                ),
+            )
+        )
+    )
+    hist = scd2_apply(dim, upd, "c_custkey", ["c_mktsegment", "c_nationkey"])
+    return hist.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        _ts_str(F.col("valid_from"), "valid_from_s"),
+        _ts_str(F.col("valid_to"), "valid_to_s"),
+    )
+
+
+_CDC_UPD = """
+    SELECT c_custkey AS k, c_name AS u_name, c_nationkey AS u_nat,
+           c_acctbal + 1000.0 AS u_bal, 'UPDATED' AS u_seg
+    FROM customer WHERE c_custkey % 5 = 0
+    UNION ALL
+    SELECT c_custkey + 10000000, 'NEW#' || CAST(c_custkey AS VARCHAR),
+           c_nationkey, 0.0, 'INSERTED'
+    FROM customer WHERE c_custkey % 100 = 0
+"""
+
+
+@register(
+    "cdc_upsert_apply",
+    f"""
+    WITH upd AS ({_CDC_UPD})
+    SELECT COALESCE(t.c_custkey, u.k) AS c_custkey,
+           CASE WHEN u.k IS NOT NULL THEN u.u_name ELSE t.c_name END
+               AS c_name,
+           CAST(CASE WHEN u.k IS NOT NULL THEN u.u_nat
+                     ELSE t.c_nationkey END AS BIGINT) AS c_nationkey,
+           CAST(round(CASE WHEN u.k IS NOT NULL THEN u.u_bal
+                           ELSE t.c_acctbal END * 100) AS BIGINT)
+               AS acctbal_cents,
+           CASE WHEN u.k IS NOT NULL THEN u.u_seg ELSE t.c_mktsegment END
+               AS c_mktsegment
+    FROM customer t FULL OUTER JOIN upd u ON t.c_custkey = u.k
+    """,
+)
+def q_cdc_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics on plain parquet (operators/upsert.py): a
+    CDC batch (updates to every 5th key + inserts of new keys) applied
+    via full-outer join — updates win per key, unmatched target rows
+    survive, unmatched source rows insert. The oracle IS the merge
+    spec, so the green row proves the portable-MERGE formulation. One
+    shuffle on the merge key (zero if both sides are bucketed on it);
+    money compared as exact integer cents."""
+    from taxi_trips_etl_spark.operators.upsert import upsert
+
+    c = _t(spark, sf_dir, "customer")
+    upd = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+            F.lit("UPDATED").alias("c_mktsegment"),
+        )
+        .unionByName(
+            c.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                F.concat(
+                    F.lit("NEW#"), F.col("c_custkey").cast("string")
+                ).alias("c_name"),
+                "c_nationkey",
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("INSERTED").alias("c_mktsegment"),
+            )
+        )
+    )
+    merged = upsert(c, upd, ["c_custkey"])
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_nationkey").cast("long").alias("c_nationkey"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted hot-key join (operators/skew.py): the big side carries
+    ONE deterministic xxhash64-derived salt, the small side replicates
+    across all 8 salts, and the equi-join runs on (key, salt) — so a
+    pathological key spreads over 8 tasks instead of serializing on
+    one. The oracle is the PLAIN join: the green row proves salting is
+    semantics-preserving (every big row still meets every matching
+    small row exactly once). For a broadcastable dim prefer
+    F.broadcast; salting is the mid×mid fallback AQE's skew handling
+    can't split (single hot KEY, not partition)."""
+    from taxi_trips_etl_spark.operators.skew import salted_join
+
+    big = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        "o_totalprice",
+    )
+    small = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"), "c_mktsegment"
+    )
+    joined = salted_join(big, small, ["ck"], "inner", salts=8)
+    return joined.select(
+        "o_orderkey",
+        F.col("ck").alias("o_custkey"),
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "totalprice_cents"
+        ),
+    )
+
+
+@register(
+    "embedding_int8_quantize",
+    """
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    x0 AS (
+        SELECT vec_id,
+               unnest(generate_series(1, len(v))) AS i,
+               unnest(v) AS val
+        FROM e
+    ),
+    x AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim_idx, val FROM x0),
+    stats AS (
+        SELECT dim_idx, min(val) AS mn, max(val) AS mx
+        FROM x GROUP BY dim_idx
+    )
+    SELECT x.vec_id, x.dim_idx,
+           CASE WHEN mx = mn THEN 0
+                ELSE CAST(least(255, greatest(0,
+                         round((val - mn) / ((mx - mn) / 255.0))))
+                     AS BIGINT) - 128 END AS code
+    FROM x JOIN stats USING (dim_idx)
+    """,
+)
+def q_embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (dataprep/quantize.py): per-DIMENSION
+    affine codebook (64 rows, one narrow agg) broadcast back onto the
+    corpus — float32 vectors become 4x-smaller int8 codes with zero
+    corpus-side shuffles. All-IEEE-double arithmetic in an identical
+    op order on both engines, so the code values hash-match exactly;
+    this is the fully-SQL-expressible end of the quantization spectrum
+    (PQ — similarity_pq_topk — is the trained end)."""
+    from taxi_trips_etl_spark.dataprep.quantize import quantize_int8
+
+    return quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    total = 10**12
+    head = f"""
+    WITH reps AS (
+        SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+               min(l.l_suppkey) AS rep
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    seqd AS (
+        SELECT o_custkey, rep,
+               lag(rep) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM reps
+    ),
+    edges AS (
+        SELECT DISTINCT prev AS src, rep AS dst FROM seqd
+        WHERE prev IS NOT NULL AND prev <> rep
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst FROM edges),
+    params AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, {total} // (SELECT n FROM params) AS r FROM nodes)"""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    r{k} AS (
+        SELECT n.node,
+               (15 * {total}) // (100 * (SELECT n FROM params))
+               + (85 * COALESCE(s.insum, 0)) // 100 AS r
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(r.r // d.d) AS insum
+            FROM edges e
+            JOIN r{k - 1} r ON r.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) s ON s.node = n.node
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r{iters}
+    """
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle(10))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (dataprep/graph.py) over the supplier-transition graph
+    (per customer, consecutive orders' representative suppliers form a
+    directed edge) — the link-importance signal web-corpus curation
+    pipelines use for page filtering. Integer fixed-point arithmetic
+    (1e12 scale, integer division everywhere) makes 10 power
+    iterations bit-reproducible regardless of summation order — which
+    is what lets a 10-step unrolled-CTE oracle hash-match it exactly.
+    Small graphs route to a driver union-loop (same recurrence);
+    at scale each round is one ranks⋈edges broadcast join + one
+    groupBy(dst) with map-side partial sums, lineage truncated per
+    round."""
+    from taxi_trips_etl_spark.dataprep.graph import pagerank_auto
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    reps = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.min("l_suppkey").alias("rep"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        reps.select("rep", F.lag("rep").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
+        .select(F.col("prev").alias("src"), F.col("rep").alias("dst"))
+        .distinct()
+    )
+    return pagerank_auto(edges, iters=10)
+
+
+@register("bpe_learn_merges")
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-rule learning (dataprep/bpe.py): 8 merges over the
+    documents word-frequency table — the tokenizer-training half of
+    the LLM pipeline (tokenize_with_vocab is the applying half). The
+    corpus-sized work is ONE word-count agg; every iteration after
+    that touches only the bounded vocabulary. Data-dependent literals
+    inside a per-iteration fold are not SQL-expressible → rows-only
+    here; pytest pins distributed ≡ driver ≡ hand-computed example."""
+    from taxi_trips_etl_spark.dataprep.bpe import learn_bpe_auto
+
+    return learn_bpe_auto(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register(
+    "fuzzy_match_fastss2",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE a.c_mktsegment = 'BUILDING' AND b.c_mktsegment = 'BUILDING'
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_match_fastss2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastSS at distance 2 (dataprep/dedup.py fastss_pairs
+    max_dist=2): depth-2 symmetric-deletion neighborhoods (self +
+    1-deletions + position-pair 2-deletions) meet in an equi-join;
+    real levenshtein() verifies survivors, so bucket collisions cost a
+    compare, never a wrong answer. O(n·len²) candidate rows vs the
+    O(n²) all-pairs matrix the DuckDB oracle brute-forces — the green
+    row is the recall proof. Input bounded to one market segment to
+    keep the quadratic oracle honest at sf0.1."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return dedup.fastss_pairs(c, "c_custkey", "c_name", max_dist=2)

@@ -74,6 +74,15 @@ EXPECT = {
     "event_transition_matrix": ["Window", "HashAggregate"],
     "kfold_assignment": ["HashAggregate"],
     "split_leakage_audit": ["BroadcastHashJoin", "HashAggregate"],
+    # Round-4 batch: mutation ops, skew, quantization, fastss2.
+    "scd2_customer_history": ["HashAggregate|Join"],
+    "cdc_upsert_apply": ["Join"],
+    "skew_salted_join": ["BroadcastHashJoin|SortMergeJoin"],
+    "embedding_int8_quantize": ["Generate", "BroadcastHashJoin"],
+    # Variant table is checkpointed (self-join rule), so the visible
+    # plan starts at the materialized scan: assert the equi-join +
+    # distinct, not the pre-checkpoint Generate.
+    "fuzzy_match_fastss2": ["HashAggregate", "Join"],
 }
 
 FORBID = {
@@ -134,6 +143,17 @@ FORBID = {
     "kfold_assignment": ["BatchEvalPython", "CartesianProduct"],
     "split_leakage_audit": ["CartesianProduct", "BatchEvalPython",
                             "SortMergeJoin"],
+    # Round-4 batch.
+    "scd2_customer_history": ["BatchEvalPython", "CartesianProduct"],
+    "cdc_upsert_apply": ["BatchEvalPython", "CartesianProduct"],
+    "skew_salted_join": ["BatchEvalPython", "CartesianProduct",
+                         "BroadcastNestedLoopJoin"],
+    # Encode pass joins only the 64-row codebook: broadcast, and the
+    # corpus side must not shuffle for it.
+    "embedding_int8_quantize": ["BatchEvalPython", "SortMergeJoin",
+                                "CartesianProduct"],
+    "fuzzy_match_fastss2": ["BatchEvalPython", "CartesianProduct",
+                            "BroadcastNestedLoopJoin"],
 }
 
 
