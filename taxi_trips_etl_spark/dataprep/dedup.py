@@ -538,3 +538,62 @@ def fastss_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-wide exact chunk-level deduplication (Lee et al. 2021's
+    "Deduplicating Training Data Makes Language Models Better",
+    restricted to aligned non-overlapping windows).
+
+    Every document is cut into consecutive ``chunk_tokens``-token
+    chunks (the tail chunk may be shorter); a chunk survives only in
+    its FIRST occurrence corpus-wide (lowest ``(doc_id, chunk_idx)``),
+    every later byte-identical chunk is dropped, and each document's
+    text is reassembled from its surviving chunks in order.
+
+    → (doc_id, text_dedup, n_chunks_kept, n_chunks_dropped)
+
+    Scale shape: one explode to ≈ n_tokens/chunk_tokens rows, one
+    shuffle keyed on md5(chunk) for the first-occurrence window (the
+    32-hex key bounds shuffle width; the chunk string rides along only
+    for reassembly), one shuffle back on doc_id for the ordered
+    string_agg. No joins, no driver state — both shuffles are the
+    minimum any engine needs for a corpus-wide first-wins rule.
+    """
+    n = int(chunk_tokens)
+    chunks = F.expr(
+        f"transform(sequence(0, (size(toks) - 1) div {n}), "
+        f"i -> array_join(slice(toks, i * {n} + 1, {n}), ' '))"
+    )
+    exploded = (
+        tokens_table(docs, text)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    )
+    first_wins = Window.partitionBy(F.md5("chunk")).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    kept = exploded.withColumn(
+        "rn", F.row_number().over(first_wins)
+    ).withColumn("keep", (F.col("rn") == 1).cast("int"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct("
+                    "chunk_idx, if(keep = 1, chunk, null) AS c))), "
+                    "s -> s.c)"
+                ),
+            ).alias("text_dedup"),
+            F.sum("keep").cast("long").alias("n_chunks_kept"),
+            (F.count(F.lit(1)) - F.sum("keep"))
+            .cast("long")
+            .alias("n_chunks_dropped"),
+        )
+        .select("doc_id", "text_dedup", "n_chunks_kept", "n_chunks_dropped")
+    )

@@ -139,3 +139,49 @@ def pagerank_auto(
     return spark.createDataFrame(
         [(v, rank[v]) for v in nodes], "node long, rank_e12 long"
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over the undirected simple graph
+    ``edges`` induces — the local-clustering signal (spam/link-farm
+    detection in web-graph curation; GraphX `triangleCount` parity).
+
+    Algorithm: canonicalize each edge to (lo, hi) with lo < hi and
+    dedup; enumerate each triangle exactly once as a < b < c via two
+    equi-joins (e1=(a,b) ⋈ e2=(b,c) on b, ⋈ e3=(a,c) on (a, c));
+    then credit each corner. The a<b<c constraint is the standard
+    compact-forward enumeration — no triangle is produced 6×, so no
+    post-hoc division, and both joins are hash equi-joins a DuckDB
+    oracle replays verbatim.
+
+    Scale shape: joins shuffle on single node keys; skew on hub nodes
+    is the known cost of triangle listing (mitigate upstream by
+    degree-capping the edge list, as the LSH paths cap hot buckets).
+    The edge list is checkpointed once and reused by all three sides.
+    → (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") < F.col("hi"))
+        .distinct()
+        .transform(materialize, eager=False)
+    )
+    e1 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = canon.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = canon.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tris = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        .orderBy("node")
+    )

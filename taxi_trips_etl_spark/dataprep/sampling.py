@@ -122,3 +122,40 @@ def kfold_assign(
     return df.withColumn(
         "fold", (_key_bucket(F.col(key), salt) % k).cast("long")
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    key: str,
+    weight_cents: Column,
+    k: int,
+    salt: str = "wps",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling, Duffield-Lund-Thorup): each row draws a content-hash
+    uniform u ∈ [0, 2^32) and gets priority key ``u / w``; the k rows
+    with the SMALLEST keys form the sample, so inclusion odds scale
+    with weight while membership stays engine- and rerun-stable.
+
+    → (key, weight_cents, priority_key) — exactly ``k`` rows.
+
+    Portability: the key is ONE IEEE double division of two exact
+    integers (hash bucket / integer-cent weight), bit-identical on any
+    engine — no transcendental (-ln u / w) whose libm could differ in
+    the last ulp and flip the order near the k-th boundary. Ties are
+    impossible short of md5 collisions but the sort breaks them by key
+    anyway. Scale shape: a global top-k is TakeOrderedAndProject —
+    per-partition heaps of k rows, no full sort, no shuffle of the
+    input."""
+    w = weight_cents.cast("long")
+    u = _key_bucket(F.col(key), salt)
+    return (
+        df.select(
+            F.col(key),
+            w.alias("weight_cents"),
+            (u.cast("double") / w.cast("double")).alias("priority_key"),
+        )
+        .filter(F.col("weight_cents") > 0)
+        .orderBy("priority_key", key)
+        .limit(k)
+    )

@@ -726,3 +726,63 @@ def semantic_decontaminate(
         (-F.col("_b.nid")).cast("long").alias("matched_eval_id"),
         F.col("_b.c").alias("max_cosine"),
     )
+
+
+def standardize_dims(
+    embeddings: DataFrame,
+    id_below: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-score standardization of an embedding column —
+    the feature-scaling step in front of k-means/PCA/ANN (unscaled
+    dimensions dominate L2 distances).
+
+    Population stats per dimension come from one posexplode +
+    map-side-combined groupBy(dim) — sum, sum of squares, count — and
+    join back as a BROADCAST (d rows, never a shuffle of the corpus):
+    z = (x − μ_dim) / σ_dim, σ the population std via the one-pass
+    E[x²] − μ² identity, computed on exact-integer-free doubles and
+    rounded to 6 dp so partial-sum ordering (Spark tree aggregation vs
+    any oracle's sequential sum, ~1e-12 apart) cannot flip the hash.
+    Dimensions with σ = 0 emit z = 0 by convention.
+
+    ``id_below`` bounds the OUTPUT sample (stats always use every
+    row). → (vec_id, dim_idx, z).
+    """
+    xs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "dim_idx", "x"
+        ),
+    )
+    stats = (
+        xs.groupBy("dim_idx")
+        .agg(
+            F.sum("x").alias("s"),
+            F.sum(F.col("x") * F.col("x")).alias("ss"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+        .select(
+            "dim_idx",
+            (F.col("s") / F.col("n")).alias("mu"),
+            F.sqrt(
+                F.greatest(
+                    F.col("ss") / F.col("n")
+                    - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")),
+                    F.lit(0.0),
+                )
+            ).alias("sigma"),
+        )
+    )
+    out = xs if id_below is None else xs.filter(F.col("vec_id") < id_below)
+    return out.join(F.broadcast(stats), "dim_idx").select(
+        F.col("vec_id").cast("long"),
+        F.col("dim_idx").cast("long"),
+        F.round(
+            F.when(F.col("sigma") == 0.0, 0.0).otherwise(
+                (F.col("x") - F.col("mu")) / F.col("sigma")
+            ),
+            6,
+        ).alias("z"),
+    )

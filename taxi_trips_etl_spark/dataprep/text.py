@@ -878,3 +878,135 @@ def bm25_search(
         scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(top_n)
     )
+
+
+def token_entropy(docs: DataFrame, text: str = "text") -> DataFrame:
+    """Per-source Shannon entropy of the token distribution — the
+    corpus-diversity signal (near-zero entropy flags template spam /
+    boilerplate sources; LLM curation pipelines cut on it next to the
+    Gopher ratios).
+
+    H = log2(N) − Σ c·log2(c) / N over per-token counts c, which is
+    the single-pass rearrangement of −Σ p·log2 p — no second join to
+    bring N inside the sum. → (source, n_tokens, n_distinct,
+    entropy_bits round 6; the rounding absorbs summation-order and
+    last-ulp libm noise, both ~1e-12 here).
+
+    Scale shape: token counts are one map-side-combined shuffle on
+    (source, token); the entropy reduce then aggregates ≤ vocab-size
+    rows per source. Nothing else touches the corpus."""
+    spark = docs.sparkSession
+    counts = (
+        docs.select("doc_id", "source", tokens_col(text).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(
+                F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6
+            ).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def feature_hash_counts(
+    docs: DataFrame, n_buckets: int = 64, text: str = "text"
+) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009): each token
+    maps to bucket md5(token) mod ``n_buckets``; a document becomes a
+    sparse integer count vector with a FIXED dimensionality — no vocab
+    build, no OOV, memory independent of corpus size, which is why
+    it is the standard first featurizer at web scale.
+
+    → (doc_id, bucket, n) sparse rows, all-integer (exact on any
+    engine). One explode + one map-side-combined shuffle on
+    (doc_id, bucket); the md5 bucket is engine-portable so the oracle
+    reproduces the exact same hash space."""
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+    return (
+        tokens_table(docs, text)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def bigram_lm_topk(
+    docs: DataFrame,
+    heads: int = 20,
+    next_per_head: int = 3,
+    text: str = "text",
+) -> DataFrame:
+    """Corpus bigram language model, summarized: for the ``heads`` most
+    frequent head words, the ``next_per_head`` most likely successors
+    with conditional probability P(w2|w1) = c(w1,w2)/c(w1,·). The
+    n-gram-LM building block behind perplexity filtering and the
+    unigram_logprob_score sibling.
+
+    All counts are exact integers; each probability is one IEEE
+    division of those integers (engine-portable, no rounding needed).
+    Scale shape: bigrams come from a zip of the token array with its
+    tail (no self-join), one shuffle on (w1, w2) with map-side
+    combine, then windows over the ≤ vocab² aggregate — never the
+    corpus. → (w1, w2, pair_n, head_n, cond_p)."""
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    pairs = (
+        tokens_table(docs, text)
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
+    )
+    head_w = Window.partitionBy("w1")
+    with_head = pairs.withColumn(
+        "head_n", F.sum("pair_n").over(head_w).cast("long")
+    )
+    # Top heads as a TakeOrderedAndProject limit (per-partition heaps,
+    # no global sort) broadcast-semi-joined back — a global
+    # dense_rank window here would funnel the whole bigram aggregate
+    # through one partition.
+    top_heads = F.broadcast(
+        with_head.select("w1", "head_n")
+        .distinct()
+        .orderBy(F.desc("head_n"), F.asc("w1"))
+        .limit(heads)
+        .select("w1")
+    )
+    per_head = Window.partitionBy("w1").orderBy(
+        F.desc("pair_n"), F.asc("w2")
+    )
+    return (
+        with_head.join(top_heads, "w1", "left_semi")
+        .withColumn("succ_rank", F.row_number().over(per_head))
+        .filter(F.col("succ_rank") <= next_per_head)
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "head_n",
+            (F.col("pair_n").cast("double") / F.col("head_n").cast("double"))
+            .alias("cond_p"),
+        )
+    )

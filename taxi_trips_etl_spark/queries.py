@@ -5955,3 +5955,613 @@ def q_fuzzy_match_fastss2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     return dedup.fastss_pairs(c, "c_custkey", "c_name", max_dist=2)
+
+
+# ---------------------------------------------------------------------------
+# Round 4: chunk-level exact dedup, weighted sampling, entropy/feature
+# hashing/bigram-LM text ops, z-score standardization, robust stats,
+# time-series windows, skyline, triangles, and the Q21 shape.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+@register(
+    "chunk_dedup_docs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_CHUNK_TOKS} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i - 1 AS chunk_idx,
+               array_to_string(
+                   list_slice(t, (i - 1) * 10 + 1, (i - 1) * 10 + 10), ' '
+               ) AS chunk
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, ((len(t) - 1) // 10) + 1)) AS i
+              FROM toks)
+    ),
+    marked AS (
+        SELECT doc_id, chunk_idx, chunk,
+               row_number() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                               ORDER BY chunk_idx), '') AS text_dedup,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_chunks_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_chunks_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact chunk dedup (dataprep/dedup.py:chunk_dedup —
+    Lee et al. 2021 restricted to aligned 10-token windows): every
+    later byte-identical chunk is dropped, documents reassemble from
+    survivors. Two minimal shuffles: first-wins window on md5(chunk),
+    ordered reassembly on doc_id. The oracle replays the exact
+    first-occurrence rule in DuckDB."""
+    return dedup.chunk_dedup(_t(spark, sf_dir, "documents"), chunk_tokens=10)
+
+
+@register(
+    "weighted_priority_sample",
+    f"""
+    SELECT c_custkey, weight_cents, priority_key FROM (
+        SELECT c_custkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS weight_cents,
+               CAST(CAST(concat('0x', substr(
+                        md5('wps:' || CAST(c_custkey AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(round(c_acctbal * 100) AS BIGINT) AS DOUBLE)
+                   AS priority_key
+        FROM customer
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+    ) ORDER BY priority_key, c_custkey LIMIT 100
+    """,
+)
+def q_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (dataprep/sampling.py:weighted_priority_sample — priority sampling,
+    Duffield-Lund-Thorup): priority = hash-uniform / weight, keep the
+    100 smallest. One IEEE division of exact integers per row keeps the
+    key bit-identical across engines (no -ln(u) transcendental); the
+    global top-k compiles to TakeOrderedAndProject (per-partition
+    heaps), never a full sort."""
+    from taxi_trips_etl_spark.dataprep.sampling import (
+        weighted_priority_sample,
+    )
+
+    return weighted_priority_sample(
+        _t(spark, sf_dir, "customer"),
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100),
+        k=100,
+        salt="wps",
+    )
+
+
+@register(
+    "token_entropy_by_source",
+    f"""
+    WITH c AS (
+        SELECT source, tok, count(*) AS c FROM (
+            SELECT source, unnest({_CHUNK_TOKS}) AS tok FROM documents
+        ) GROUP BY source, tok
+    )
+    SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 6) AS entropy_bits
+    FROM c GROUP BY source ORDER BY source
+    """,
+)
+def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution Shannon entropy
+    (dataprep/text.py:token_entropy) — the corpus-diversity /
+    template-spam signal. Single-pass H = log2(N) − Σ c·log2 c / N
+    rearrangement: one map-side-combined shuffle on (source, token),
+    then a reduce over ≤ vocab rows; round(6) absorbs ~1e-12
+    summation-order noise."""
+    from taxi_trips_etl_spark.dataprep.text import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "feature_hash_counts",
+    f"""
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                AS BIGINT) AS bucket,
+           count(*) AS n
+    FROM (SELECT doc_id, unnest({_CHUNK_TOKS}) AS tok FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def q_feature_hash_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (dataprep/text.py:feature_hash_counts,
+    Weinberger et al. 2009): md5(token) mod 64 buckets → sparse integer
+    count vectors with fixed dimensionality, no vocab build, no OOV.
+    All-integer output; one explode + one combined shuffle."""
+    from taxi_trips_etl_spark.dataprep.text import feature_hash_counts
+
+    return feature_hash_counts(_t(spark, sf_dir, "documents"), n_buckets=64)
+
+
+@register(
+    "bigram_lm_topk",
+    f"""
+    WITH t AS (
+        SELECT doc_id, {_CHUNK_TOKS} AS t FROM documents
+        WHERE len({_CHUNK_TOKS}) >= 2
+    ),
+    pairs AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS pair_n
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t)
+        GROUP BY 1, 2
+    ),
+    heads AS (
+        SELECT w1, CAST(sum(pair_n) AS BIGINT) AS head_n
+        FROM pairs GROUP BY w1
+    ),
+    top_heads AS (SELECT w1 FROM heads ORDER BY head_n DESC, w1 LIMIT 20)
+    SELECT w1, w2, CAST(pair_n AS BIGINT) AS pair_n, head_n,
+           CAST(pair_n AS DOUBLE) / CAST(head_n AS DOUBLE) AS cond_p
+    FROM (
+        SELECT p.w1, p.w2, p.pair_n, h.head_n,
+               row_number() OVER (PARTITION BY p.w1
+                                  ORDER BY p.pair_n DESC, p.w2) AS rn
+        FROM pairs p JOIN heads h USING (w1) JOIN top_heads USING (w1)
+    ) WHERE rn <= 3
+    """,
+)
+def q_bigram_lm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram LM summary (dataprep/text.py:bigram_lm_topk): top-3
+    successors with P(w2|w1) for the 20 most frequent heads. Bigrams
+    come from a token-array zip (no self-join); windows run over the
+    vocab² aggregate, never the corpus; the head cut is a broadcast
+    TakeOrderedAndProject semi-join, not a global window. Exact counts,
+    one IEEE division per probability."""
+    from taxi_trips_etl_spark.dataprep.text import bigram_lm_topk
+
+    return bigram_lm_topk(
+        _t(spark, sf_dir, "documents"), heads=20, next_per_head=3
+    )
+
+
+@register(
+    "embedding_zscore",
+    """
+    WITH xs AS (
+        SELECT vec_id, i - 1 AS dim_idx, CAST(embedding[i] AS DOUBLE) AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS i
+              FROM embeddings)
+    ),
+    st AS (
+        SELECT dim_idx, sum(x) / CAST(count(*) AS DOUBLE) AS mu,
+               sqrt(greatest(
+                   sum(x * x) / CAST(count(*) AS DOUBLE)
+                   - (sum(x) / CAST(count(*) AS DOUBLE))
+                     * (sum(x) / CAST(count(*) AS DOUBLE)), 0.0)) AS sigma
+        FROM xs GROUP BY dim_idx
+    )
+    SELECT CAST(xs.vec_id AS BIGINT) AS vec_id,
+           CAST(xs.dim_idx AS BIGINT) AS dim_idx,
+           round(CASE WHEN sigma = 0 THEN 0.0
+                      ELSE (x - mu) / sigma END, 6) AS z
+    FROM xs JOIN st USING (dim_idx)
+    WHERE vec_id < 5
+    """,
+)
+def q_embedding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization
+    (dataprep/similarity.py:standardize_dims) — the feature-scaling
+    step ahead of k-means/PCA/ANN. Stats are one posexplode +
+    map-side-combined groupBy(dim) over ALL vectors; the d-row stats
+    table joins back as a broadcast; output sampled to vec_id < 5.
+    round(6) absorbs partial-sum-order noise (~1e-12)."""
+    from taxi_trips_etl_spark.dataprep.similarity import standardize_dims
+
+    return standardize_dims(_t(spark, sf_dir, "embeddings"), id_below=5)
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH pts AS (
+        SELECT c_nationkey,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    m AS (SELECT c_nationkey, median(bal_cents) AS med
+          FROM pts GROUP BY c_nationkey),
+    d AS (SELECT p.c_nationkey, p.bal_cents, m.med,
+                 abs(p.bal_cents - m.med) AS dev
+          FROM pts p JOIN m USING (c_nationkey)),
+    md AS (SELECT c_nationkey, median(dev) AS mad
+           FROM d GROUP BY c_nationkey)
+    SELECT d.c_nationkey, round(max(d.med), 1) AS med_cents,
+           round(max(md.mad), 1) AS mad_cents,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(count(*) FILTER (WHERE d.dev > 3 * md.mad) AS BIGINT)
+               AS n_outliers
+    FROM d JOIN md USING (c_nationkey)
+    GROUP BY d.c_nationkey ORDER BY d.c_nationkey
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation robust outlier screen per nation — the
+    heavy-tail-safe sibling of iqr_outliers. One shuffle on nation,
+    then three in-partition window passes over the SAME partitioning
+    (exact median, MAD of deviations, threshold count) — Spark reuses
+    the single Exchange for all three windows, so robust stats cost no
+    more shuffles than a plain groupBy. Medians are exact interpolated
+    percentiles (integer cents → .0/.5 values, engine-portable)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    w = Window.partitionBy("c_nationkey")
+    d = c.withColumn(
+        "med", F.percentile("bal_cents", F.lit(0.5)).over(w)
+    ).withColumn("dev", F.abs(F.col("bal_cents") - F.col("med")))
+    d = d.withColumn("mad", F.percentile("dev", F.lit(0.5)).over(w))
+    return (
+        d.groupBy("c_nationkey")
+        .agg(
+            F.round(F.max("med"), 1).alias("med_cents"),
+            F.round(F.max("mad"), 1).alias("mad_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_cust"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# Exponential weights 0.7^j, j=0..19, generated once by repeated
+# multiplication and inlined as IDENTICAL double literals on both
+# engines — pow() is transcendental and libm-dependent, literals are
+# not. Index convention: _EWMA_W[0] weights the CURRENT row.
+_EWMA_W = [0.7 ** j for j in range(20)]
+_EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
+
+
+@register(
+    "ewma_daily_revenue",
+    f"""
+    WITH daily AS (
+        SELECT c.c_nationkey,
+               strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS daily_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT c_nationkey, day, daily_cents,
+               list(daily_cents) OVER (
+                   PARTITION BY c_nationkey ORDER BY day
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS xs
+        FROM daily
+    )
+    SELECT c_nationkey, day, daily_cents,
+           round(
+               list_sum(list_transform(generate_series(1, len(xs)),
+                   i -> (CAST(xs[i] AS DOUBLE) / 100.0)
+                        * ({_EWMA_W_SQL})[len(xs) - i + 1]))
+               / list_sum(list_transform(generate_series(1, len(xs)),
+                   i -> ({_EWMA_W_SQL})[len(xs) - i + 1])), 4) AS ewma
+    FROM win
+    """,
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per nation
+    (trailing 20 observations, decay 0.7) — the smoothing primitive for
+    monitoring/seasonality features. The weights are PRE-COMPUTED
+    literals shared verbatim with the oracle, and both engines fold the
+    SAME trailing list left-to-right, so the float result is
+    bit-identical before the insurance round(4). One shuffle on nation
+    builds the daily series; the window frame is rows-based (20
+    elements max), so state per row is O(20) at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    daily = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_nationkey",
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("daily_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("day")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    ws = "array(" + ", ".join(repr(x) + "D" for x in _EWMA_W) + ")"
+    ewma = F.expr(
+        f"round(aggregate(sequence(0, size(xs) - 1), 0.0D, (acc, i) -> "
+        f"acc + (CAST(element_at(xs, i + 1) AS DOUBLE) / 100.0D) "
+        f"* element_at({ws}, size(xs) - i)) / "
+        f"aggregate(sequence(0, size(xs) - 1), 0.0D, (acc, i) -> "
+        f"acc + element_at({ws}, size(xs) - i)), 4)"
+    )
+    return (
+        daily.withColumn("xs", F.collect_list("daily_cents").over(w))
+        .select("c_nationkey", "day", "daily_cents", ewma.alias("ewma"))
+    )
+
+
+@register(
+    "rolling_corr_revenue",
+    """
+    WITH g AS (
+        SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    n1 AS (
+        SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS x
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_nationkey = 1 GROUP BY 1
+    ),
+    j AS (SELECT n1.day, n1.x, g.y FROM n1 JOIN g USING (day)),
+    w AS (
+        SELECT day, x, y,
+               count(*) OVER tw AS n,
+               sum(x) OVER tw AS sx, sum(y) OVER tw AS sy,
+               sum(x * y) OVER tw AS sxy,
+               sum(x * x) OVER tw AS sxx, sum(y * y) OVER tw AS syy,
+               row_number() OVER (ORDER BY day) AS rn
+        FROM j
+        WINDOW tw AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS corr
+    FROM w
+    WHERE rn >= 30 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def q_rolling_corr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-observation Pearson correlation between nation 1's
+    daily revenue and the global daily total — the co-movement monitor.
+    Every windowed sum is INTEGER (whole dollars), so the five
+    sufficient statistics are exact on any engine and only the final
+    sqrt/divide touches floats (identical operands → identical result;
+    round(6) is insurance). Window state is O(1) per row via running
+    sums — no list materialization at scale. Degenerate (zero-variance)
+    windows are filtered, as are the first 29 partial windows."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    day = F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    g = o.groupBy(day).agg(F.sum(dollars).cast("long").alias("y"))
+    n1 = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .filter(F.col("c_nationkey") == 1)
+        .groupBy(day)
+        .agg(F.sum(dollars).cast("long").alias("x"))
+    )
+    j = n1.join(g, "day")
+    tw = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    rw = Window.orderBy("day")
+    wdf = j.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("x").over(tw).alias("sx"),
+        F.sum("y").over(tw).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(tw).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(tw).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(tw).alias("syy"),
+        F.row_number().over(rw).alias("rn"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        wdf.filter((F.col("rn") >= 30) & (varx > 0) & (vary > 0))
+        .select(
+            "day",
+            F.round(
+                num.cast("double")
+                / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))),
+                6,
+            ).alias("corr"),
+        )
+    )
+
+
+@register(
+    "pareto_frontier",
+    """
+    WITH pts AS (
+        SELECT c.c_nationkey, c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents,
+               CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+        ) o ON c.c_custkey = o.o_custkey
+    )
+    SELECT c_nationkey, c_custkey, bal_cents, n_orders FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.c_nationkey = p.c_nationkey
+          AND q.bal_cents >= p.bal_cents AND q.n_orders >= p.n_orders
+          AND (q.bal_cents > p.bal_cents OR q.n_orders > p.n_orders)
+    )
+    """,
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline per nation: customers not dominated on (balance,
+    order count). The ORACLE is the literal O(n²) NOT-EXISTS dominance
+    test; the Spark side is the sort-based linear scan — two window
+    maxima over ONE shuffle on nation (max orders over strictly-higher
+    balances via a range frame, max among balance peers), dominated iff
+    either beats the row. Hash equality between the two is the proof
+    the O(n log n) plan computes the same frontier."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pts = c.join(o, c["c_custkey"] == o["o_custkey"], "left").select(
+        "c_nationkey",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+    )
+    w_high = (
+        Window.partitionBy("c_nationkey")
+        .orderBy("bal_cents")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_peer = Window.partitionBy("c_nationkey", "bal_cents")
+    dominated = (
+        F.coalesce(
+            F.max("n_orders").over(w_high) >= F.col("n_orders"), F.lit(False)
+        )
+    ) | (F.max("n_orders").over(w_peer) > F.col("n_orders"))
+    return (
+        pts.withColumn("dom", dominated)
+        .filter(~F.col("dom"))
+        .select("c_nationkey", "c_custkey", "bal_cents", "n_orders")
+    )
+
+
+@register(
+    "graph_triangles",
+    """
+    WITH reps AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, min(l_suppkey) AS rep
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    tr AS (
+        SELECT rep, lag(rep) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM reps
+    ),
+    edges AS (
+        SELECT DISTINCT least(prev, rep) AS lo, greatest(prev, rep) AS hi
+        FROM tr WHERE prev IS NOT NULL AND prev <> rep
+    ),
+    tris AS (
+        SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM edges e1
+        JOIN edges e2 ON e1.hi = e2.lo
+        JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    corners AS (
+        SELECT a AS node FROM tris
+        UNION ALL SELECT b FROM tris
+        UNION ALL SELECT c FROM tris
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM corners GROUP BY node ORDER BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (dataprep/graph.py:triangle_count) over
+    the same supplier-transition graph graph_pagerank walks, taken
+    undirected — the local-clustering / link-farm signal. Compact-
+    forward enumeration (a<b<c) produces each triangle exactly once
+    through two hash equi-joins on a checkpointed canonical edge list;
+    the oracle replays the identical enumeration declaratively."""
+    from taxi_trips_etl_spark.dataprep.graph import triangle_count
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    reps = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.min("l_suppkey").alias("rep"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        reps.select("rep", F.lag("rep").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
+        .select(F.col("prev").alias("src"), F.col("rep").alias("dst"))
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "tpch_suppliers_waiting",
+    """
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               (l_suppkey % 45) > (l_partkey % 30) AS late
+        FROM lineitem
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM li l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                  AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+)
+def q_tpch_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting), adapted: no
+    commit/receipt dates in this testdata, so lateness derives
+    deterministically from key arithmetic on both engines. The ORACLE
+    keeps the spec's correlated EXISTS / NOT-EXISTS pair; the Spark
+    side replaces BOTH with one per-order pre-aggregation — distinct
+    suppliers and distinct LATE suppliers per order — joined once:
+    'another supplier exists' ⇔ n_supp ≥ 2, 'no other late supplier' ⇔
+    n_late_supp = 1 (the row's own supplier is late). Two scans of
+    lineitem total, vs four in the naive decorrelation — the
+    agg-then-join rewrite is the scale win this entry pins."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        ((F.col("l_suppkey") % 45) > (F.col("l_partkey") % 30)).alias("late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        li.filter(F.col("late"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )

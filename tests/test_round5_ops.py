@@ -1,0 +1,212 @@
+"""Round-5-batch operator tests: chunk dedup, weighted priority
+sampling, entropy/feature-hash/bigram text ops, z-score
+standardization, triangle counting, and the skyline window plan.
+
+Strategy mirrors the suite: hand-computable fixtures pin semantics;
+cross-path equalities pin the distributed plan against a brute-force
+or closed-form twin. Oracle hash-parity is covered separately by
+tools/validate_oracles.py / the driver gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep.dedup import chunk_dedup
+from taxi_trips_etl_spark.dataprep.graph import triangle_count
+from taxi_trips_etl_spark.dataprep.sampling import weighted_priority_sample
+from taxi_trips_etl_spark.dataprep.text import (
+    bigram_lm_topk,
+    feature_hash_counts,
+    token_entropy,
+)
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_dedup_drops_later_duplicates(spark):
+    # doc 0 and doc 1 share an identical first 3-token chunk; doc 1's
+    # copy must vanish, its unique tail chunk must survive.
+    d = _docs(
+        spark,
+        [(0, "a b c x y z"), (1, "a b c q r s")],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chunk_dedup(d, chunk_tokens=3).collect()
+    }
+    assert out[0]["text_dedup"] == "a b c x y z"
+    assert out[0]["n_chunks_dropped"] == 0
+    assert out[1]["text_dedup"] == "q r s"
+    assert out[1]["n_chunks_kept"] == 1
+    assert out[1]["n_chunks_dropped"] == 1
+
+
+def test_chunk_dedup_first_wins_within_doc(spark):
+    # The same chunk repeated INSIDE one document dedups too.
+    d = _docs(spark, [(7, "p q p q p q")])
+    row = chunk_dedup(d, chunk_tokens=2).collect()[0]
+    assert row["text_dedup"] == "p q"
+    assert row["n_chunks_kept"] == 1
+    assert row["n_chunks_dropped"] == 2
+
+
+def test_chunk_dedup_tail_chunk_survives(spark):
+    d = _docs(spark, [(3, "a b c d e")])  # 2-token chunks + tail 'e'
+    row = chunk_dedup(d, chunk_tokens=2).collect()[0]
+    assert row["text_dedup"] == "a b c d e"
+    assert row["n_chunks_kept"] == 3
+
+
+# ---------------------------------------------------------------------------
+# weighted_priority_sample
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_priority_sample_deterministic_and_sized(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = F.round(F.col("c_acctbal") * 100)
+    a = weighted_priority_sample(cust, "c_custkey", w, k=50).collect()
+    b = weighted_priority_sample(
+        cust.repartition(13), "c_custkey", w, k=50
+    ).collect()
+    assert len(a) == 50
+    assert [r["c_custkey"] for r in a] == [r["c_custkey"] for r in b]
+
+
+def test_weighted_priority_sample_prefers_heavy(spark):
+    # One row weighing 10^6 x the rest is essentially always sampled.
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1_000_000.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    got = weighted_priority_sample(
+        df, "k", F.round(F.col("w") * 100), k=20
+    ).collect()
+    assert 999 in {r["k"] for r in got}
+    assert all(r["weight_cents"] > 0 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_uniform_and_constant(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "a b c d", "uni"),
+            (1, "x x x x", "const"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in token_entropy(d).collect()}
+    assert out["const"]["entropy_bits"] == 0.0
+    assert abs(out["uni"]["entropy_bits"] - 2.0) < 1e-9  # log2(4)
+    assert out["uni"]["n_distinct"] == 4
+
+
+# ---------------------------------------------------------------------------
+# feature_hash_counts
+# ---------------------------------------------------------------------------
+
+
+def test_feature_hash_counts_sum_and_range(spark):
+    d = _docs(spark, [(0, "a b a"), (1, "c")])
+    rows = feature_hash_counts(d, n_buckets=8).collect()
+    assert all(0 <= r["bucket"] < 8 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n"]
+    assert per_doc == {0: 3, 1: 1}  # counts conserve tokens
+
+
+# ---------------------------------------------------------------------------
+# bigram_lm_topk
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_probabilities(spark):
+    # 'a b' x3, 'a c' x1 -> P(b|a)=0.75, P(c|a)=0.25.
+    d = _docs(spark, [(0, "a b a b a b a c")])
+    rows = bigram_lm_topk(d, heads=5, next_per_head=5).collect()
+    pa = {r["w2"]: r for r in rows if r["w1"] == "a"}
+    assert math.isclose(pa["b"]["cond_p"], 0.75)
+    assert math.isclose(pa["c"]["cond_p"], 0.25)
+    assert pa["b"]["head_n"] == 4
+    # per-head ranks order by count desc: b before c survives any cut
+    top1 = bigram_lm_topk(d, heads=1, next_per_head=1).collect()
+    assert [(r["w1"], r["w2"]) for r in top1] == [("a", "b")]
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_hand_graph(spark):
+    # K4 on {1,2,3,4}: each node sits in C(3,2)=3 triangles.
+    edges = [
+        (a, b) for a in range(1, 5) for b in range(1, 5) if a < b
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_direction_and_dup_insensitive(spark):
+    # Duplicate edges, reversed edges, and self-loops don't change
+    # the undirected simple graph: one triangle {1,2,3}.
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# pareto frontier plan ≡ brute force (query-level twin of the oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
+    from taxi_trips_etl_spark.queries import all_queries
+
+    got = sorted(
+        (r["c_nationkey"], r["c_custkey"])
+        for r in all_queries()["pareto_frontier"](spark, sf_dir).collect()
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    n_orders: dict = {}
+    for o in orders:
+        n_orders[o["o_custkey"]] = n_orders.get(o["o_custkey"], 0) + 1
+    pts = [
+        (
+            c["c_nationkey"],
+            c["c_custkey"],
+            round(c["c_acctbal"] * 100),
+            n_orders.get(c["c_custkey"], 0),
+        )
+        for c in cust
+    ]
+    keep = []
+    for nk, ck, bal, no in pts:
+        dominated = any(
+            qnk == nk
+            and qb >= bal
+            and qn >= no
+            and (qb > bal or qn > no)
+            for qnk, _, qb, qn in pts
+        )
+        if not dominated:
+            keep.append((nk, ck))
+    assert got == sorted(keep)

@@ -83,6 +83,20 @@ EXPECT = {
     # plan starts at the materialized scan: assert the equi-join +
     # distinct, not the pre-checkpoint Generate.
     "fuzzy_match_fastss2": ["HashAggregate", "Join"],
+    # Round-5 batch: chunk dedup, sampling, text stats, robust stats,
+    # time-series windows, skyline, triangles, Q21 shape.
+    "chunk_dedup_docs": ["Window", "HashAggregate"],
+    "weighted_priority_sample": ["TakeOrderedAndProject"],
+    "token_entropy_by_source": ["HashAggregate"],
+    "feature_hash_counts": ["HashAggregate"],
+    "bigram_lm_topk": ["BroadcastHashJoin", "Window"],
+    "embedding_zscore": ["BroadcastHashJoin", "HashAggregate"],
+    "mad_outliers": ["Window", "HashAggregate"],
+    "ewma_daily_revenue": ["Window", "HashAggregate"],
+    "rolling_corr_revenue": ["Window", "HashAggregate"],
+    "pareto_frontier": ["Window"],
+    "graph_triangles": ["Join", "HashAggregate"],
+    "tpch_suppliers_waiting": ["BroadcastHashJoin", "TakeOrderedAndProject"],
 }
 
 FORBID = {
@@ -154,6 +168,30 @@ FORBID = {
                                 "CartesianProduct"],
     "fuzzy_match_fastss2": ["BatchEvalPython", "CartesianProduct",
                             "BroadcastNestedLoopJoin"],
+    # Round-5 batch. rolling_corr's calendar-bounded global window is
+    # legitimately single-partition, so it is NOT forbidden there.
+    "chunk_dedup_docs": ["BatchEvalPython", "CartesianProduct"],
+    # Top-k must be per-partition heaps, never a global range sort.
+    "weighted_priority_sample": ["BatchEvalPython",
+                                 "Exchange rangepartitioning"],
+    "token_entropy_by_source": ["BatchEvalPython", "CartesianProduct"],
+    "feature_hash_counts": ["BatchEvalPython", "SortMergeJoin"],
+    # The head cut is a broadcast semi-join: no global-sort window over
+    # the bigram aggregate.
+    "bigram_lm_topk": ["BatchEvalPython", "CartesianProduct",
+                       "SinglePartition"],
+    "embedding_zscore": ["BatchEvalPython", "SortMergeJoin",
+                         "CartesianProduct"],
+    "mad_outliers": ["BatchEvalPython", "CartesianProduct",
+                     "SinglePartition"],
+    "ewma_daily_revenue": ["BatchEvalPython", "CartesianProduct"],
+    "rolling_corr_revenue": ["BatchEvalPython", "CartesianProduct"],
+    "pareto_frontier": ["BatchEvalPython", "CartesianProduct",
+                        "SinglePartition"],
+    "graph_triangles": ["BatchEvalPython", "CartesianProduct",
+                        "BroadcastNestedLoopJoin"],
+    "tpch_suppliers_waiting": ["BatchEvalPython", "CartesianProduct",
+                               "Exchange rangepartitioning"],
 }
 
 
