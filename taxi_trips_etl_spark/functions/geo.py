@@ -253,13 +253,46 @@ def _edge_for_res(res: int) -> float:
     return _RES0_EDGE_DEG / (_APERTURE**res)
 
 
-def latlng_to_cell(lat: float, lng: float, res: int = 9) -> str:
+# Real-H3 gate. The reference's ids come from BigQuery's
+# carto-os H3_FROMGEOGPOINT (enrichment_query.py:10,17) — true H3
+# cells. Bit-exact H3 needs the library's base-cell/face orientation
+# tables (icosahedron constants that cannot be re-derived, only
+# copied), so this repo does NOT hand-roll them: when the public
+# ``h3`` wheel is installed the ``scheme="h3"`` path emits genuine
+# H3 ids; without it the deterministic axial grid below stands in
+# (locality-correct, ids differ — PARITY.md documents the gap).
+try:  # pragma: no cover - exercised only where the wheel exists
+    import h3 as _h3lib
+
+    HAS_H3 = True
+except Exception:  # ImportError in this sandbox
+    _h3lib = None
+    HAS_H3 = False
+
+
+def latlng_to_cell(
+    lat: float, lng: float, res: int = 9, scheme: str = "axial"
+) -> str:
     """Deterministic hex-cell id for a (lat, lng) at a resolution.
 
-    Pointy-top axial hex grid over the equirectangular plane: convert
-    (lng, lat) to fractional axial coords, cube-round to the nearest
-    hex center, emit ``hx{res}_{q}_{r}``.
+    ``scheme="axial"`` (default): pointy-top axial hex grid over the
+    equirectangular plane — convert (lng, lat) to fractional axial
+    coords, cube-round to the nearest hex center, emit
+    ``hx{res}_{q}_{r}``. Self-contained and deterministic everywhere.
+
+    ``scheme="h3"``: genuine H3 cell id via the public ``h3`` library
+    (raises ImportError when absent); ``scheme="auto"`` prefers h3 and
+    falls back to axial. The default stays "axial" so results never
+    silently depend on the environment — parity deployments opt in.
     """
+    if scheme not in ("axial", "h3", "auto"):
+        raise ValueError(f"unknown hex scheme {scheme!r}")
+    if scheme == "h3" or (scheme == "auto" and HAS_H3):
+        if not HAS_H3:
+            raise ImportError(
+                "scheme='h3' needs the public h3 package (pip install h3)"
+            )
+        return _h3lib.latlng_to_cell(lat, lng, res)
     size = _edge_for_res(res)
     x, y = lng, lat
     q = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size

@@ -170,3 +170,38 @@ def test_centroid_cell_spherical_default_stable_on_zone_dim():
         != centroid_cell(_zone_wkt(z, detailed=(z % 5 == 0)), spherical=False)
     ]
     assert diff == []
+
+
+# ---------------------------------------------------------------------------
+# Real-H3 gate (scheme= parameter)
+# ---------------------------------------------------------------------------
+
+
+def test_hex_scheme_gate_and_fallback():
+    from taxi_trips_etl_spark.functions.geo import HAS_H3, latlng_to_cell
+
+    axial = latlng_to_cell(40.7, -73.9, 9)
+    assert axial.startswith("hx9_")
+    with pytest.raises(ValueError):
+        latlng_to_cell(40.7, -73.9, 9, scheme="nope")
+    if not HAS_H3:
+        with pytest.raises(ImportError):
+            latlng_to_cell(40.7, -73.9, 9, scheme="h3")
+        # auto degrades to the axial grid when the wheel is absent
+        assert latlng_to_cell(40.7, -73.9, 9, scheme="auto") == axial
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "taxi_trips_etl_spark.functions.geo", fromlist=["HAS_H3"]
+    ).HAS_H3,
+    reason="public h3 wheel not installed in this container",
+)
+def test_hex_scheme_real_h3_known_vector():
+    from taxi_trips_etl_spark.functions.geo import latlng_to_cell
+
+    # Canonical vector from the H3 documentation (San Francisco).
+    got = latlng_to_cell(
+        37.7752702151959257, -122.418307270836565, 9, scheme="h3"
+    )
+    assert got == "8928308280fffff"
