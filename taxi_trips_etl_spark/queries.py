@@ -6565,3 +6565,72 @@ def q_tpch_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(20)
     )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+           e.event_type,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (streaming/static_enrich.py): the event
+    stream broadcast-joins the customer dim per micro-batch (dim
+    refreshes land without a restart; the stream side never shuffles
+    for the join), then a watermarked 1-day-window aggregation. The
+    AvailableNow complete-mode output must equal the one-shot batch
+    join+aggregate — the oracle IS that batch query."""
+    from taxi_trips_etl_spark.streaming.static_enrich import (
+        run_streaming_static_enrich,
+    )
+
+    return run_streaming_static_enrich(
+        spark,
+        f"{sf_dir}/events.parquet",
+        _t(spark, sf_dir, "customer"),
+        sink_table="static_enrich_oracle_run",
+    )
+
+
+@register(
+    "streaming_cdc_upsert",
+    """
+    SELECT user_id, last_event_id, last_ts, last_type, last_value FROM (
+        SELECT user_id,
+               event_id AS last_event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_type AS last_type,
+               value AS last_value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC apply (streaming/stream_upsert.py): micro-batches
+    of the event feed merge into a per-user state table, newest
+    (ts, event_id) wins. The merge is a commutative/associative
+    reduction, so the final state is independent of batch splits and
+    arrival order — which is exactly why the whole-feed argmax oracle
+    can hash-match it (and why redelivered batches are no-ops in
+    production). Multi-batch splitting is pytest-pinned equal to this
+    single-batch run."""
+    from taxi_trips_etl_spark.streaming.stream_upsert import (
+        run_streaming_cdc_upsert,
+    )
+
+    out = run_streaming_cdc_upsert(spark, f"{sf_dir}/events.parquet")
+    return out.select(
+        "user_id",
+        "last_event_id",
+        _ts_str(F.col("last_ts"), "last_ts"),
+        "last_type",
+        "last_value",
+    )

@@ -210,3 +210,68 @@ def test_pareto_frontier_matches_bruteforce(spark, sf_dir):
         if not dominated:
             keep.append((nk, ck))
     assert got == sorted(keep)
+
+
+# ---------------------------------------------------------------------------
+# streaming: stream-static enrich + foreachBatch CDC upsert
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_cdc_upsert_multibatch_equals_singlebatch(
+    spark, sf_dir, tmp_path
+):
+    """Final state must be independent of micro-batch splitting: a
+    4-file source processed one file per trigger equals the one-shot
+    run over the original single file (commutative merge)."""
+    from taxi_trips_etl_spark.queries import _events
+    from taxi_trips_etl_spark.streaming.stream_upsert import (
+        run_streaming_cdc_upsert,
+    )
+
+    src = str(tmp_path / "events_split")
+    _events(spark, sf_dir).repartitionByRange(4, "event_id").write.parquet(
+        src
+    )
+    multi = run_streaming_cdc_upsert(
+        spark, src, max_files_per_trigger=1
+    ).collect()
+    single = run_streaming_cdc_upsert(
+        spark, f"{sf_dir}/events.parquet"
+    ).collect()
+    key = lambda r: r["user_id"]  # noqa: E731
+    assert sorted(multi, key=key) == sorted(single, key=key)
+    assert len(multi) > 0
+
+
+def test_streaming_static_enrich_matches_batch_join(spark, sf_dir):
+    from taxi_trips_etl_spark.queries import _events
+    from taxi_trips_etl_spark.streaming.static_enrich import (
+        run_streaming_static_enrich,
+    )
+    from pyspark.sql import functions as F2
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    got = run_streaming_static_enrich(
+        spark, f"{sf_dir}/events.parquet", cust, sink_table="se_test"
+    ).collect()
+    ev = _events(spark, sf_dir)
+    exp = (
+        ev.join(
+            F2.broadcast(cust.select("c_custkey", "c_nationkey")),
+            ev["user_id"] == F2.col("c_custkey"),
+        )
+        .groupBy(
+            F2.date_format(F2.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            F2.col("c_nationkey").cast("long").alias("c_nationkey"),
+            "event_type",
+        )
+        .agg(
+            F2.count(F2.lit(1)).cast("long").alias("n_events"),
+            F2.round(F2.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    )
+    k = lambda r: (r["day"], r["c_nationkey"], r["event_type"])  # noqa: E731
+    assert sorted(got, key=k) == sorted(exp, key=k)
