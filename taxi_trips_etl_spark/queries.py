@@ -6634,3 +6634,221 @@ def q_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
         "last_value",
     )
+
+
+@register(
+    "quality_classifier_score",
+    f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % 64
+                    AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM (SELECT doc_id, unnest({_CHUNK_TOKS}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_id,
+               sum(n * ((bucket * 37 + 11) % 21 - 10)) AS margin_scaled,
+               sum(n) AS n_tokens
+        FROM feat GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(margin_scaled AS BIGINT) AS margin_scaled,
+           CAST(margin_scaled AS DOUBLE) / (10.0 * CAST(n_tokens AS DOUBLE))
+               AS margin,
+           CASE WHEN margin_scaled > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM scored
+    """,
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference at scale (the fasttext-style
+    filter every web-corpus pipeline runs): hashed token features ×
+    a weight vector → per-document margin and keep/drop label. Weights
+    here are the deterministic literal family w_b = ((37b+11) mod 21
+    − 10)/10 so both engines share them exactly; the margin accumulates
+    as an EXACT INTEGER (count × integer weight) and floats appear only
+    in one final division. Composition: feature_hash_counts → one more
+    map-side-combined groupBy(doc_id) — the corpus is touched once, and
+    a real trained weight vector drops in as a literal array the same
+    way (broadcast-free, codegen-friendly)."""
+    from taxi_trips_etl_spark.dataprep.text import feature_hash_counts
+
+    feats = feature_hash_counts(_t(spark, sf_dir, "documents"), n_buckets=64)
+    w_int = (F.col("bucket") * 37 + 11) % 21 - 10
+    return (
+        feats.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n") * w_int).cast("long").alias("margin_scaled"),
+            F.sum("n").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "margin_scaled",
+            (
+                F.col("margin_scaled").cast("double")
+                / (F.lit(10.0) * F.col("n_tokens").cast("double"))
+            ).alias("margin"),
+            F.when(F.col("margin_scaled") > 0, "keep")
+            .otherwise("drop")
+            .alias("label"),
+        )
+    )
+
+
+@register(
+    "month_over_month_growth",
+    """
+    WITH monthly AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                   AS month_start,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT month_start, revenue_cents,
+           CAST(revenue_cents - lag(revenue_cents)
+                    OVER (ORDER BY month_start) AS BIGINT) AS delta_cents,
+           round(CAST(revenue_cents - lag(revenue_cents)
+                          OVER (ORDER BY month_start) AS DOUBLE)
+                 / CAST(lag(revenue_cents)
+                            OVER (ORDER BY month_start) AS DOUBLE), 6)
+               AS mom_growth
+    FROM monthly
+    """,
+)
+def q_month_over_month_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-over-period KPI
+    family (lag over a calendar aggregate). Revenue is exact integer
+    cents; growth is one IEEE division of those integers (round 6 is
+    insurance only). The window is global but CALENDAR-BOUNDED (≤ one
+    row per month regardless of fact size), the same
+    aggregate-then-window posture as the popularity rank; the first
+    month yields NULLs by definition."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd")
+        .alias("month_start")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("revenue_cents").over(w)
+    return monthly.select(
+        "month_start",
+        "revenue_cents",
+        (F.col("revenue_cents") - prev).cast("long").alias("delta_cents"),
+        F.round(
+            (F.col("revenue_cents") - prev).cast("double")
+            / prev.cast("double"),
+            6,
+        ).alias("mom_growth"),
+    )
+
+
+@register(
+    "constraint_quarantine",
+    f"""
+    SELECT strftime(pickup_datetime, '%Y-%m-%d %H:%M:%S') AS pickup_ts,
+           passenger_count, trip_distance,
+           CAST(round(fare_amount * 100) AS BIGINT) AS fare_cents,
+           concat_ws(',',
+               CASE WHEN pickup_datetime = dropoff_datetime
+                    THEN 'zero_duration' END,
+               CASE WHEN passenger_count IS NULL OR passenger_count = 0
+                    THEN 'no_passengers' END,
+               CASE WHEN trip_distance IS NULL OR trip_distance = 0
+                    THEN 'zero_distance' END,
+               CASE WHEN fare_amount = 0 THEN 'zero_fare' END
+           ) AS reasons
+    FROM ({TRIPS_SQL})
+    WHERE pickup_datetime = dropoff_datetime
+       OR passenger_count IS NULL OR passenger_count = 0
+       OR trip_distance IS NULL OR trip_distance = 0
+       OR fare_amount = 0
+    """,
+)
+def q_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalize filter's REJECT side, with per-row reason labels —
+    the quarantine/dead-letter pattern (SURVEY §2.2's predicate run in
+    reverse; validate_constraints gives the counts, this gives the
+    rows). One scan, one codegen span: each CASE re-tests one predicate
+    and concat_ws drops the NULLs of passed checks, so the reason
+    string is deterministic and engine-portable. At 100 TB the rejects
+    sink to their own partitioned table for triage while the pass side
+    flows on — nothing recomputes."""
+    trips = trips_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    zero_dur = F.col("pickup_datetime") == F.col("dropoff_datetime")
+    no_pass = F.col("passenger_count").isNull() | (
+        F.col("passenger_count") == 0
+    )
+    zero_dist = F.col("trip_distance").isNull() | (
+        F.col("trip_distance") == 0
+    )
+    zero_fare = F.col("fare_amount") == 0
+    return trips.filter(zero_dur | no_pass | zero_dist | zero_fare).select(
+        _ts_str(F.col("pickup_datetime"), "pickup_ts"),
+        "passenger_count",
+        "trip_distance",
+        F.round(F.col("fare_amount") * 100).cast("long").alias("fare_cents"),
+        F.concat_ws(
+            ",",
+            F.when(zero_dur, "zero_duration"),
+            F.when(no_pass, "no_passengers"),
+            F.when(zero_dist, "zero_distance"),
+            F.when(zero_fare, "zero_fare"),
+        ).alias("reasons"),
+    )
+
+
+@register(
+    "weighted_sample_per_group",
+    """
+    SELECT source, doc_id, weight, priority_key FROM (
+        SELECT source, doc_id, weight, priority_key,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY priority_key, doc_id) AS rn
+        FROM (
+            SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   CAST(CAST(concat('0x', substr(
+                            md5('wpg:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                       AS priority_key
+            FROM documents WHERE n_chars > 0
+        )
+    ) WHERE rn <= 5
+    """,
+)
+def q_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling without replacement (5 docs per
+    source, weight = document length) — the domain-balanced corpus
+    draw: every domain contributes a fixed quota, length-weighted
+    within. Same bit-exact priority key as weighted_priority_sample
+    (hash-uniform / integer weight, one IEEE division), but the top-k
+    runs PER GROUP via a row_number window over the group partition —
+    one shuffle on source, heap-free, no global sort anywhere."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("wpg:"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    pk = u.cast("double") / F.col("n_chars").cast("double")
+    w = Window.partitionBy("source").orderBy("priority_key", "doc_id")
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            pk.alias("priority_key"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "weight", "priority_key")
+    )

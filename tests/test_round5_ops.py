@@ -275,3 +275,47 @@ def test_streaming_static_enrich_matches_batch_join(spark, sf_dir):
     )
     k = lambda r: (r["day"], r["c_nationkey"], r["event_type"])  # noqa: E731
     assert sorted(got, key=k) == sorted(exp, key=k)
+
+
+# ---------------------------------------------------------------------------
+# quarantine ∪ pass = input (reject side complements the normalize filter)
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_complements_normalize(spark, sf_dir):
+    from taxi_trips_etl_spark.operators.normalize import normalize_trips
+    from taxi_trips_etl_spark.queries import all_queries
+    from taxi_trips_etl_spark.sources.taxi_testdata import (
+        trips_from_lineitem,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    total = trips_from_lineitem(li).count()
+    passed = normalize_trips(trips_from_lineitem(li)).count()
+    rejected = all_queries()["constraint_quarantine"](
+        spark, sf_dir
+    ).count()
+    assert passed + rejected == total
+    assert rejected > 0  # the synthetic data plants violations
+
+
+def test_classifier_margin_matches_feature_hash(spark, sf_dir):
+    """Margin recomputed driver-side from the feature table must equal
+    the registered query's integer margin (weights are a pure function
+    of the bucket)."""
+    from taxi_trips_etl_spark.dataprep.text import feature_hash_counts
+    from taxi_trips_etl_spark.queries import all_queries
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = feature_hash_counts(docs, n_buckets=64).collect()
+    expect: dict = {}
+    for r in feats:
+        w = (r["bucket"] * 37 + 11) % 21 - 10
+        expect[r["doc_id"]] = expect.get(r["doc_id"], 0) + r["n"] * w
+    got = {
+        r["doc_id"]: r["margin_scaled"]
+        for r in all_queries()["quality_classifier_score"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == expect

@@ -97,6 +97,10 @@ EXPECT = {
     "pareto_frontier": ["Window"],
     "graph_triangles": ["Join", "HashAggregate"],
     "tpch_suppliers_waiting": ["BroadcastHashJoin", "TakeOrderedAndProject"],
+    "quality_classifier_score": ["HashAggregate"],
+    "month_over_month_growth": ["HashAggregate", "Window"],
+    "constraint_quarantine": ["codegen id"],
+    "weighted_sample_per_group": ["Window"],
 }
 
 FORBID = {
@@ -192,6 +196,12 @@ FORBID = {
                         "BroadcastNestedLoopJoin"],
     "tpch_suppliers_waiting": ["BatchEvalPython", "CartesianProduct",
                                "Exchange rangepartitioning"],
+    "quality_classifier_score": ["BatchEvalPython", "CartesianProduct",
+                                 "Join"],
+    # Quarantine is scan+filter+project only: any shuffle is a bug.
+    "constraint_quarantine": ["BatchEvalPython", "Exchange", "Join"],
+    "weighted_sample_per_group": ["BatchEvalPython", "CartesianProduct",
+                                  "SinglePartition"],
 }
 
 
