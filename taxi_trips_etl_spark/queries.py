@@ -3197,16 +3197,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     small; chain/clique correctness and min-label≡star equality are
     additionally pytest-verified.
 
-    Uses star contraction (O(log n) rounds, depth-proof) — measured
-    ~25% faster than min-label on this input at sf0.1 with an
-    identical mapping; min-label remains available for shallow
-    graphs."""
+    Routed via connected_components_auto — the production posture:
+    near-dup pair graphs are corpus-tiny (hundreds of edges here, ≪
+    the corpus at any scale), so below the edge cap the identical
+    union-find runs driver-side in milliseconds instead of paying
+    per-round Spark job overhead; past the cap it escalates to star
+    contraction (O(log n) rounds, depth-proof; measured ~25% faster
+    than min-label at sf0.1). Driver ≡ star ≡ min-label is
+    pytest-pinned, so the oracle covers every path."""
     from taxi_trips_etl_spark.dataprep.components import (
-        connected_components_star,
+        connected_components_auto,
     )
 
     pairs = dedup.simhash_near_duplicates(_t(spark, sf_dir, "documents"))
-    return connected_components_star(pairs)
+    return connected_components_auto(pairs)
 
 
 def _random_projection_oracle() -> str:
