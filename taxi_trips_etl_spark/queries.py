@@ -6856,3 +6856,48 @@ def q_weighted_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id", "weight", "priority_key")
     )
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH act AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    spine AS (SELECT DISTINCT d FROM act)
+    SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS active_users_28d
+    FROM spine s JOIN act a
+      ON a.d <= s.d AND a.d >= s.d - INTERVAL 27 DAY
+    GROUP BY s.d
+    """,
+)
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 28-day active users per day — the MAU/WAU engagement KPI
+    family. A windowed COUNT DISTINCT cannot ride a frame (distinct
+    doesn't decompose into running state), so the scale shape is:
+    reduce the event stream to the DAY-GRANULAR activity table
+    (distinct (day, user) — bounded by days × users, not event
+    volume), broadcast the ~calendar-sized day spine against it as a
+    range join, and count distinct per spine day. The corpus-sized
+    work is one distinct; everything after is calendar-bounded."""
+    ev = (
+        _events(spark, sf_dir)
+        .select(F.to_date("ts").alias("d"), "user_id")
+        .distinct()
+    )
+    spine = F.broadcast(ev.select("d").distinct().alias("s"))
+    a = ev.alias("a")
+    j = spine.join(
+        a,
+        (F.col("a.d") <= F.col("s.d"))
+        & (F.col("a.d") >= F.date_sub(F.col("s.d"), 27)),
+    )
+    return (
+        j.groupBy("s.d")
+        .agg(F.countDistinct("a.user_id").cast("long").alias(
+            "active_users_28d"
+        ))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                "active_users_28d")
+    )

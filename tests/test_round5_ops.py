@@ -319,3 +319,48 @@ def test_classifier_margin_matches_feature_hash(spark, sf_dir):
         ).collect()
     }
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup property: no aligned chunk survives twice, tokens conserve
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_uniqueness_property(spark):
+    from hypothesis import given, settings, strategies as st
+
+    words = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(words, min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=5))
+    def check(texts):
+        d = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        rows = chunk_dedup(d, chunk_tokens=3).collect()
+        seen: set = set()
+        total_kept = total_dropped = 0
+        for r in sorted(rows, key=lambda r: r["doc_id"]):
+            # every surviving aligned chunk is globally unique
+            src = texts[r["doc_id"]].split()
+            n_chunks = (len(src) + 2) // 3
+            assert r["n_chunks_kept"] + r["n_chunks_dropped"] == n_chunks
+            total_kept += r["n_chunks_kept"]
+            total_dropped += r["n_chunks_dropped"]
+            # kept text is a subsequence of the source chunks
+            src_chunks = [
+                " ".join(src[i * 3 : i * 3 + 3]) for i in range(n_chunks)
+            ]
+            # first-wins in (doc_id, chunk_idx) order: scanning docs in
+            # id order, a chunk survives only at its first sighting —
+            # including duplicates WITHIN this same document.
+            kept = []
+            for c in src_chunks:
+                if c not in seen:
+                    kept.append(c)
+                    seen.add(c)
+            assert r["text_dedup"] == " ".join(kept)
+        assert total_dropped >= 0 and total_kept == len(seen)
+
+    check()

@@ -101,6 +101,8 @@ EXPECT = {
     "month_over_month_growth": ["HashAggregate", "Window"],
     "constraint_quarantine": ["codegen id"],
     "weighted_sample_per_group": ["Window"],
+    # Deliberate broadcast range join: the spine is calendar-sized.
+    "rolling_active_users": ["BroadcastNestedLoopJoin", "HashAggregate"],
 }
 
 FORBID = {
@@ -202,6 +204,8 @@ FORBID = {
     "constraint_quarantine": ["BatchEvalPython", "Exchange", "Join"],
     "weighted_sample_per_group": ["BatchEvalPython", "CartesianProduct",
                                   "SinglePartition"],
+    "rolling_active_users": ["BatchEvalPython", "CartesianProduct",
+                             "SortMergeJoin"],
 }
 
 
