@@ -6901,3 +6901,126 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
                 "active_users_28d")
     )
+
+
+# GPT-2-style pre-tokenizer, simplified to constructs whose semantics
+# are identical in Java regex (Spark) and RE2 (DuckDB): runs of
+# letters, runs of digits, single other-non-space chars.
+_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "regex_pretokenize_counts",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_PRETOK_RE}'))
+                AS BIGINT) AS n_subtokens,
+           CAST(len({_CHUNK_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_distinct(
+                    regexp_extract_all(lower(text), '{_PRETOK_RE}')))
+                AS BIGINT) AS n_distinct_subtokens
+    FROM documents
+    """,
+)
+def q_regex_pretokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex pre-tokenization counts (the GPT-2 pattern's
+    portable core: letter runs | digit runs | single punctuation) next
+    to the whitespace tokenization — the token-budget estimator run
+    before committing to a tokenizer. Pure JVM regexp_extract_all in
+    one codegen span; the pattern is restricted to constructs where
+    Java regex and RE2 agree, which is what lets the oracle share it
+    verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    # NOTE: the function form with a lit() pattern, not an F.expr SQL
+    # string — Spark's single-quoted SQL literals consume backslash
+    # escapes ('\\s' arrives as 's'), which silently turned the
+    # negated class into one that MATCHES spaces.
+    sub = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(_PRETOK_RE), 0
+    )
+    return docs.select(
+        "doc_id",
+        F.size(sub).cast("long").alias("n_subtokens"),
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(F.array_distinct(sub))
+        .cast("long")
+        .alias("n_distinct_subtokens"),
+    )
+
+
+@register(
+    "source_distinctive_terms",
+    f"""
+    WITH tok AS (
+        SELECT source, tok, count(*) AS a FROM (
+            SELECT source, unnest({_CHUNK_TOKS}) AS tok FROM documents
+        ) GROUP BY 1, 2
+    ),
+    tot AS (SELECT tok, sum(a) AS t FROM tok GROUP BY tok),
+    src AS (SELECT source, sum(a) AS sa FROM tok GROUP BY source),
+    all_n AS (SELECT sum(a) AS n FROM tok)
+    SELECT source, tok,
+           CAST(a AS BIGINT) AS n_in_source,
+           CAST(t - a AS BIGINT) AS n_elsewhere,
+           round(ln((a + 1.0) / (sa - a + 1.0))
+                 - ln((t - a + 1.0) / ((n - sa) - (t - a) + 1.0)), 6)
+               AS log_odds,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+        SELECT tok.source, tok.tok, tok.a, tot.t, src.sa, all_n.n,
+               row_number() OVER (
+                   PARTITION BY tok.source
+                   ORDER BY ln((tok.a + 1.0) / (src.sa - tok.a + 1.0))
+                            - ln((tot.t - tok.a + 1.0)
+                                 / ((all_n.n - src.sa)
+                                    - (tot.t - tok.a) + 1.0)) DESC,
+                            tok.tok) AS rnk
+        FROM tok JOIN tot USING (tok) JOIN src USING (source)
+                 CROSS JOIN all_n
+    ) WHERE rnk <= 5
+    """,
+)
+def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source via smoothed log-odds (Monroe et
+    al.'s 'Fightin' Words' without the prior variance term) — the
+    domain-fingerprinting op behind corpus mixing decisions. Exact
+    integer counts feed ln() on identical operands; window ranks run
+    over the vocab-bounded aggregate; the corpus-wide stats (per-term
+    totals, per-source totals, grand total) join back as broadcasts.
+    Ties (uniform synthetic text makes many) break on the term, so
+    top-5 is deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    spark_tok = (
+        docs.select("source", dedup.tokens_col("text").alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, "source")
+        .select("source", F.explode("toks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("a"))
+    )
+    tot = spark_tok.groupBy("tok").agg(F.sum("a").alias("t"))
+    src = spark_tok.groupBy("source").agg(F.sum("a").alias("sa"))
+    n = spark_tok.agg(F.sum("a").alias("n"))
+    j = (
+        spark_tok.join(F.broadcast(tot), "tok")
+        .join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    log_odds = F.log((F.col("a") + 1.0) / (F.col("sa") - F.col("a") + 1.0)) - F.log(
+        (F.col("t") - F.col("a") + 1.0)
+        / ((F.col("n") - F.col("sa")) - (F.col("t") - F.col("a")) + 1.0)
+    )
+    w = Window.partitionBy("source").orderBy(log_odds.desc(), F.asc("tok"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            "tok",
+            F.col("a").cast("long").alias("n_in_source"),
+            (F.col("t") - F.col("a")).cast("long").alias("n_elsewhere"),
+            F.round(log_odds, 6).alias("log_odds"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -103,6 +103,8 @@ EXPECT = {
     "weighted_sample_per_group": ["Window"],
     # Deliberate broadcast range join: the spine is calendar-sized.
     "rolling_active_users": ["BroadcastNestedLoopJoin", "HashAggregate"],
+    "regex_pretokenize_counts": ["codegen id"],
+    "source_distinctive_terms": ["BroadcastHashJoin", "Window"],
 }
 
 FORBID = {
@@ -206,6 +208,10 @@ FORBID = {
                                   "SinglePartition"],
     "rolling_active_users": ["BatchEvalPython", "CartesianProduct",
                              "SortMergeJoin"],
+    # Pure scan+project: any shuffle or join is a bug.
+    "regex_pretokenize_counts": ["BatchEvalPython", "Exchange", "Join"],
+    "source_distinctive_terms": ["BatchEvalPython", "CartesianProduct",
+                                 "SortMergeJoin"],
 }
 
 
