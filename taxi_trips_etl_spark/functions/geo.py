@@ -264,9 +264,17 @@ def _edge_for_res(res: int) -> float:
 try:  # pragma: no cover - exercised only where the wheel exists
     import h3 as _h3lib
 
-    HAS_H3 = True
+    # v4 renamed the API: v4 latlng_to_cell, v3 geo_to_h3 — both take
+    # (lat, lng, res) and return the hex-string cell id. Resolve once;
+    # an unrecognized module shape degrades to the axial grid instead
+    # of blowing up at call time.
+    _h3_cell_fn = getattr(_h3lib, "latlng_to_cell", None) or getattr(
+        _h3lib, "geo_to_h3", None
+    )
+    HAS_H3 = _h3_cell_fn is not None
 except Exception:  # ImportError in this sandbox
     _h3lib = None
+    _h3_cell_fn = None
     HAS_H3 = False
 
 
@@ -292,7 +300,7 @@ def latlng_to_cell(
             raise ImportError(
                 "scheme='h3' needs the public h3 package (pip install h3)"
             )
-        return _h3lib.latlng_to_cell(lat, lng, res)
+        return _h3_cell_fn(lat, lng, res)
     size = _edge_for_res(res)
     x, y = lng, lat
     q = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size

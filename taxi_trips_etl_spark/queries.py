@@ -6363,16 +6363,22 @@ def q_rolling_corr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = n1.join(g, "day")
     tw = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
     rw = Window.orderBy("day")
+    # Sufficient statistics in DECIMAL, not long: DuckDB's sum(BIGINT)
+    # promotes to HUGEINT (int128) while a long sum in Spark would
+    # silently WRAP once daily-revenue squares grow past 2^63 (reached
+    # around sf 3-10) — the engines would diverge exactly at scale.
+    # decimal(38,0) keeps every product/sum exact to 1e38 (centuries
+    # of headroom past 100 TB) and converts to the same double.
+    xd = F.col("x").cast("decimal(20,0)")
+    yd = F.col("y").cast("decimal(20,0)")
     wdf = j.select(
         "day",
-        "x",
-        "y",
         F.count(F.lit(1)).over(tw).alias("n"),
-        F.sum("x").over(tw).alias("sx"),
-        F.sum("y").over(tw).alias("sy"),
-        F.sum(F.col("x") * F.col("y")).over(tw).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).over(tw).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).over(tw).alias("syy"),
+        F.sum(xd).over(tw).alias("sx"),
+        F.sum(yd).over(tw).alias("sy"),
+        F.sum(xd * yd).over(tw).alias("sxy"),
+        F.sum(xd * xd).over(tw).alias("sxx"),
+        F.sum(yd * yd).over(tw).alias("syy"),
         F.row_number().over(rw).alias("rn"),
     )
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -6905,8 +6911,11 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # GPT-2-style pre-tokenizer, simplified to constructs whose semantics
 # are identical in Java regex (Spark) and RE2 (DuckDB): runs of
-# letters, runs of digits, single other-non-space chars.
-_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# letters, runs of digits, single other-non-space chars. The
+# whitespace set is ENUMERATED rather than \s because the engines'
+# \s differ at the edge (Java includes vertical tab \x0B, RE2 does
+# not) — with the explicit class, \x0B counts as punctuation on both.
+_PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"
 
 
 @register(
@@ -6993,8 +7002,11 @@ def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 is deterministic."""
     docs = _t(spark, sf_dir, "documents")
     spark_tok = (
-        docs.select("source", dedup.tokens_col("text").alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism, "source")
+        # Repartition on high-cardinality doc_id, NOT source: hashing
+        # into ~20 source values would cap the CPU-heavy split+explode
+        # at 20 tasks (the tokens_table docstring trap).
+        docs.select("doc_id", "source", dedup.tokens_col("text").alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("a"))

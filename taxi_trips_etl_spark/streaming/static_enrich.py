@@ -29,7 +29,17 @@ def _event_stream(
     from taxi_trips_etl_spark.sources.readers import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Do NOT silently flip the session timezone: the repo invariant
+    # (readers.py:normalize_event_ts) is that entry points pin UTC and
+    # a non-UTC session RAISES rather than having a reader mutate a
+    # global conf mid-session. Every path into this module (registry
+    # _utc wrapper, session.py default, tests) already pins UTC.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"streaming event readers require a UTC session (got {tz!r});"
+            " set spark.sql.session.timeZone=UTC at the entry point"
+        )
     static = spark.read.parquet(events_dir)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
