@@ -28,7 +28,14 @@ def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.sources.readers import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Raise on a non-UTC session rather than silently flipping a
+    # global conf (readers.py invariant; all entry points pin UTC).
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        raise ValueError(
+            f"streaming event readers require a UTC session (got {tz!r});"
+            " set spark.sql.session.timeZone=UTC at the entry point"
+        )
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
         parent, fname = os.path.split(events_dir)
