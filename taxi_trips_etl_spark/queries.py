@@ -7036,3 +7036,62 @@ def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+@register(
+    "time_weighted_average",
+    """
+    WITH seq AS (
+        SELECT user_id, value, ts,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    seg AS (
+        SELECT user_id, value,
+               CAST(date_diff('second', ts, next_ts) AS BIGINT) AS dur_s
+        FROM seq WHERE next_ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(sum(dur_s) AS BIGINT) AS total_s,
+           round(sum(value * CAST(dur_s AS DOUBLE))
+                 / CAST(sum(dur_s) AS DOUBLE), 4) AS twap
+    FROM seg WHERE dur_s > 0
+    GROUP BY user_id
+    """,
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of an irregular event series per user (the
+    TWAP/sensor-integration primitive): each reading holds until the
+    next one, so it weighs by its holding duration. Durations are
+    EXACT integer seconds (epoch diffs) and the only floats are the
+    value×duration products and one final division — round(4) absorbs
+    the summation-order difference between Spark's partial aggregates
+    and the oracle's sequential sum. One shuffle on user_id serves the
+    lead window; the aggregation reuses the same partitioning (zero
+    extra exchanges)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        ev.select(
+            "user_id",
+            "value",
+            F.unix_timestamp("ts").alias("t"),
+            F.unix_timestamp(F.lead("ts").over(w)).alias("next_t"),
+        )
+        .filter(F.col("next_t").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            (F.col("next_t") - F.col("t")).alias("dur_s"),
+        )
+        .filter(F.col("dur_s") > 0)
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum("dur_s").cast("long").alias("total_s"),
+        F.round(
+            F.sum(F.col("value") * F.col("dur_s").cast("double"))
+            / F.sum("dur_s").cast("double"),
+            4,
+        ).alias("twap"),
+    )

@@ -364,3 +364,21 @@ def test_chunk_dedup_uniqueness_property(spark):
         assert total_dropped >= 0 and total_kept == len(seen)
 
     check()
+
+
+def test_streaming_reader_raises_on_non_utc(spark, sf_dir):
+    """The reader invariant: a non-UTC session raises instead of being
+    silently flipped to UTC (which would shift every later timestamp
+    rendering in the session)."""
+    import pytest as _pytest
+
+    from taxi_trips_etl_spark.streaming.static_enrich import _event_stream
+
+    tz_before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with _pytest.raises(ValueError, match="UTC"):
+            _event_stream(spark, f"{sf_dir}/events.parquet")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz_before)
+    assert spark.conf.get("spark.sql.session.timeZone") == tz_before

@@ -105,6 +105,7 @@ EXPECT = {
     "rolling_active_users": ["BroadcastNestedLoopJoin", "HashAggregate"],
     "regex_pretokenize_counts": ["codegen id"],
     "source_distinctive_terms": ["BroadcastHashJoin", "Window"],
+    "time_weighted_average": ["Window", "HashAggregate"],
 }
 
 FORBID = {
@@ -212,6 +213,10 @@ FORBID = {
     "regex_pretokenize_counts": ["BatchEvalPython", "Exchange", "Join"],
     "source_distinctive_terms": ["BatchEvalPython", "CartesianProduct",
                                  "SortMergeJoin"],
+    # Lead window and aggregation share one user_id exchange: a join
+    # or a second shuffle is a plan bug.
+    "time_weighted_average": ["BatchEvalPython", "Join",
+                              "CartesianProduct"],
 }
 
 
