@@ -895,10 +895,10 @@ def token_entropy(docs: DataFrame, text: str = "text") -> DataFrame:
     Scale shape: token counts are one map-side-combined shuffle on
     (source, token); the entropy reduce then aggregates ≤ vocab-size
     rows per source. Nothing else touches the corpus."""
-    spark = docs.sparkSession
+    from taxi_trips_etl_spark.dataprep.dedup import spread
+
     counts = (
-        docs.select("doc_id", "source", tokens_col(text).alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        spread(docs.select("doc_id", "source", tokens_col(text).alias("toks")))
         .select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -6321,8 +6321,13 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_nationkey = 1 GROUP BY 1
     ),
-    j AS (SELECT n1.day, n1.x, g.y FROM n1 JOIN g USING (day)),
+    j AS (SELECT n1.day, CAST(n1.x AS HUGEINT) AS x,
+                 CAST(g.y AS HUGEINT) AS y FROM n1 JOIN g USING (day)),
     w AS (
+        -- HUGEINT operands: sum() only promotes its ACCUMULATOR, the
+        -- x*x / x*y products would still be evaluated in int64 and
+        -- overflow around sf 30 — cast the inputs so every product
+        -- and sum is int128, matching Spark's decimal(38,0) envelope.
         SELECT day, x, y,
                count(*) OVER tw AS n,
                sum(x) OVER tw AS sx, sum(y) OVER tw AS sy,
@@ -6343,12 +6348,14 @@ def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_rolling_corr_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-30-observation Pearson correlation between nation 1's
     daily revenue and the global daily total — the co-movement monitor.
-    Every windowed sum is INTEGER (whole dollars), so the five
-    sufficient statistics are exact on any engine and only the final
-    sqrt/divide touches floats (identical operands → identical result;
-    round(6) is insurance). Window state is O(1) per row via running
-    sums — no list materialization at scale. Degenerate (zero-variance)
-    windows are filtered, as are the first 29 partial windows."""
+    The five sufficient statistics are EXACT wide integers — Spark
+    carries them as decimal(38,0), the oracle as HUGEINT (int128),
+    because plain int64 products of daily-revenue squares wrap/overflow
+    around sf 3-30 — and only the final sqrt/divide touches floats
+    (identical operands → identical result; round(6) is insurance).
+    Window state is O(1) per row via running sums — no list
+    materialization at scale. Degenerate (zero-variance) windows are
+    filtered, as are the first 29 partial windows."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     day = F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("day")
@@ -6924,7 +6931,9 @@ _PRETOK_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\f\\r]"
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '{_PRETOK_RE}'))
                 AS BIGINT) AS n_subtokens,
-           CAST(len({_CHUNK_TOKS}) AS BIGINT) AS n_ws_tokens,
+           CAST(len(string_split_regex(trim(lower(text)),
+                                       '[ \t\n\f\r]+')) AS BIGINT)
+               AS n_ws_tokens,
            CAST(len(list_distinct(
                     regexp_extract_all(lower(text), '{_PRETOK_RE}')))
                 AS BIGINT) AS n_distinct_subtokens
@@ -6943,14 +6952,16 @@ def q_regex_pretokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE: the function form with a lit() pattern, not an F.expr SQL
     # string — Spark's single-quoted SQL literals consume backslash
     # escapes ('\\s' arrives as 's'), which silently turned the
-    # negated class into one that MATCHES spaces.
+    # negated class into one that MATCHES spaces. The whitespace split
+    # below enumerates its class for the same Java-\s ⊃ RE2-\s reason
+    # as _PRETOK_RE (vertical tab).
     sub = F.regexp_extract_all(
         F.lower(F.col("text")), F.lit(_PRETOK_RE), 0
     )
     return docs.select(
         "doc_id",
         F.size(sub).cast("long").alias("n_subtokens"),
-        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\f\r]+"))
         .cast("long")
         .alias("n_ws_tokens"),
         F.size(F.array_distinct(sub))
@@ -7002,11 +7013,14 @@ def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-5 is deterministic."""
     docs = _t(spark, sf_dir, "documents")
     spark_tok = (
-        # Repartition on high-cardinality doc_id, NOT source: hashing
+        # spread() on high-cardinality doc_id, NOT source: hashing
         # into ~20 source values would cap the CPU-heavy split+explode
         # at 20 tasks (the tokens_table docstring trap).
-        docs.select("doc_id", "source", dedup.tokens_col("text").alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        dedup.spread(
+            docs.select(
+                "doc_id", "source", dedup.tokens_col("text").alias("toks")
+            )
+        )
         .select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("a"))

@@ -48,6 +48,37 @@ def list_day_files(base: str, ds: str, file_prefix: str = "000") -> list[str]:
     return sorted(_glob.glob(day_glob(base, ds, file_prefix)))
 
 
+# Zone ids whose wall-clock semantics are identical to UTC — a session
+# pinned to any of these is fine; rejecting them (containers often
+# resolve /etc/localtime to Etc/UTC rather than literal "UTC") would be
+# a false positive.
+_UTC_EQUIVALENT_ZONES = frozenset(
+    {
+        "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Etc/GMT0",
+        "Etc/GMT+0", "Etc/GMT-0", "Greenwich", "Etc/Greenwich",
+        "Universal", "Etc/Universal", "Zulu", "Etc/Zulu", "Z",
+        "+00:00", "UCT", "Etc/UCT",
+    }
+)
+
+
+def require_utc_session(spark, what: str = "event-time readers") -> None:
+    """Raise unless the session timezone is (an alias of) UTC.
+
+    The single shared guard behind the repo invariant that entry
+    points PIN utc and readers never silently flip a global conf a
+    caller may have set deliberately (the NTZ→TIMESTAMP cast in
+    :func:`normalize_event_ts` reinterprets wall-clock in the session
+    zone, so a wrong zone shifts every timestamp).
+    """
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in _UTC_EQUIVALENT_ZONES:
+        raise ValueError(
+            f"{what} require a UTC session timezone (got {tz!r}); set "
+            "spark.sql.session.timeZone=UTC at the entry point"
+        )
+
+
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize an event-time column to session-local TIMESTAMP no matter
     how the parquet footer typed it across testdata generations:
@@ -82,14 +113,7 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     from pyspark.sql import functions as F
 
     spark = df.sparkSession
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise ValueError(
-            f"normalize_event_ts requires a UTC session timezone "
-            f"(got {tz!r}): the NTZ->TIMESTAMP cast reinterprets "
-            "wall-clock in the session zone. Set "
-            "spark.sql.session.timeZone=UTC at the entry point."
-        )
+    require_utc_session(spark, what="normalize_event_ts")
     t = dict(df.dtypes).get(ts_col)
     if t == "bigint":
         nanos_as_long = spark.conf.get(

@@ -28,17 +28,13 @@ def streaming_daypart_rollup(
     """Streaming DF: per (1-day window, daypart, event_type) counts."""
     # events parquet ts type varies by generation (nanos / NTZ micros);
     # normalize to TIMESTAMP (watermarks reject NTZ) via the shared helper.
-    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+    from taxi_trips_etl_spark.sources.readers import (
+        normalize_event_ts,
+        require_utc_session,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Raise on a non-UTC session rather than silently flipping a
-    # global conf (readers.py invariant; all entry points pin UTC).
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise ValueError(
-            f"streaming event readers require a UTC session (got {tz!r});"
-            " set spark.sql.session.timeZone=UTC at the entry point"
-        )
+    require_utc_session(spark)
     static = spark.read.parquet(events_dir)  # schema from footer
     # The streaming file source wants a directory: when handed a single
     # file, stream its parent dir with a glob filter on the filename.

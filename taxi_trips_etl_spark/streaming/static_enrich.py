@@ -26,20 +26,17 @@ def _event_stream(
     events_dir: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+    from taxi_trips_etl_spark.sources.readers import (
+        normalize_event_ts,
+        require_utc_session,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Do NOT silently flip the session timezone: the repo invariant
-    # (readers.py:normalize_event_ts) is that entry points pin UTC and
-    # a non-UTC session RAISES rather than having a reader mutate a
-    # global conf mid-session. Every path into this module (registry
-    # _utc wrapper, session.py default, tests) already pins UTC.
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise ValueError(
-            f"streaming event readers require a UTC session (got {tz!r});"
-            " set spark.sql.session.timeZone=UTC at the entry point"
-        )
+    # (readers.py:require_utc_session) is that entry points pin UTC
+    # and a non-UTC session RAISES rather than having a reader mutate
+    # a global conf mid-session.
+    require_utc_session(spark)
     static = spark.read.parquet(events_dir)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:

@@ -25,17 +25,13 @@ from pyspark.sql import functions as F
 
 
 def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+    from taxi_trips_etl_spark.sources.readers import (
+        normalize_event_ts,
+        require_utc_session,
+    )
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Raise on a non-UTC session rather than silently flipping a
-    # global conf (readers.py invariant; all entry points pin UTC).
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    if tz != "UTC":
-        raise ValueError(
-            f"streaming event readers require a UTC session (got {tz!r});"
-            " set spark.sql.session.timeZone=UTC at the entry point"
-        )
+    require_utc_session(spark)
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
         parent, fname = os.path.split(events_dir)

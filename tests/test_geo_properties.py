@@ -122,13 +122,16 @@ def test_contract_res9_cell_extent_under_500m():
 
 
 def test_contract_against_real_h3_if_available():
-    try:
-        import h3
-    except ImportError:
-        import pytest
+    import pytest
 
+    from taxi_trips_etl_spark.functions import geo
+
+    if not geo.HAS_H3:
         pytest.skip("h3 wheel not in environment (documented swap seam)")
     # Same contract, real library: locality, separation, determinism.
-    a = h3.latlng_to_cell(*_NYC, 9)
-    assert h3.latlng_to_cell(*_NYC, 9) == a
-    assert h3.latlng_to_cell(_NYC[0] + 0.009, _NYC[1], 9) != a
+    # Goes through the library's own resolved entry point (v4
+    # latlng_to_cell / v3 geo_to_h3), not a hardcoded v4 attribute.
+    cell = lambda lat, lng: geo.latlng_to_cell(lat, lng, 9, scheme="h3")  # noqa: E731
+    a = cell(*_NYC)
+    assert cell(*_NYC) == a
+    assert cell(_NYC[0] + 0.009, _NYC[1]) != a
