@@ -122,6 +122,10 @@ def streaming_sessionize(
     lets AvailableNow runs terminate deterministically.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from taxi_trips_etl_spark.sources.readers import (
+        normalize_event_ts,
+        require_utc_session,
+    )
     require_utc_session(spark)
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
@@ -133,10 +137,6 @@ def streaming_sessionize(
         )
     else:
         stream = spark.readStream.schema(static.schema).parquet(events_dir)
-    from taxi_trips_etl_spark.sources.readers import (
-        normalize_event_ts,
-        require_utc_session,
-    )
 
     stream = normalize_event_ts(stream)
     return (
