@@ -7109,3 +7109,133 @@ def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("twap"),
     )
+
+
+@register(
+    "streaming_ingest_dedup",
+    f"""
+    WITH shingled AS ({GRAMS_SQL}),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shingled),
+    bands AS ({_MINHASH_BANDS_SQL}),
+    dups AS (
+        SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+)
+def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus ingestion with incremental near-dup rejection
+    (streaming/ingest_dedup.py): each micro-batch LSH-pairs ONLY
+    against the accumulated band index (plus itself), never
+    corpus×corpus, and clean docs append to the sink. Drained here
+    with AvailableNow over the documents table; the keep rule — a doc
+    survives unless it band-collides with an earlier-ingested/lower-id
+    doc — is replayed by the oracle's one-shot LSH over the whole
+    corpus (single-source drain ⇒ identical semantics; multi-batch
+    splits are pytest-pinned in test_streaming_ingest_dedup)."""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.streaming.ingest_dedup import (
+        run_streaming_ingest_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="ingest_dedup_q_")
+    try:
+        # The file-stream source wants a directory; stage the single
+        # parquet file into one.
+        src = f"{work}/source"
+        import os as _os
+
+        _os.makedirs(src)
+        shutil.copy(f"{sf_dir}/documents.parquet", src)
+        run_streaming_ingest_dedup(
+            spark,
+            src,
+            docs.schema,
+            index_path=f"{work}/index",
+            clean_path=f"{work}/clean",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        kept = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{work}/clean")
+            .select("doc_id")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(i),) for i in sorted(kept)], "doc_id long"
+    )
+
+
+@register(
+    "streaming_dq_monitor",
+    """
+    SELECT 'not_null:user_id' AS rule,
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations,
+           CAST(0 AS BIGINT) AS batch_id
+    FROM events
+    UNION ALL
+    SELECT 'range:value:[0.0,90.0]',
+           CAST(sum(CASE WHEN value IS NULL OR value < 0.0 OR value > 90.0
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(0 AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'unique:event_id',
+           CAST(coalesce((SELECT sum(c) FROM (
+               SELECT count(*) AS c FROM events GROUP BY event_id
+               HAVING count(*) > 1)), 0) AS BIGINT),
+           CAST(0 AS BIGINT)
+    """,
+)
+def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor (streaming/dq_monitor.py): the
+    same declarative rules as validate_constraints run per micro-batch
+    via foreachBatch, appending a (rule, violations, batch_id) time
+    series a dashboard alerts on. Drained single-batch here so the
+    whole-feed oracle replays each rule; the range rule is
+    deliberately violated by the testdata (~3% of values exceed 90) so
+    the green row is non-vacuous. Per-batch cost: one conditional-
+    aggregate scan + one narrow groupBy per unique rule."""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.streaming.dq_monitor import (
+        run_streaming_dq_monitor,
+    )
+
+    _events(spark, sf_dir)  # sets nanosAsLong for the schema read below
+    work = tempfile.mkdtemp(prefix="dq_monitor_q_")
+    try:
+        src = f"{work}/source"
+        import os as _os
+
+        _os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", src)
+        run_streaming_dq_monitor(
+            spark,
+            src,
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema,
+            log_path=f"{work}/log",
+            checkpoint_path=f"{work}/ckpt",
+            not_null=["user_id"],
+            unique=[["event_id"]],
+            ranges={"value": (0.0, 90.0)},
+        )
+        rows = [
+            (r["rule"], int(r["violations"]), int(r["batch_id"]))
+            for r in spark.read.parquet(f"{work}/log").collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows), "rule string, violations long, batch_id long"
+    )
