@@ -96,6 +96,19 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(payload))
+    # The driver records only the TAIL of stdout; with 175+ queries the
+    # full line above overflows that window and arrives unparseable
+    # (BENCH_r04.json: parsed=null). Emit a compact line LAST — same
+    # contract, `queries` trimmed to the slowest 25 (the ones worth
+    # reading in a bench artifact) — so whatever captures the tail gets
+    # valid JSON; the complete per-query map lives in the line above
+    # and in bench_summary.json.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
+    print(json.dumps({**payload, "queries": slowest,
+                      "queries_total": len(timings),
+                      "queries_shown": "slowest 25; full map in bench_summary.json"}))
     # Compact, always-parseable artifact for round-over-round diffs —
     # the driver's stdout capture can truncate the line above. Subset
     # runs (--queries) are ad-hoc measurements; only a full-registry run

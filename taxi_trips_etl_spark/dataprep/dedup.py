@@ -558,11 +558,13 @@ def chunk_dedup(
     → (doc_id, text_dedup, n_chunks_kept, n_chunks_dropped)
 
     Scale shape: one explode to ≈ n_tokens/chunk_tokens rows, one
-    shuffle keyed on md5(chunk) for the first-occurrence window (the
-    32-hex key bounds shuffle width; the chunk string rides along only
-    for reassembly), one shuffle back on doc_id for the ordered
-    string_agg. No joins, no driver state — both shuffles are the
-    minimum any engine needs for a corpus-wide first-wins rule.
+    shuffle keyed on the chunk string for the first-occurrence window
+    (Spark hashes the partition key internally, so the wire cost is the
+    same as a precomputed digest while avoiding any md5-collision
+    divergence from engines that group on the raw string), one shuffle
+    back on doc_id for the ordered string_agg. No joins, no driver
+    state — both shuffles are the minimum any engine needs for a
+    corpus-wide first-wins rule.
     """
     n = int(chunk_tokens)
     chunks = F.expr(
@@ -573,9 +575,7 @@ def chunk_dedup(
         tokens_table(docs, text)
         .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
     )
-    first_wins = Window.partitionBy(F.md5("chunk")).orderBy(
-        "doc_id", "chunk_idx"
-    )
+    first_wins = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
     kept = exploded.withColumn(
         "rn", F.row_number().over(first_wins)
     ).withColumn("keep", (F.col("rn") == 1).cast("int"))

@@ -46,3 +46,30 @@ def materialize(df: DataFrame, *, eager: bool = False) -> DataFrame:
     if has_dir:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def release(df: DataFrame) -> None:
+    """Free the blocks held by a superseded :func:`materialize` result.
+
+    ``localCheckpoint`` persists the physical RDD; the ContextCleaner
+    only reclaims it after the JVM reference drops, so a long
+    ``foreachBatch`` loop that materializes a new state per micro-batch
+    retains one RDD per batch until GC catches up — unbounded executor
+    storage growth on an unbounded stream. Callers that replace a
+    materialized state should release the OLD one **after** the new
+    state has eagerly materialized (the old DataFrame becomes
+    uncomputable: its lineage was truncated at the freed blocks).
+
+    Best-effort by design: the block-freeing path reaches through the
+    analyzed ``LogicalRDD`` (the plan shape both checkpoint flavors
+    produce) to the persisted RDD; if a future Spark changes that shape
+    we silently fall back to ContextCleaner-on-GC — the pre-existing
+    behavior, never an error. Reliable-``checkpoint`` files are left to
+    ``spark.cleaner.referenceTracking.cleanCheckpoints``.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -137,7 +137,9 @@ def weighted_priority_sample(
     with the SMALLEST keys form the sample, so inclusion odds scale
     with weight while membership stays engine- and rerun-stable.
 
-    → (key, weight_cents, priority_key) — exactly ``k`` rows.
+    → (key, weight_cents, priority_key) — up to ``k`` rows (fewer when
+    fewer than k rows carry positive weight; zero-weight rows are
+    excluded before any arithmetic touches their weight).
 
     Portability: the key is ONE IEEE double division of two exact
     integers (hash bucket / integer-cent weight), bit-identical on any
@@ -150,12 +152,12 @@ def weighted_priority_sample(
     w = weight_cents.cast("long")
     u = _key_bucket(F.col(key), salt)
     return (
-        df.select(
-            F.col(key),
-            w.alias("weight_cents"),
-            (u.cast("double") / w.cast("double")).alias("priority_key"),
-        )
+        df.select(F.col(key), w.alias("weight_cents"))
         .filter(F.col("weight_cents") > 0)
+        .withColumn(
+            "priority_key",
+            u.cast("double") / F.col("weight_cents").cast("double"),
+        )
         .orderBy("priority_key", key)
         .limit(k)
     )

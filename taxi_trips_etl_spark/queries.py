@@ -47,8 +47,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _utc(spark: SparkSession) -> None:
-    """Timestamp rendering must agree with DuckDB's naive reading."""
+    """Entry-point session pin, applied by ``register``'s wrapper to
+    every driver-invoked query: timestamp rendering must agree with
+    DuckDB's naive reading (UTC), and events parquet may carry
+    TIMESTAMP(NANOS) (nanosAsLong). This wrapper layer — not readers —
+    is the sanctioned place to mutate these session confs; readers only
+    *require* them (``sources.readers.require_utc_session`` /
+    ``require_nanos_as_long``)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -62,7 +69,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`~taxi_trips_etl_spark.sources.readers.normalize_event_ts`."""
     from taxi_trips_etl_spark.sources.readers import normalize_event_ts
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _utc(spark)  # idempotent entry pin (UTC + nanosAsLong)
     return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
@@ -127,8 +134,32 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r04.json
-# into this map as (…, 4) so the rotation keeps cycling fairly:
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r05.json
+# into this map as (…, 5) so the rotation keeps cycling fairly:
+_R4_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r04.json
+    "embedding_kmeans", "tpch_min_cost_supplier", "tpch_product_profit",
+    "tpch_important_parts", "tpch_shipmode_priority",
+    "semantic_decontaminate", "scd2_customer_history", "cdc_upsert_apply",
+    "skew_salted_join", "embedding_int8_quantize", "graph_pagerank",
+    "fuzzy_match_fastss2", "chunk_dedup_docs", "weighted_priority_sample",
+    "token_entropy_by_source", "feature_hash_counts", "bigram_lm_topk",
+    "embedding_zscore", "mad_outliers", "ewma_daily_revenue",
+    "rolling_corr_revenue", "pareto_frontier", "graph_triangles",
+    "tpch_suppliers_waiting", "streaming_static_enrich",
+    "streaming_cdc_upsert", "quality_classifier_score",
+    "month_over_month_growth", "constraint_quarantine",
+    "weighted_sample_per_group", "rolling_active_users",
+    "regex_pretokenize_counts", "source_distinctive_terms",
+    "time_weighted_average", "streaming_ingest_dedup",
+    "streaming_dq_monitor", "global_count", "topk_limit", "rank_topk",
+    "rename_projection", "octet_length_fn", "timestamp_diff_minutes",
+    "union_append", "multihop_join", "null_semantics",
+    # rows-only-by-design entries driver-checked in round 4 (no oracle;
+    # marking them keeps them at the back of the rotation window)
+    "similarity_pq_topk", "flagship_most_populars", "hll_distinct_rollup",
+    "embedding_pca_project", "bpe_learn_merges",
+)
 _R3_VERIFIED: tuple[str, ...] = (
     "dedup_components", "variant_json_shred", "lag_lead_order_gaps",
     "numeric_histogram", "iqr_outliers", "retention_cohorts",
@@ -183,6 +214,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(4, _R4_VERIFIED)
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
 _mark_verified(1, (

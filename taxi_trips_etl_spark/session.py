@@ -52,6 +52,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
+        # Events parquet has carried TIMESTAMP(NANOS) in some testdata
+        # generations; pin the legacy fallback at session build so
+        # readers can *require* it instead of mutating session conf
+        # mid-flight (readers.require_nanos_as_long).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -44,6 +44,10 @@ def register_sources(
     """
     from pyspark.sql import functions as F
 
+    # Entry-point pin (not a reader side effect): registering sources is
+    # session-catalog mutation by design, so pinning the conf the views
+    # need to read those sources belongs here — see
+    # readers.require_nanos_as_long for the reader-side posture.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name, path in manifest.items():

@@ -79,6 +79,26 @@ def require_utc_session(spark, what: str = "event-time readers") -> None:
         )
 
 
+def require_nanos_as_long(spark, what: str = "event-time readers") -> None:
+    """Raise unless ``spark.sql.legacy.parquet.nanosAsLong=true``.
+
+    Same posture as :func:`require_utc_session`: readers never silently
+    mutate session-global conf (flipping nanosAsLong mid-session would
+    change how *other* code in the same session reads nanos-typed
+    parquet). Entry points pin it — ``session.get_spark`` at build time,
+    ``queries._utc`` per driver-invoked query — and readers only check.
+    """
+    v = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    if str(v).lower() != "true":
+        raise ValueError(
+            f"{what} require spark.sql.legacy.parquet.nanosAsLong=true "
+            "(events parquet may carry TIMESTAMP(NANOS), which the "
+            "vectorized reader otherwise rejects); build the session via "
+            "taxi_trips_etl_spark.session.get_spark() or set the conf at "
+            "your entry point"
+        )
+
+
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize an event-time column to session-local TIMESTAMP no matter
     how the parquet footer typed it across testdata generations:

@@ -30,10 +30,11 @@ def streaming_daypart_rollup(
     # normalize to TIMESTAMP (watermarks reject NTZ) via the shared helper.
     from taxi_trips_etl_spark.sources.readers import (
         normalize_event_ts,
+        require_nanos_as_long,
         require_utc_session,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require_nanos_as_long(spark)
     require_utc_session(spark)
     static = spark.read.parquet(events_dir)  # schema from footer
     # The streaming file source wants a directory: when handed a single

@@ -121,11 +121,12 @@ def streaming_sessionize(
     sentinel, see :func:`run_streaming_sessionize`) closes them, which
     lets AvailableNow runs terminate deterministically.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     from taxi_trips_etl_spark.sources.readers import (
         normalize_event_ts,
+        require_nanos_as_long,
         require_utc_session,
     )
+    require_nanos_as_long(spark)
     require_utc_session(spark)
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):
@@ -187,7 +188,9 @@ def run_streaming_sessionize(
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from taxi_trips_etl_spark.sources.readers import require_nanos_as_long
+
+    require_nanos_as_long(spark, what="run_streaming_sessionize")
     staging = tempfile.mkdtemp(prefix="sessionize_src_")
     try:
         if os.path.isfile(events_dir):
@@ -205,6 +208,13 @@ def run_streaming_sessionize(
         ts_is_nanos = dict(static.dtypes).get("ts") == "bigint"
         # Latest real event time, for the sentinel-session guard below;
         # computed while the scratch dir still exists (one 1-row agg).
+        # ORACLE-PATH-ONLY DRIVER ROUND-TRIP: this collect (and the
+        # sentinel build below) exists solely to make a bounded
+        # AvailableNow drive terminate deterministically for the
+        # batch-twin comparison. The production continuous path —
+        # streaming_sessionize(use_timeout=True) — never reaches this
+        # function and has no driver collects (tests/test_models_and_
+        # streaming.py greps for exactly this invariant).
         if ts_is_nanos:
             max_real = static.agg(
                 F.expr("timestamp_micros(max(ts) div 1000)").alias("m")

@@ -28,14 +28,16 @@ def _event_stream(
 ) -> DataFrame:
     from taxi_trips_etl_spark.sources.readers import (
         normalize_event_ts,
+        require_nanos_as_long,
         require_utc_session,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Do NOT silently flip the session timezone: the repo invariant
-    # (readers.py:require_utc_session) is that entry points pin UTC
-    # and a non-UTC session RAISES rather than having a reader mutate
-    # a global conf mid-session.
+    # Do NOT silently flip session conf: the repo invariant
+    # (readers.py:require_utc_session / require_nanos_as_long) is that
+    # entry points pin UTC + nanosAsLong and a mis-configured session
+    # RAISES rather than having a reader mutate a global conf
+    # mid-session.
+    require_nanos_as_long(spark)
     require_utc_session(spark)
     static = spark.read.parquet(events_dir)
     reader = spark.readStream.schema(static.schema)

@@ -27,10 +27,11 @@ from pyspark.sql import functions as F
 def _event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.sources.readers import (
         normalize_event_ts,
+        require_nanos_as_long,
         require_utc_session,
     )
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require_nanos_as_long(spark)
     require_utc_session(spark)
     static = spark.read.parquet(events_dir)
     if os.path.isfile(events_dir):

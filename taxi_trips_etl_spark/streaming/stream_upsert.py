@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from taxi_trips_etl_spark.dataprep.materialize import materialize
+from taxi_trips_etl_spark.dataprep.materialize import materialize, release
 
 # Final state per user: the row of the (ts, event_id)-max event.
 _STATE_COLS = ("user_id", "last_event_id", "last_ts", "last_type",
@@ -84,6 +84,12 @@ def run_streaming_cdc_upsert(
         # Eager truncate: later batches must not re-trigger this one's
         # lineage, and the memory footprint is one row per key.
         state["df"] = materialize(merged, eager=True)
+        # The new state is computed, so the previous batch's checkpoint
+        # blocks are dead weight — free them NOW instead of waiting for
+        # Python GC + ContextCleaner (an unbounded stream would retain
+        # one RDD per micro-batch otherwise).
+        if cur is not None:
+            release(cur)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)
