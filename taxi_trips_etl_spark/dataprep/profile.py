@@ -124,3 +124,157 @@ def hll_distinct_rollup(
             F.count(F.lit(1)).alias("n_partials_merged"),
         )
     )
+
+
+# --- portable (cross-engine-replayable) HLL -------------------------------
+
+_HEX = "0123456789abcdef"
+# lg_k = 8 → m = 256 registers. alpha_m·m² precomputed in Python and
+# embedded as ONE literal on both engines, so the only runtime float ops
+# are an exact power-of-two sum and one IEEE division (bit-identical
+# everywhere); ln() appears only in the small-range correction, the same
+# replay-on-identical-operands pattern the green tfidf/log-odds oracles
+# use.
+_PORTABLE_M = 256
+_PORTABLE_ALPHA_MM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256)
+# rho of the 40-bit tail: 4·(leading zero nibbles) + (zeros inside the
+# first non-zero nibble) + 1; all-zero tail → 41.
+_RHO_SQL = (
+    "CASE WHEN z = 10 THEN 41 ELSE 4 * z + 5 - "
+    "(CASE WHEN d >= 8 THEN 4 WHEN d >= 4 THEN 3 "
+    "WHEN d >= 2 THEN 2 ELSE 1 END) END"
+)
+
+
+def hll_portable_rollup(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    partial_col: str,
+) -> DataFrame:
+    """Mergeable distinct-count rollup whose registers any SQL engine
+    can replay: bucket = first 8 bits of md5(value), rho = leading-zero
+    count of the next 40 bits + 1, register = max(rho) — built per
+    ``partial_col`` partition first, then merged upward with max() per
+    bucket, exactly the sketch-union dataflow of
+    :func:`hll_distinct_rollup` (which stays the production path via
+    Spark's DataSketches built-ins; this variant exists so the estimate
+    itself is oracle-checkable, not just error-bounded).
+
+    Exactness argument for the cross-engine hash: every per-bucket term
+    2^-r is an exact power of two in [2^-41, 2^-1], so the 256-term sum
+    fits a double's 53-bit mantissa EXACTLY (order-independent); the
+    estimate is then one literal/denominator IEEE division. The HLL
+    small-range (linear-counting) correction uses ln() on identical
+    integer operands, rounded to 4 decimals.
+
+    → per ``key_cols`` group: (approx_distinct, registers_set,
+    n_partials_merged).
+    """
+    m = _PORTABLE_M
+    tagged = (
+        df.withColumn("h", F.md5(F.col(value_col).cast("string")))
+        .withColumn(
+            "bucket",
+            (
+                (F.expr(f"instr('{_HEX}', substr(h, 1, 1)) - 1") * 16)
+                + F.expr(f"instr('{_HEX}', substr(h, 2, 1)) - 1")
+            ).cast("long"),
+        )
+        .withColumn("tail", F.expr("substr(h, 3, 10)"))
+        .withColumn(
+            "z", F.expr("length(regexp_extract(tail, '^(0*)', 1))")
+        )
+        .withColumn(
+            "d", F.expr(f"instr('{_HEX}', substr(tail, z + 1, 1)) - 1")
+        )
+        .withColumn("rho", F.expr(_RHO_SQL))
+    )
+    # Partial registers per (keys, partial, bucket) — the persistable
+    # sketch state — then the rollup merge: max per bucket across
+    # partials. Both are map-side-combinable hash aggregates.
+    partial_regs = tagged.groupBy(*key_cols, partial_col, "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    merged = partial_regs.groupBy(*key_cols, "bucket").agg(
+        F.max("r").alias("r")
+    )
+    per_key = merged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("registers_set"),
+        F.sum(F.expr("power(2.0, -r)")).alias("s"),
+    )
+    n_partials = df.groupBy(*key_cols).agg(
+        F.countDistinct(partial_col).cast("long").alias("n_partials_merged")
+    )
+    est = (
+        per_key.withColumn(
+            "denom",
+            (F.lit(m) - F.col("registers_set")).cast("double") + F.col("s"),
+        )
+        .withColumn("raw", F.lit(float(_PORTABLE_ALPHA_MM)) / F.col("denom"))
+        .withColumn("v", (F.lit(m) - F.col("registers_set")).cast("long"))
+        .withColumn(
+            "approx_distinct",
+            F.round(
+                F.when(
+                    (F.col("raw") <= 2.5 * m) & (F.col("v") > 0),
+                    F.lit(float(m))
+                    * F.log(F.lit(float(m)) / F.col("v").cast("double")),
+                ).otherwise(F.col("raw")),
+                4,
+            ),
+        )
+    )
+    return est.join(n_partials, key_cols).select(
+        *key_cols, "approx_distinct", "registers_set", "n_partials_merged"
+    )
+
+
+def hll_portable_oracle_sql(
+    table_sql: str, key: str, value: str, partial: str
+) -> str:
+    """The DuckDB twin of :func:`hll_portable_rollup` — identical
+    register derivation and estimate arithmetic (see exactness argument
+    there), parameterized over a source relation."""
+    m = _PORTABLE_M
+    return f"""
+    WITH tagged AS (
+        SELECT {key} AS k, {partial} AS p,
+               (instr('{_HEX}', substr(h, 1, 1)) - 1) * 16
+                 + instr('{_HEX}', substr(h, 2, 1)) - 1 AS bucket,
+               length(regexp_extract(substr(h, 3, 10), '^(0*)', 1)) AS z,
+               instr('{_HEX}', substr(substr(h, 3, 10),
+                     length(regexp_extract(substr(h, 3, 10), '^(0*)', 1)) + 1,
+                     1)) - 1 AS d
+        FROM (SELECT *, md5(CAST({value} AS VARCHAR)) AS h
+              FROM ({table_sql}))
+    ),
+    partial_regs AS (
+        SELECT k, p, bucket, max({_RHO_SQL}) AS r
+        FROM tagged GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT k, bucket, max(r) AS r FROM partial_regs GROUP BY 1, 2
+    ),
+    per_key AS (
+        SELECT k, CAST(count(*) AS BIGINT) AS registers_set,
+               sum(power(2.0, -r)) AS s
+        FROM merged GROUP BY 1
+    ),
+    n_partials AS (
+        SELECT k, CAST(count(DISTINCT p) AS BIGINT) AS n_partials_merged
+        FROM tagged GROUP BY 1
+    )
+    SELECT per_key.k,
+           round(CASE WHEN {_PORTABLE_ALPHA_MM}
+                        / (CAST({m} - registers_set AS DOUBLE) + s)
+                        <= {2.5 * m}
+                       AND {m} - registers_set > 0
+                      THEN {float(m)} * ln({float(m)}
+                           / CAST({m} - registers_set AS DOUBLE))
+                      ELSE {_PORTABLE_ALPHA_MM}
+                           / (CAST({m} - registers_set AS DOUBLE) + s)
+                 END, 4) AS approx_distinct,
+           registers_set, n_partials_merged
+    FROM per_key JOIN n_partials USING (k)
+    """

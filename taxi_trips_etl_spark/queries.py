@@ -4656,22 +4656,33 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_distinct_rollup")  # rows-only: sketch estimates are
-# implementation-defined (DataSketches HLL), no DuckDB twin; the
-# error bound vs exact countDistinct is pytest-pinned instead.
+def _hll_oracle() -> str:
+    from taxi_trips_etl_spark.dataprep.profile import hll_portable_oracle_sql
+
+    inner = hll_portable_oracle_sql(
+        "SELECT event_type, user_id, CAST(ts AS DATE) AS day FROM events",
+        key="event_type", value="user_id", partial="day",
+    )
+    return f"""
+    SELECT k AS event_type, approx_distinct, registers_set,
+           n_partials_merged
+    FROM ({inner})
+    """
+
+
+@register("hll_distinct_rollup", _hll_oracle())
 def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type distinct users via per-day HLL sketches merged
-    upward — see dataprep/profile.py:hll_distinct_rollup."""
-    from taxi_trips_etl_spark.dataprep.profile import hll_distinct_rollup
+    """Per-event-type distinct users via per-day HLL register partials
+    merged upward. Oracle-bearing since round 5: the registry entry
+    runs the PORTABLE md5-register variant whose register derivation
+    and estimate arithmetic DuckDB replays exactly (see
+    dataprep/profile.py:hll_portable_rollup for the bit-exactness
+    argument); the DataSketches production variant
+    (hll_distinct_rollup) keeps its pytest error-bound/merge pins."""
+    from taxi_trips_etl_spark.dataprep.profile import hll_portable_rollup
 
     ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
-    return hll_distinct_rollup(
-        ev, ["event_type"], "user_id", "day"
-    ).select(
-        "event_type",
-        F.col("approx_distinct").cast("long").alias("approx_distinct"),
-        "n_partials_merged",
-    )
+    return hll_portable_rollup(ev, ["event_type"], "user_id", "day")
 
 
 @register(

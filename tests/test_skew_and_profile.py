@@ -117,3 +117,39 @@ def test_hll_rollup_error_bound_and_merge_equivalence(spark, sf_dir):
     assert {k: int(v) for k, v in merged.items()} == {
         k: int(v) for k, v in direct.items()
     }
+
+
+def test_hll_portable_rollup_error_bound_and_merge(spark, sf_dir):
+    """The cross-engine md5-register HLL (lg_k=8 → SE ≈ 6.5%) lands
+    within ~3*SE of exact, and merging per-day partials equals building
+    the registers in one shot (max is associative)."""
+    from pyspark.sql import functions as F
+
+    from taxi_trips_etl_spark.dataprep.profile import hll_portable_rollup
+    from taxi_trips_etl_spark.queries import _events
+
+    ev = _events(spark, sf_dir).withColumn("day", F.to_date("ts"))
+    merged = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_portable_rollup(
+            ev, ["event_type"], "user_id", "day"
+        ).collect()
+    }
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for et, nd in exact.items():
+        rel_err = abs(merged[et] - nd) / max(nd, 1)
+        assert rel_err < 0.20, (et, merged[et], nd)
+
+    one_shot = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_portable_rollup(
+            ev.withColumn("one", F.lit(1)), ["event_type"], "user_id", "one"
+        ).collect()
+    }
+    assert merged == one_shot
