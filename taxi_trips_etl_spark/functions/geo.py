@@ -317,18 +317,26 @@ def latlng_to_cell(
 
 
 def centroid_cell(
-    wkt: str | None, res: int = 9, *, spherical: bool = True
+    wkt: str | None,
+    res: int = 9,
+    *,
+    spherical: bool = True,
+    scheme: str = "axial",
 ) -> str | None:
     """F6∘F7 composed: WKT geometry → centroid → hex cell id.
 
     Defaults to the spherical centroid (BigQuery ST_CENTROID semantics)
     so enrichment matches the reference's geography behavior near cell
-    boundaries; ``spherical=False`` selects the planar shoelace."""
+    boundaries; ``spherical=False`` selects the planar shoelace.
+    ``scheme`` passes through to :func:`latlng_to_cell` — this is the
+    parity swap seam: ``scheme="h3"`` (wheel installed) reproduces the
+    reference's ``H3_FROMGEOGPOINT(ST_CENTROID(geom), res)`` ids
+    (enrichment_query.py:10,17) end-to-end."""
     c = wkt_centroid_spherical(wkt) if spherical else wkt_centroid(wkt)
     if c is None:
         return None
     lon, lat = c
-    return latlng_to_cell(lat, lon, res)
+    return latlng_to_cell(lat, lon, res, scheme=scheme)
 
 
 # ---------------------------------------------------------------------------
@@ -342,11 +350,15 @@ def hex_cell_udf(res: int = 9):
                  else latlng_to_cell(float(lat), float(lng), res), StringType())
 
 
-def wkt_centroid_to_cell_udf(res: int = 9):
+def wkt_centroid_to_cell_udf(res: int = 9, scheme: str = "axial"):
     """UDF: WKT string → hex cell of its centroid.
 
     The fused form of enrichment_query.py:10,17
     (``H3_FROMGEOGPOINT(ST_CENTROID(zone_geom), 9)``). One Python call
     per *zone*, not per trip: apply to the dimension before broadcast.
+    Pass ``scheme="h3"`` (or "auto") on an environment with the public
+    h3 wheel to emit the reference's genuine H3 ids.
     """
-    return F.udf(lambda wkt: centroid_cell(wkt, res), StringType())
+    return F.udf(
+        lambda wkt: centroid_cell(wkt, res, scheme=scheme), StringType()
+    )

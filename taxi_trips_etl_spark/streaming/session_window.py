@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from taxi_trips_etl_spark.streaming.stream_join import _event_stream
+from taxi_trips_etl_spark.streaming.static_enrich import _event_stream
 
 
 def streaming_session_window(
@@ -32,9 +32,18 @@ def streaming_session_window(
     events_dir: str,
     gap: str = "30 minutes",
     watermark: str = "1 day",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming DF: (user_id, session_window, n_events)."""
-    stream = _event_stream(spark, events_dir)
+    """Streaming DF: (user_id, session_window, n_events).
+
+    ``max_files_per_trigger`` rate-limits the file source so a static
+    directory becomes a deterministic multi-batch run — the knob the
+    append-mode watermark-eviction test uses to make the watermark
+    advance BETWEEN batches.
+    """
+    stream = _event_stream(
+        spark, events_dir, max_files_per_trigger=max_files_per_trigger
+    )
     return (
         stream.withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap))
@@ -48,6 +57,7 @@ def run_streaming_session_window(
     sink_table: str = "session_windows",
     state_partitions: int = 8,
     output_mode: str = "complete",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Run to completion (AvailableNow) → flat table.
 
@@ -55,8 +65,10 @@ def run_streaming_session_window(
     oracle comparison (see module docstring — append would withhold
     sessions newer than the final watermark). On a continuous stream,
     pass ``"append"`` so the watermark actually closes sessions and
-    bounds the state store. ``state_partitions`` sizes the session
-    state store — see streaming/state.py for the sizing rule.
+    bounds the state store (tests/test_stateful_streaming.py drives a
+    two-batch append run and asserts the watermark-finalized session is
+    emitted). ``state_partitions`` sizes the session state store — see
+    streaming/state.py for the sizing rule.
     """
     from taxi_trips_etl_spark.streaming.state import (
         state_partitions as _pin,
@@ -64,7 +76,11 @@ def run_streaming_session_window(
 
     with _pin(spark, state_partitions):
         q = (
-            streaming_session_window(spark, events_dir)
+            streaming_session_window(
+                spark,
+                events_dir,
+                max_files_per_trigger=max_files_per_trigger,
+            )
             .writeStream.format("memory")
             .queryName(sink_table)
             .outputMode(output_mode)

@@ -191,6 +191,31 @@ def test_hex_scheme_gate_and_fallback():
         assert latlng_to_cell(40.7, -73.9, 9, scheme="auto") == axial
 
 
+def test_centroid_cell_h3_seam_wiring(monkeypatch):
+    """The swap seam itself, provable WITHOUT the wheel: inject a fake
+    h3 entry point and assert centroid_cell(scheme='h3') routes the
+    spherical centroid through it in (lat, lng, res) order — the
+    argument-swap bug a golden test would otherwise only catch the day
+    the wheel appears."""
+    from taxi_trips_etl_spark.functions import geo
+
+    calls = []
+
+    def fake_cell(lat, lng, res):
+        calls.append((lat, lng, res))
+        return f"fake_{res}_{lat:.6f}_{lng:.6f}"
+
+    monkeypatch.setattr(geo, "_h3_cell_fn", fake_cell)
+    monkeypatch.setattr(geo, "HAS_H3", True)
+    wkt = "POLYGON((-74.02 40.70, -73.98 40.70, -73.98 40.74, -74.02 40.74, -74.02 40.70))"
+    got = geo.centroid_cell(wkt, 9, scheme="h3")
+    lon, lat = geo.wkt_centroid_spherical(wkt)
+    assert calls == [(lat, lon, 9)]
+    assert got == f"fake_9_{lat:.6f}_{lon:.6f}"
+    # lat must be the ~40.72 coordinate, not the -74 longitude
+    assert 40.0 < calls[0][0] < 41.0 and -75.0 < calls[0][1] < -73.0
+
+
 @pytest.mark.skipif(
     not __import__(
         "taxi_trips_etl_spark.functions.geo", fromlist=["HAS_H3"]

@@ -135,3 +135,21 @@ def test_contract_against_real_h3_if_available():
     a = cell(*_NYC)
     assert cell(*_NYC) == a
     assert cell(_NYC[0] + 0.009, _NYC[1]) != a
+
+    # Golden seam proof for the full enrichment path: WKT zone →
+    # spherical centroid → REAL res-9 id. Expected ids come from the
+    # library itself on the independently-computed centroid, so this
+    # pins our plumbing (the seam), while the library pins the H3 math.
+    from taxi_trips_etl_spark.sources.taxi_testdata import _zone_wkt
+
+    res_fn = getattr(geo._h3lib, "get_resolution", None) or getattr(
+        geo._h3lib, "h3_get_resolution", None
+    )
+    for z in range(10):
+        wkt = _zone_wkt(z, detailed=(z % 3 == 0))
+        lon, lat = geo.wkt_centroid_spherical(wkt)
+        expected = geo._h3_cell_fn(lat, lon, 9)
+        got = geo.centroid_cell(wkt, 9, scheme="h3")
+        assert got == expected, (z, got, expected)
+        if res_fn is not None:
+            assert res_fn(got) == 9
