@@ -1,0 +1,283 @@
+"""Query registry: every implemented operator as (Spark builder, DuckDB oracle).
+
+This is the single source of truth consumed by ``__spark_entry__.py``
+(driver contract), ``bench.py`` and the test suite. Each entry maps a
+SURVEY.md §2 operator (or a north-star dataprep operator) onto the
+driver testdata tables; the oracle is ANSI-ish SQL DuckDB runs on the
+same parquet.
+
+Portability rules that keep the value-hash comparison exact:
+
+- output columns are only BIGINT / DOUBLE / VARCHAR; timestamps are
+  rendered ``yyyy-MM-dd HH:mm:ss`` strings on both sides;
+- money/cent-quantized doubles are NEVER float-summed-then-rounded
+  (their sums land exactly on .005 boundaries where engines' round()
+  disagrees) — they are summed as exact integer cents, with averages
+  produced by one IEEE division on identical operands;
+- every hash is md5-hex (bit-identical in Spark and DuckDB);
+- ties are either included via RANK (deterministic) or broken by an
+  explicit unique key before any LIMIT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+from taxi_trips_etl_spark.dataprep import dedup, multimodal, similarity, text
+from taxi_trips_etl_spark.functions.scalar import daypart, timestamp_diff_minutes
+from taxi_trips_etl_spark.operators.normalize import normalize_trips
+from taxi_trips_etl_spark.operators.popularity import ranked_counts
+from taxi_trips_etl_spark.plans.models import taxi_models
+from taxi_trips_etl_spark.sources.taxi_testdata import (
+    N_ZONES,
+    _zone_wkt,
+    trips_from_lineitem,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _utc(spark: SparkSession) -> None:
+    """Entry-point session pin, applied by ``register``'s wrapper to
+    every driver-invoked query: timestamp rendering must agree with
+    DuckDB's naive reading (UTC), and events parquet may carry
+    TIMESTAMP(NANOS) (nanosAsLong). This wrapper layer — not readers —
+    is the sanctioned place to mutate these session confs; readers only
+    *require* them (``sources.readers.require_utc_session`` /
+    ``require_nanos_as_long``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet's ``ts`` physical type has varied across testdata
+    generations (TIMESTAMP(NANOS), then NTZ micros); normalize to a
+    session-UTC TIMESTAMP either way — see
+    :func:`~taxi_trips_etl_spark.sources.readers.normalize_event_ts`."""
+    from taxi_trips_etl_spark.sources.readers import normalize_event_ts
+
+    _utc(spark)  # idempotent entry pin (UTC + nanosAsLong)
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _ts_str(col: F.Column, alias: str) -> F.Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+def _norm_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_trips(trips_from_lineitem(_t(spark, sf_dir, "lineitem")))
+
+
+# DuckDB twin of sources/taxi_testdata.trips_from_lineitem + the
+# normalization predicate (normalization_query.py:3-9 semantics).
+TRIPS_SQL = f"""
+    SELECT
+        l_shipdate + to_seconds(CAST(l_orderkey % 86400 AS BIGINT)) AS pickup_datetime,
+        l_shipdate + to_seconds(CAST(l_orderkey % 86400 AS BIGINT))
+            + to_minutes(CAST(l_quantity AS BIGINT)) AS dropoff_datetime,
+        CAST(CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                  WHEN l_orderkey % 11 = 0 THEN 0
+                  ELSE (l_linenumber % 5) + 1 END AS BIGINT) AS passenger_count,
+        CASE WHEN l_orderkey % 13 = 0 THEN 0.0 ELSE l_quantity END AS trip_distance,
+        l_extendedprice - l_tax * 1000.0 AS fare_amount,
+        l_partkey % {N_ZONES} AS pickup_location_id,
+        l_suppkey % {N_ZONES} AS dropoff_location_id
+    FROM lineitem
+"""
+
+NORM_SQL = f"""
+    SELECT * FROM ({TRIPS_SQL})
+    WHERE pickup_datetime != dropoff_datetime
+      AND passenger_count != 0 AND passenger_count IS NOT NULL
+      AND trip_distance != 0 AND trip_distance IS NOT NULL
+      AND fare_amount != 0
+"""
+
+DAYPART_SQL = """
+    CASE WHEN {t} >= '06:00:00' AND {t} < '12:00:00' THEN 'Morning'
+         WHEN {t} >= '12:00:00' AND {t} < '18:00:00' THEN 'Noon'
+         WHEN {t} >= '18:00:00' AND {t} <= '23:59:59' THEN 'Evening'
+         WHEN {t} < '06:00:00' THEN 'Night' END
+"""
+
+TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+GRAMS_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               generate_series(1, len({TOKS_SQL}) - 2),
+               i -> concat_ws(' ', {TOKS_SQL}[i], {TOKS_SQL}[i+1], {TOKS_SQL}[i+2])
+           )) AS grams
+    FROM documents
+    WHERE len({TOKS_SQL}) >= 3
+"""
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# Verification rotation. The driver's correctness harness checks the first
+# ~50 registry entries per round; the registry has grown past that, so
+# ``all_queries``/``all_oracles`` order entries least-recently-verified
+# first: names never seen in a CORRECTNESS_r{N}.json come before names
+# already proven green, and within each group older proofs come first.
+# Round history (name → rounds in which the driver recorded a green
+# rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r05.json
+# into this map as (…, 5) so the rotation keeps cycling fairly:
+_R4_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r04.json
+    "embedding_kmeans", "tpch_min_cost_supplier", "tpch_product_profit",
+    "tpch_important_parts", "tpch_shipmode_priority",
+    "semantic_decontaminate", "scd2_customer_history", "cdc_upsert_apply",
+    "skew_salted_join", "embedding_int8_quantize", "graph_pagerank",
+    "fuzzy_match_fastss2", "chunk_dedup_docs", "weighted_priority_sample",
+    "token_entropy_by_source", "feature_hash_counts", "bigram_lm_topk",
+    "embedding_zscore", "mad_outliers", "ewma_daily_revenue",
+    "rolling_corr_revenue", "pareto_frontier", "graph_triangles",
+    "tpch_suppliers_waiting", "streaming_static_enrich",
+    "streaming_cdc_upsert", "quality_classifier_score",
+    "month_over_month_growth", "constraint_quarantine",
+    "weighted_sample_per_group", "rolling_active_users",
+    "regex_pretokenize_counts", "source_distinctive_terms",
+    "time_weighted_average", "streaming_ingest_dedup",
+    "streaming_dq_monitor", "global_count", "topk_limit", "rank_topk",
+    "rename_projection", "octet_length_fn", "timestamp_diff_minutes",
+    "union_append", "multihop_join", "null_semantics",
+    # rows-only-by-design entries driver-checked in round 4 (no oracle;
+    # marking them keeps them at the back of the rotation window)
+    "similarity_pq_topk", "flagship_most_populars", "hll_distinct_rollup",
+    "embedding_pca_project", "bpe_learn_merges",
+)
+_R3_VERIFIED: tuple[str, ...] = (
+    "dedup_components", "variant_json_shred", "lag_lead_order_gaps",
+    "numeric_histogram", "iqr_outliers", "retention_cohorts",
+    "funnel_conversion", "activity_streaks", "tpch_order_priority",
+    "tpch_local_supplier_volume", "tpch_forecast_revenue",
+    "tpch_volume_shipping", "tpch_returned_items",
+    "tpch_customer_distribution", "tpch_promo_effect",
+    "tpch_small_qty_revenue", "tpch_large_volume_customer",
+    "gopher_quality_filter", "dup_ngram_coverage",
+    "dsir_importance_weights", "unigram_logprob_buckets",
+    "session_window_agg", "tpch_market_share", "fuzzy_match_fastss",
+    "tpch_top_supplier", "streaming_session_window",
+    "dedup_canonicalize", "split_leakage_audit",
+    "embedding_canonicalize", "event_transition_matrix",
+    "kfold_assignment", "tpch_disjunctive_pricing",
+    "window_range_interval", "unpivot_metrics", "bm25_keyword_search",
+    "tpch_sales_opportunity", "string_agg_ordered", "forward_fill_gaps",
+    "normalize_filter", "daypart_case", "window_dedup_rank",
+    "broadcast_left_join", "composite_key_join", "most_populars_flat",
+    "daily_metrics",
+)
+_R2_VERIFIED: tuple[str, ...] = (
+    "ann_recall_at_k", "anomaly_zscore_days", "array_functions",
+    "build_vocab", "c4_quality_filter", "collect_set_agg",
+    "corpus_decontaminate", "corpus_prepare_v2",
+    "correlated_scalar_subquery", "cube_agg", "date_functions",
+    "dedup_minhash_incremental", "dedup_stats_by_source",
+    "domain_mixture_sample", "embedding_centroid_by_source",
+    "embedding_random_projection", "explode_top_tokens",
+    "filter_clause_agg", "flagship_known_zones", "grouping_sets_agg",
+    "hex_neighbor_smoothing", "hopping_window_counts", "latest_by_key",
+    "multimodal_features", "null_safe_join", "pack_sequences",
+    "percentiles_exact", "recursive_cte_date_spine", "rollup_agg",
+    "semantic_search_docs", "semi_anti_join", "set_ops",
+    "streaming_click_attribution", "streaming_sessionize_stateful",
+    "text_lexical_diversity", "text_pii_scrub",
+    "text_repetition_scores", "tokenize_with_vocab", "topk_per_group",
+    "tpch_pricing_summary", "tpch_shipping_priority",
+    "udtf_split_sentences", "validate_constraints",
+    "window_distribution", "window_distribution_approx",
+    "window_first_last", "window_moving_sum", "winnowing_fingerprints",
+    "winnowing_near_dup_pairs", "zorder_key_customers",
+)
+# Merge-safe accumulation: a name green in several rounds keeps ALL its
+# rounds (max() drives the rotation) — append new rounds via _mark_verified
+# so re-verifications never clobber history.
+_VERIFIED_ROUNDS: dict[str, tuple[int, ...]] = {}
+
+
+def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
+    for n in names:
+        _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
+
+
+_mark_verified(4, _R4_VERIFIED)
+_mark_verified(3, _R3_VERIFIED)
+_mark_verified(2, _R2_VERIFIED)
+_mark_verified(1, (
+        "normalize_filter", "daypart_case", "window_dedup_rank",
+        "broadcast_left_join", "composite_key_join", "most_populars_flat",
+        "daily_metrics", "global_count", "topk_limit", "rank_topk",
+        "rename_projection", "octet_length_fn", "timestamp_diff_minutes",
+        "union_append", "multihop_join", "null_semantics",
+        "model_daily_trip_metrics", "model_trips_view", "model_staging_rename",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_fingerprint",
+        "dedup_simhash_pairs", "dedup_ngram_jaccard", "similarity_cosine_topk",
+        "similarity_lsh_topk", "text_token_stats", "text_quality_scores",
+        "text_language_id", "text_fingerprints", "deterministic_sample",
+        "train_test_split", "text_clean", "chunk_documents",
+        "corpus_prepare_pipeline", "text_tfidf_top_terms", "stratified_sample",
+        "multimodal_meta", "streaming_daypart_rollup", "embedding_near_dup",
+        "similarity_lsh_multiprobe", "similarity_ivf_topk", "sql_ordinal_sort",
+        "sessionize_events", "profile_columns", "asof_join_purchases",
+        "range_join_windows", "json_extract_props", "string_functions",
+        "pivot_event_types",
+    ))
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _utc(spark)
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _rotation_order() -> list[str]:
+    """Registry names, least-recently-driver-verified first.
+
+    Sort key: (last round the name was green, rows-only?, registration
+    index) — never-verified names (last round 0) lead, then round-1-only
+    names, etc. Within a group, oracle-bearing entries precede rows-only
+    ones (a hash row is worth more than a rows-only row when the
+    driver's ~50-entry budget runs out), then registration order keeps
+    the rotation deterministic round-over-round.
+    """
+    names = list(_QUERIES)
+    return sorted(
+        names,
+        key=lambda n: (
+            max(_VERIFIED_ROUNDS.get(n, (0,))),
+            0 if n in _ORACLES else 1,
+            names.index(n),
+        ),
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {n: _QUERIES[n] for n in _rotation_order()}
+
+
+def all_oracles() -> dict[str, str]:
+    return {n: _ORACLES[n] for n in _rotation_order() if n in _ORACLES}
+
+
