@@ -420,6 +420,97 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_posting_size: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ t.
+
+    The doc-inside-doc detector Jaccard misses: a short document quoted
+    verbatim inside a long one has containment ≈ 1 but Jaccard ≈
+    |A|/|B| ≈ 0, so :func:`ngram_jaccard_pairs`'s size-ratio prefilter
+    is UNSOUND here and is deliberately absent. Candidate generation
+    still has an exact prefix guarantee, just asymmetric: if C ≥ t then
+    the smaller set (m grams) shares ≥ ⌈t·m⌉ grams with the other doc,
+    so at least one shared gram lies within the smaller doc's first
+    m − ⌈t·m⌉ + 1 grams under the canonical md5 order. Joining every
+    doc's prefix against every doc's FULL posting list therefore finds
+    all qualifying pairs (whichever side is smaller, its prefix side of
+    the join fires).
+
+    Scale shape: prefix ⋈ posting on gram (hot grams capped exactly as
+    in the Jaccard op — candidate generation only, verification stays
+    exact), pair canonicalize + distinct, then the same three counting
+    joins. Never an all-pairs product.
+    """
+    posting = tokens_table(docs, text).select(
+        "doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
+    )
+    sized = posting.withColumn(
+        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(F.md5("gram"))
+    prefix = (
+        sized.withColumn("rk", F.row_number().over(w_rk))
+        .filter(
+            F.col("rk")
+            <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
+        )
+        .select("doc_id", "gram")
+    )
+    if max_posting_size is not None:
+        w_gram = Window.partitionBy("gram")
+        prefix = (
+            prefix.withColumn("_psz", F.count(F.lit(1)).over(w_gram))
+            .filter(F.col("_psz") <= max_posting_size)
+            .drop("_psz")
+        )
+    # Both relations feed self-join-shaped plans — truncate lineage so
+    # tokenize->shingle doesn't recompute per side (no ReusedExchange).
+    sized = sized.transform(materialize, eager=False)
+    prefix = prefix.transform(materialize, eager=False)
+    cand = (
+        prefix.alias("a")
+        .join(
+            sized.select("doc_id", "gram").alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
+                "doc_id_b"
+            ),
+        )
+        .distinct()
+    )
+    pa = sized.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gram"
+    )
+    pb = sized.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gram"
+    )
+    inter = (
+        cand.join(pa, "doc_id_a")
+        .join(pb, ["doc_id_b", "gram"])
+        .groupBy("doc_id_a", "doc_id_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(
+                F.col("n_inter") / F.least(F.col("na"), F.col("nb")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def minhash_lsh_incremental(
     corpus_docs: DataFrame,
     new_docs: DataFrame,
