@@ -188,56 +188,126 @@ def sign_bucket(vec: Column, planes: int = 16) -> Column:
     )
 
 
+def sign_bucket_band(vec: Column, band: int, planes: int) -> Column:
+    """Band ``band``'s sign-LSH key: signs of dims
+    [band·planes+1, (band+1)·planes] — disjoint dim ranges make the
+    band keys independent the way MinHash bands are."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.slice(vec, band * planes + 1, planes),
+            lambda x: F.when(x > 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
-    planes: int = 6,
+    bands: int = 6,
+    planes_per_band: int = 10,
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup by vector similarity).
 
-    Candidates are pairs sharing a sign-LSH bucket (first ``planes``
-    dims), then exact cosine ≥ threshold. The bucket join keeps the
-    pair space O(Σ bucket²) instead of O(n²) — the same shape MinHash
-    banding gives text dedup. Recall is bucket-bounded by construction;
-    widen with multi-probe (flip one plane) when recall matters more
-    than cost.
+    BANDED sign-LSH, exactly the shape MinHash banding gives text
+    dedup: band j keys on the sign pattern of dims [j·r+1, (j+1)·r]
+    (r = ``planes_per_band``), candidates are pairs agreeing on ALL r
+    signs of ANY band, then exact cosine ≥ threshold verifies.
+
+    Why bands×r and not one short prefix: a single r-plane bucket is a
+    recall/occupancy knife-edge — small r (the old default, r=6) means
+    only 2^r=64 possible buckets, so candidate pairs grow as n²/2^r:
+    measured 59× the runtime at 10× the corpus (exponent 1.8) on the
+    scale rig. Large single r fixes occupancy but collapses recall
+    (every near-dup must agree on all r signs). Banding decouples the
+    two: occupancy is governed by 2^r per band (1024 here → ~n²/1024
+    candidate pairs per band; measured at 10× the corpus: 1.2M candidate
+    evals vs the old 3.1M — and the gap widens as n grows), recall by 1-(1-p^r)^bands which for
+    sign-agreement rates p near 1 exceeds the old p^6. Same fixed
+    constants on the DuckDB oracle side. For corpora where n ≫ 2^r,
+    raise ``planes_per_band`` by log2 of the growth — bucket count,
+    not band count, is what must track corpus size.
+
+    A pair colliding in several bands is deduplicated by DISTINCT
+    after the cosine (≤ ``bands``× redundant fold work on the small
+    collision set — cheaper than two vector-table join-backs).
+
+    Two hot-path rules (both measured on the 10× scale rig, where the
+    naive form took 58 s for ~1.2M candidate evals):
+
+    - the vector NORM is computed once per ROW before banding, so the
+      per-pair score is ONE dot fold (not a 3-fold cosine), and the
+      expression tree dot/(norm_a·norm_b) matches the oracle's
+      bit-for-bit;
+    - the input is repartitioned to default parallelism first — a
+      small embeddings table arrives as one parquet split, and the
+      pair stage (the CPU-bound part) would otherwise run on ONE
+      core. On a cluster-scale table the scan already has splits and
+      the repartition is a cheap narrow-ish shuffle of n rows,
+      amortized over the n²/2^r pair evaluations it parallelizes.
     """
-    with_bucket = embeddings.select(
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    vd = _as_double(F.col(vec_col))
+    base = embeddings.repartition(par).select(
         F.col(id_col),
         F.col(vec_col),
-        sign_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.sqrt(_dot(vd, vd)).alias("_norm"),
+    )
+    bucketed = base.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "_norm",
+        F.posexplode(
+            F.array(
+                *[
+                    sign_bucket_band(F.col(vec_col), j, planes_per_band)
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_key"),
     )
     # NOT checkpointed, deliberately (unlike the text-dedup candidate
     # generators): the subtree above the scan is a trivial projection
-    # (6 dot products per row), so the self-join's second evaluation
+    # (a few sign folds per row), so the self-join's second evaluation
     # re-reads compressed parquet — cheaper than writing the full
     # uncompressed vector table to block storage and reading it back
     # (measured: checkpoint 3.5s vs rescan 2.3s at sf0.1). Checkpoint
     # only pays when the recomputed subtree is expensive (hashing,
     # aggregation), not when it is scan-dominated.
-    a = with_bucket.select(
+    a = bucketed.select(
         F.col(id_col).alias("vec_id_a"),
         F.col(vec_col).alias("va"),
-        F.col("bucket").alias("ba"),
+        F.col("_norm").alias("norm_a"),
+        F.col("band_id").alias("band_a"),
+        F.col("band_key").alias("key_a"),
     )
-    b = with_bucket.select(
+    b = bucketed.select(
         F.col(id_col).alias("vec_id_b"),
         F.col(vec_col).alias("vb"),
-        F.col("bucket").alias("bb"),
+        F.col("_norm").alias("norm_b"),
+        F.col("band_id").alias("band_b"),
+        F.col("band_key").alias("key_b"),
     )
     return (
         a.join(
             b,
-            (F.col("ba") == F.col("bb")) & (F.col("vec_id_a") < F.col("vec_id_b")),
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("key_a") == F.col("key_b"))
+            & (F.col("vec_id_a") < F.col("vec_id_b")),
         )
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                _dot(_as_double(F.col("va")), _as_double(F.col("vb")))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+        .distinct()
     )
 
 

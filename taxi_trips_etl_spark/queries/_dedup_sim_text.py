@@ -885,17 +885,26 @@ _WINNOW_FP_SQL = """
 @register(
     "winnowing_near_dup_pairs",
     f"""
-    WITH fps AS ({_WINNOW_FP_SQL})
+    WITH fps0 AS (SELECT DISTINCT doc_id, fp FROM ({_WINNOW_FP_SQL})),
+    rare AS (
+        SELECT doc_id, fp FROM (
+            SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+            FROM fps0
+        ) WHERE df <= 50
+    )
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            CAST(count(*) AS BIGINT) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 3
     """,
 )
 def q_winnowing_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partial-overlap near-dup pairs via shared winnowing
     fingerprints — catches a copied paragraph inside an otherwise
-    different doc, which whole-doc MinHash resemblance misses."""
+    different doc, which whole-doc MinHash resemblance misses.
+    Distinct postings + the max_df=50 ubiquity cutoff keep the fp
+    join linear in corpus size (see text.winnowing_near_dup_pairs —
+    without them this measured quadratic on the 10× scale rig)."""
     return text.winnowing_near_dup_pairs(_t(spark, sf_dir, "documents"))
 
 

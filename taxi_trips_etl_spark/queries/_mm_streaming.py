@@ -114,14 +114,24 @@ def q_streaming_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Banded sign-LSH (6 bands × 10 planes over disjoint dim ranges; see
+# similarity.embedding_near_dup_pairs for why a single short prefix is
+# an occupancy/recall knife-edge): candidates agree on ALL 10 signs of
+# ANY band; DISTINCT collapses multi-band collisions.
 _EMB_PAIRS_SQL = """
     WITH e AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-               array_to_string(list_transform(embedding[1:6],
-                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, embedding
         FROM embeddings
+    ),
+    bk AS (
+        SELECT vec_id, emb, j AS band_id,
+               array_to_string(list_transform(
+                   embedding[(j*10+1):(j*10+10)],
+                   x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')
+                   AS band_key
+        FROM e, unnest([0, 1, 2, 3, 4, 5]) AS t(j)
     )
-    SELECT vec_id_a, vec_id_b, cosine FROM (
+    SELECT DISTINCT vec_id_a, vec_id_b, cosine FROM (
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                round(
                    list_sum(list_transform(generate_series(1, len(a.emb)),
@@ -131,7 +141,9 @@ _EMB_PAIRS_SQL = """
                       * sqrt(list_sum(list_transform(generate_series(1, len(b.emb)),
                                                      i -> b.emb[i] * b.emb[i])))),
                    6) AS cosine
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        FROM bk a JOIN bk b ON a.band_id = b.band_id
+                           AND a.band_key = b.band_key
+                           AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.3
 """
 

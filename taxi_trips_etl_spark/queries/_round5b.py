@@ -1,0 +1,311 @@
+# Round-5 batch 2: corpus statistics that bound their shuffles by
+# vocab (not corpus) size — PMI collocations, Misra-Gries heavy
+# hitters with exact verification, nucleus (top-p) vocabulary — plus
+# the gaps-and-islands interval union and Spark's native bounded-state
+# streaming dedup (dropDuplicatesWithinWatermark).
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep.collocations import (
+    pmi_collocations,
+    vocab_top_p,
+)
+from taxi_trips_etl_spark.dataprep.heavy_hitters import mg_heavy_hitters
+from taxi_trips_etl_spark.operators.intervals import (
+    merge_overlapping_intervals,
+)
+from taxi_trips_etl_spark.queries._mm_streaming import _EMB_PAIRS_SQL
+from taxi_trips_etl_spark.queries._registry import (
+    TOKS_SQL,
+    _events,
+    _t,
+    register,
+)
+
+_WORDS_SQL = f"""
+    SELECT word FROM (
+        SELECT unnest({TOKS_SQL}) AS word FROM documents
+    ) WHERE word <> ''
+"""
+
+
+@register(
+    "pmi_collocations",
+    f"""
+    WITH d AS (SELECT {TOKS_SQL} AS t FROM documents
+               WHERE len({TOKS_SQL}) >= 2),
+    b AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                   i -> concat_ws(' ', t[i], t[i+1]))) AS g FROM d),
+    pc AS (
+        SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS pair_cnt
+        FROM b
+        WHERE split_part(g, ' ', 1) <> '' AND split_part(g, ' ', 2) <> ''
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(pair_cnt) AS n FROM pc),
+    enr AS (
+        SELECT w1, w2, pair_cnt,
+               sum(pair_cnt) OVER (PARTITION BY w1) AS cl,
+               sum(pair_cnt) OVER (PARTITION BY w2) AS cr
+        FROM pc
+    )
+    SELECT w1, w2, pair_cnt,
+           round(ln(CAST(pair_cnt * (SELECT n FROM tot) AS DOUBLE)
+                    / CAST(cl * cr AS DOUBLE)), 6) AS pmi
+    FROM enr WHERE pair_cnt >= 5
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-bigram PMI over the corpus — see
+    dataprep/collocations.py for the one-corpus-scan shape (marginals
+    are windows over the pair-count table, never a rescan)."""
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+@register(
+    "heavy_hitters_tokens",
+    f"""
+    WITH w AS ({_WORDS_SQL}),
+    tot AS (SELECT count(*) AS n FROM w)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM w GROUP BY word
+    HAVING count(*) * 30 > (SELECT n FROM tot)
+    """,
+)
+def q_heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens with frequency > N/30 via the Misra-Gries two-pass route
+    (dataprep/heavy_hitters.py): per-partition k-counter sketches bound
+    the candidate set at k·n_partitions, then ONLY candidates are
+    exactly counted behind a broadcast semi-join — the full-vocabulary
+    shuffle the oracle's GROUP BY pays never happens. Output is exact
+    and partition-layout-independent (the sketch can only over-
+    generate; the exact filter prunes)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("word")
+    ).filter(F.col("word") != "")
+    return mg_heavy_hitters(words, "word", k=30)
+
+
+@register(
+    "vocab_top_p_cutoff",
+    f"""
+    WITH w AS ({_WORDS_SQL}),
+    vc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+           FROM w GROUP BY word),
+    tot AS (SELECT sum(cnt) AS n FROM vc),
+    cum AS (
+        SELECT word, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, word)
+                    AS BIGINT) AS rnk,
+               CAST(sum(cnt) OVER (ORDER BY cnt DESC, word
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+        FROM vc
+    )
+    SELECT word, cnt, rnk, cum_cnt
+    FROM cum WHERE (cum_cnt - cnt) * 2 < (SELECT n FROM tot)
+    """,
+)
+def q_vocab_top_p_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nucleus (top-p, p=1/2) vocabulary truncation — the smallest
+    count-descending vocab prefix covering half of all token
+    occurrences (dataprep/collocations.py:vocab_top_p). Integer-exact
+    cutoff; the global window runs on the aggregated vocab only."""
+    return vocab_top_p(
+        _t(spark, sf_dir, "documents"), p_num=1, p_den=2
+    )
+
+
+@register(
+    "merge_event_intervals",
+    """
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) AS BIGINT) AS t,
+               CAST(epoch_us(ts) AS BIGINT) + 300000000 AS e_end
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, event_id, t, e_end,
+               max(e_end) OVER (PARTITION BY user_id
+                                ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prev_end
+        FROM e
+    ),
+    f AS (
+        SELECT user_id, event_id, t, e_end,
+               CASE WHEN prev_end IS NULL OR t > prev_end
+                    THEN 1 ELSE 0 END AS is_new
+        FROM m
+    ),
+    i AS (
+        SELECT user_id, t, e_end,
+               sum(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY t, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island_id
+        FROM f
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           CAST(min(t) AS BIGINT) AS start_us,
+           CAST(max(e_end) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM i GROUP BY user_id, island_id
+    """,
+)
+def q_merge_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands union of per-user 5-minute event intervals —
+    see operators/intervals.py (running-max end handles contained
+    intervals; one user_id shuffle serves both windows + the agg)."""
+    return merge_overlapping_intervals(
+        _events(spark, sf_dir), duration_us=300_000_000
+    )
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY event_type
+    """,
+)
+def q_streaming_dedup_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Native bounded-state streaming dedup
+    (streaming/dedup_watermark.py): the event feed is delivered TWICE
+    (two files, one micro-batch each — transport-level at-least-once
+    redelivery), and ``dropDuplicatesWithinWatermark`` on event_id
+    drops the entire second delivery while evicting state past the
+    watermark. The oracle sees each event exactly once — the per-type
+    profile of the deduped sink must equal the profile of the original
+    feed. Survivor rows are bit-identical under either file order, so
+    the result is drain-order-independent."""
+    import os
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.streaming.dedup_watermark import (
+        run_streaming_dedup_watermark,
+    )
+
+    _events(spark, sf_dir)  # pins UTC + nanosAsLong for the schema read
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    work = tempfile.mkdtemp(prefix="dedup_wm_q_")
+    try:
+        src = f"{work}/source"
+        os.makedirs(src)
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery_a.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{src}/delivery_b.parquet")
+        run_streaming_dedup_watermark(
+            spark,
+            src,
+            schema,
+            out_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt",
+            keys=["event_id"],
+            delay="60 days",
+        )
+        out = spark.read.parquet(f"{work}/out")
+        rows = [
+            (
+                r["event_type"],
+                int(r["n_events"]),
+                int(r["first_us"]),
+                int(r["last_us"]),
+            )
+            for r in out.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.min(F.unix_micros("ts")).cast("long").alias("first_us"),
+                F.max(F.unix_micros("ts")).cast("long").alias("last_us"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows),
+        "event_type string, n_events long, first_us long, last_us long",
+    )
+
+
+_BRUTE_PAIRS_SQL = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+    )
+    SELECT count(*) AS n FROM (
+        SELECT round(
+                   list_sum(list_transform(generate_series(1, len(a.emb)),
+                                           i -> a.emb[i] * b.emb[i]))
+                   / (sqrt(list_sum(list_transform(
+                          generate_series(1, len(a.emb)),
+                          i -> a.emb[i] * a.emb[i])))
+                      * sqrt(list_sum(list_transform(
+                          generate_series(1, len(b.emb)),
+                          i -> b.emb[i] * b.emb[i])))), 6) AS c
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) WHERE c >= 0.3
+"""
+
+
+@register(
+    "embedding_near_dup_recall",
+    f"""
+    WITH brute AS ({_BRUTE_PAIRS_SQL}),
+    found AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+              FROM ({_EMB_PAIRS_SQL}))
+    SELECT CAST(brute.n AS BIGINT) AS n_true, found.n_found,
+           round(CAST(found.n_found AS DOUBLE)
+                 / CAST(brute.n AS DOUBLE), 4) AS recall
+    FROM brute, found
+    """,
+)
+def q_embedding_near_dup_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall audit for the banded sign-LSH near-dup candidate
+    generator: |LSH pairs| / |brute-force pairs ≥ threshold| at the
+    validation scale. LSH recall is a TRADE-OFF, not a constant — this
+    entry makes it a measured, driver-verified number instead of a
+    docstring claim (every LSH pair is exact-cosine-verified, so
+    found ⊆ true and the ratio IS recall). At 100 TB this audit runs
+    on a fixed sample, never the full corpus; the brute side here is
+    a broadcast-nested-loop of the (small) validation table, which is
+    exactly the plan the brute baseline documents."""
+    from taxi_trips_etl_spark.dataprep.similarity import (
+        cosine,
+        embedding_near_dup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    found = embedding_near_dup_pairs(emb).agg(
+        F.count(F.lit(1)).cast("long").alias("n_found")
+    )
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    true_n = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select(F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"))
+        .filter(F.col("c") >= 0.3)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    return (
+        found.crossJoin(F.broadcast(true_n))
+        .select(
+            "n_true",
+            "n_found",
+            F.round(
+                F.col("n_found").cast("double")
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall"),
+        )
+    )

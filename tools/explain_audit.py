@@ -106,6 +106,18 @@ EXPECT = {
     "regex_pretokenize_counts": ["codegen id"],
     "source_distinctive_terms": ["BroadcastHashJoin", "Window"],
     "time_weighted_average": ["Window", "HashAggregate"],
+    # Round-5 batch 2: vocab-bounded corpus stats + interval islands.
+    "pmi_collocations": ["Window", "HashAggregate"],
+    "vocab_top_p_cutoff": ["Window", "HashAggregate"],
+    # The MG sketch pass is materialized (localCheckpoint), so the
+    # visible plan starts at the checkpointed scan (same rule as
+    # fuzzy_match_fastss2): assert the broadcast candidate verify +
+    # exact count, not the pre-checkpoint MapInPandas.
+    "heavy_hitters_tokens": ["BroadcastHashJoin", "HashAggregate"],
+    "merge_event_intervals": ["Window", "HashAggregate"],
+    # Banded LSH: candidate generation is an equi-join on
+    # (band_id, band_key) — Generate = the posexplode of band keys.
+    "embedding_near_dup": ["Generate", "HashAggregate"],
 }
 
 FORBID = {
@@ -217,6 +229,25 @@ FORBID = {
     # or a second shuffle is a plan bug.
     "time_weighted_average": ["BatchEvalPython", "Join",
                               "CartesianProduct"],
+    # Round-5 batch 2. pmi/vocab_top_p run their windows on the
+    # aggregated vocab table — single-partition THERE is by design, so
+    # it is not forbidden; what is forbidden is any Python and (for
+    # pmi) a corpus re-scan join shape.
+    "pmi_collocations": ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct", "SortMergeJoin"],
+    "vocab_top_p_cutoff": ["BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct"],
+    # The exact-verify join must broadcast the candidate set; the only
+    # Python allowed is the Arrow MapInPandas sketch itself.
+    "heavy_hitters_tokens": ["BatchEvalPython", "SortMergeJoin",
+                             "CartesianProduct"],
+    # Both windows and the final agg share ONE user_id exchange.
+    "merge_event_intervals": ["BatchEvalPython", "Join",
+                              "CartesianProduct"],
+    # Candidates come from the banded equi-join: a nested-loop or
+    # cartesian pair generator is exactly the n² bug banding removes.
+    "embedding_near_dup": ["BatchEvalPython", "CartesianProduct",
+                           "BroadcastNestedLoopJoin"],
 }
 
 
