@@ -186,3 +186,62 @@ def triangle_count(
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
         .orderBy("node")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core: iteratively peel nodes of degree < k from
+    the undirected simple graph, ``rounds`` times → (node, degree)
+    for the surviving subgraph (the standard dense-subgraph /
+    spam-farm signal next to PageRank in web-corpus curation).
+
+    Determinism contract (what the unrolled-CTE oracle replays): the
+    graph is canonicalized (a<b, distinct) then symmetrized; each
+    round keeps exactly the edges whose BOTH endpoints have current
+    degree ≥ k; after ``rounds`` rounds the surviving edge set is a
+    pure function of the input — peeling is monotone, so an early
+    fixpoint exit returns the identical set the full unroll would.
+
+    Scale shape: each round is one degree aggregate (map-side
+    combinable) + two semi-joins of edges against the kept-node set,
+    all keyed on node ids; lineage truncates per round via
+    ``materialize`` and the fixpoint exit costs one count() on the
+    already-materialized edge set. True cores converge in far fewer
+    rounds than the node count suggests (each round removes every
+    currently-underdegree node at once).
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    live = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).transform(materialize, eager=True)
+    n_prev = live.count()
+    for _ in range(rounds):
+        if n_prev == 0:
+            break
+        deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("a")
+        live = (
+            live.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .transform(materialize, eager=True)
+        )
+        n_now = live.count()
+        if n_now == n_prev:
+            break  # fixpoint: further rounds are identity
+        n_prev = n_now
+    return live.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

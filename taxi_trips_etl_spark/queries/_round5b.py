@@ -281,7 +281,8 @@ def q_embedding_near_dup_recall(
     a broadcast-nested-loop of the (small) validation table, which is
     exactly the plan the brute baseline documents."""
     from taxi_trips_etl_spark.dataprep.similarity import (
-        cosine,
+        _as_double,
+        _dot,
         embedding_near_dup_pairs,
     )
 
@@ -289,11 +290,34 @@ def q_embedding_near_dup_recall(
     found = embedding_near_dup_pairs(emb).agg(
         F.count(F.lit(1)).cast("long").alias("n_found")
     )
-    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    # Brute side uses the same two hot-path rules as the LSH operator
+    # (per-row double cast + norm so each pair is ONE dot fold, and a
+    # repartition so the single-split table doesn't serialize the n²/2
+    # evals onto one core) — first bench of the naive form: 95 s; this
+    # form: ~4 s at sf0.1.
+    par = spark.sparkContext.defaultParallelism
+    vd = _as_double(F.col("embedding"))
+    base = emb.repartition(par).select(
+        F.col("vec_id").alias("ia"),
+        vd.alias("va"),
+        F.sqrt(_dot(vd, vd)).alias("na"),
+    )
+    bcast = F.broadcast(
+        emb.select(
+            F.col("vec_id").alias("ib"),
+            vd.alias("vb"),
+            F.sqrt(_dot(vd, vd)).alias("nb"),
+        )
+    )
     true_n = (
-        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
-        .select(F.round(cosine(F.col("va"), F.col("vb")), 6).alias("c"))
+        base.join(bcast, F.col("ia") < F.col("ib"))
+        .select(
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("c")
+        )
         .filter(F.col("c") >= 0.3)
         .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     )

@@ -1,0 +1,138 @@
+# Round-5 batch 3: k-core peeling (completing the graph family next
+# to components / PageRank / triangles) and an explicit Bloom-filter
+# semi-join reduction (the shuffle-avoidance pattern for joins whose
+# dim cannot broadcast).
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.operators.bloom import bloom_prefilter
+from taxi_trips_etl_spark.queries._registry import _t, register
+
+_KCORE_K = 40
+_KCORE_ROUNDS = 10
+
+# Supplier-transition graph (same construction as graph_pagerank /
+# graph_triangles): per customer, consecutive orders' representative
+# suppliers form an edge; canonicalized + symmetrized for the
+# undirected degree arithmetic.
+_KCORE_EDGES_SQL = """
+    reps AS (
+        SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+               min(l.l_suppkey) AS rep
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    seqd AS (
+        SELECT o_custkey, rep,
+               lag(rep) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM reps
+    ),
+    dedges AS (
+        SELECT DISTINCT prev AS src, rep AS dst FROM seqd
+        WHERE prev IS NOT NULL AND prev <> rep
+    ),
+    canon AS (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM dedges
+    ),
+    e0 AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon)
+"""
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    peels = []
+    for i in range(1, rounds + 1):
+        peels.append(f"""
+    e{i} AS (
+        SELECT a, b FROM (
+            SELECT a, b,
+                   count(*) OVER (PARTITION BY a) AS da,
+                   count(*) OVER (PARTITION BY b) AS db
+            FROM e{i - 1}
+        ) WHERE da >= {k} AND db >= {k}
+    )""")
+    return (
+        "WITH " + _KCORE_EDGES_SQL + "," + ",".join(peels) + f"""
+    SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY a
+    """
+    )
+
+
+@register("graph_kcore", _kcore_oracle(_KCORE_K, _KCORE_ROUNDS))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the supplier-transition graph (dataprep/graph.py:
+    kcore): iteratively peel nodes of degree < k — the dense-subgraph
+    signal (link-farm detection, community cores) that completes the
+    graph family next to components/PageRank/triangles. Peeling is
+    MONOTONE, so the driver loop's early fixpoint exit returns exactly
+    what the oracle's 10-round unrolled-CTE peel computes. Per round:
+    one map-side-combinable degree agg + two node-keyed semi-joins,
+    lineage truncated per round."""
+    from taxi_trips_etl_spark.dataprep.graph import kcore
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    reps = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.min("l_suppkey").alias("rep"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        reps.select("rep", F.lag("rep").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
+        .select(F.col("prev").alias("src"), F.col("rep").alias("dst"))
+    )
+    return kcore(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+@register(
+    "bloom_prefilter_join",
+    """
+    SELECT l.l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE s.s_acctbal > 9000
+    GROUP BY l.l_suppkey
+    """,
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per high-balance supplier, with the fact side reduced
+    by a BROADCAST BLOOM FILTER of the dim keys before the join
+    (operators/bloom.py). The filter passes a superset of matching
+    rows and the exact join removes false positives, so the result —
+    and the oracle — is identical to the plain join; what changes is
+    the 100 TB plan: the fact table's non-matching rows die inside
+    the scan's codegen stage instead of crossing the shuffle. (Here
+    the dim also broadcasts, making the demo cheap to verify; the
+    pattern pays when it cannot.)"""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    dim = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    reduced = bloom_prefilter(
+        li, dim, fact_key="l_suppkey", dim_key="s_suppkey"
+    )
+    return (
+        reduced.join(
+            F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )

@@ -1,0 +1,77 @@
+"""Semantic pins for round-5 batch 3: k-core peeling and the
+Bloom-filter semi-join reduction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.dataprep.graph import kcore
+from taxi_trips_etl_spark.operators.bloom import bloom_prefilter
+
+
+def _core(spark, edges, k):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        (r["node"], r["degree"]) for r in kcore(df, k=k).collect()
+    }
+
+
+def test_kcore_keeps_clique_drops_pendants(spark):
+    # triangle 1-2-3 plus pendant 4 hanging off 1: 2-core = triangle.
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    assert _core(spark, edges, 2) == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_kcore_cascade_empties_path_graph(spark):
+    # path 1-2-3-4-5: every peel exposes new endpoints; 2-core empty.
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert _core(spark, edges, 2) == set()
+
+
+def test_kcore_cascade_requires_multiple_rounds(spark):
+    # 4-clique {1,2,3,4} with a tail 4-5-6: round 1 peels 6, round 2
+    # peels 5, leaving the clique — a single-pass degree filter would
+    # wrongly keep 5 (initial degree 2). k=2.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 6)]
+    got = _core(spark, edges, 2)
+    assert {n for n, _ in got} == {1, 2, 3, 4}
+    assert all(d == 3 for _, d in got)
+
+
+def test_kcore_ignores_direction_and_duplicate_edges(spark):
+    # same triangle given as duplicated, reversed, self-looped input.
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)]
+    assert _core(spark, edges, 2) == {(1, 2), (2, 2), (3, 2)}
+
+
+def test_bloom_prefilter_never_drops_a_match(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    dim = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_acctbal") > 9000)
+        .select("s_suppkey")
+    )
+    reduced = bloom_prefilter(
+        li, dim, fact_key="l_suppkey", dim_key="s_suppkey"
+    )
+    plain = li.join(dim, li["l_suppkey"] == dim["s_suppkey"])
+    filtered = reduced.join(dim, F.col("l_suppkey") == dim["s_suppkey"])
+    assert filtered.count() == plain.count()
+    # and it actually filters: non-matching rows exist in this data,
+    # and the reduction must remove a substantial share of them.
+    n_fact, n_red = li.count(), reduced.count()
+    n_match = plain.count()
+    assert n_match <= n_red < n_fact
+
+
+def test_bloom_prefilter_passes_everything_when_dim_covers_keys(spark):
+    fact = spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, v long"
+    )
+    dim = spark.createDataFrame([(i,) for i in range(100)], "dk long")
+    out = bloom_prefilter(fact, dim, fact_key="k", dim_key="dk")
+    assert out.count() == 100
+    assert out.columns == ["k", "v"]

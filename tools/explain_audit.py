@@ -118,6 +118,10 @@ EXPECT = {
     # Banded LSH: candidate generation is an equi-join on
     # (band_id, band_key) — Generate = the posexplode of band keys.
     "embedding_near_dup": ["Generate", "HashAggregate"],
+    # k-core: final degree agg runs over the checkpointed peeled edge
+    # set (pre-checkpoint rounds invisible, same rule as fastss2).
+    "graph_kcore": ["HashAggregate"],
+    "bloom_prefilter_join": ["BroadcastHashJoin", "HashAggregate"],
 }
 
 FORBID = {
@@ -248,6 +252,13 @@ FORBID = {
     # cartesian pair generator is exactly the n² bug banding removes.
     "embedding_near_dup": ["BatchEvalPython", "CartesianProduct",
                            "BroadcastNestedLoopJoin"],
+    "graph_kcore": ["BatchEvalPython", "CartesianProduct"],
+    # The 1-row bloom array rides a broadcast nested loop (the
+    # sanctioned broadcast-of-1-row-aggregate crossJoin); the exact
+    # join must stay a broadcast hash join, and nothing may shuffle
+    # the fact side before the filter.
+    "bloom_prefilter_join": ["BatchEvalPython", "SortMergeJoin",
+                             "CartesianProduct"],
 }
 
 
