@@ -22,9 +22,13 @@ a pure-python loop runs the identical recurrence (same routing
 rationale as ``components.connected_components_auto``); both paths are
 pytest-pinned equal, plus a hand-computed example pins the semantics.
 
-Not SQL-expressible (data-dependent literal per iteration inside a
-fold) — registry entry is rows-only by design; pytest carries the
-equivalence proof.
+The data-dependent argmax per iteration long made this rows-only;
+round 5 showed the greedy fold IS SQL-replayable (cascades cannot
+occur, so the rewrite reduces to replace-all for a≠b plus
+even-offset run pairing for a=a) — the registry entry now carries an
+unrolled-CTE oracle (queries._round4._bpe_learn_oracle) and
+hash-verifies; pytest still carries the distributed ≡ driver ≡
+hand-example proof plus a cross-engine run-merge pin.
 """
 
 from __future__ import annotations

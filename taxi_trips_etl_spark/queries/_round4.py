@@ -633,15 +633,103 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_auto(edges, iters=10)
 
 
-@register("bpe_learn_merges")
+def _bpe_learn_oracle(n_merges: int = 8) -> str:
+    """Unrolled-CTE replay of BPE merge learning (the kmeans/PageRank
+    pattern applied to a per-round ARGMAX + greedy rewrite): each
+    round counts adjacent pairs over the current segmentation
+    (freq-weighted, ALL adjacencies — matching the engine's counter),
+    picks the (count DESC, pair ASC) argmax as a 1-row CTE, then
+    rewrites the segmentation with the greedy left-to-right merge.
+
+    The greedy fold is SQL-expressible because cascades cannot occur
+    (the merged token a||b is strictly longer than a, so it never
+    equals the left symbol within the same round) — which reduces it
+    to: for a ≠ b merge EVERY adjacency (they can never overlap,
+    since overlap forces a = b), and for a = a merge the even offsets
+    of each maximal run (gaps-and-islands on the flag column). CTEs
+    are MATERIALIZED — inlining would re-expand the round chain into
+    an exponential scan tree."""
+    head = """
+    WITH wf0 AS MATERIALIZED (
+        SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                AS word
+            FROM documents
+        ) GROUP BY word
+    ),
+    wf AS MATERIALIZED (
+        SELECT row_number() OVER (ORDER BY word) AS wid, word, freq
+        FROM wf0
+    ),
+    seg0 AS MATERIALIZED (
+        SELECT wid, i AS pos, word[i] AS tok
+        FROM wf, unnest(generate_series(1, len(word))) AS t(i)
+    )"""
+    ctes = []
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        ctes.append(f"""
+    pr{r} AS MATERIALIZED (
+        SELECT s1.tok AS a, s2.tok AS b, sum(f.freq) AS cnt
+        FROM seg{p} s1
+        JOIN seg{p} s2 ON s1.wid = s2.wid AND s2.pos = s1.pos + 1
+        JOIN wf f ON f.wid = s1.wid
+        GROUP BY 1, 2
+    ),
+    best{r} AS MATERIALIZED (
+        SELECT a, b, cnt FROM pr{r} ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    fl{r} AS MATERIALIZED (
+        SELECT wid, pos, tok,
+               CASE WHEN tok = (SELECT a FROM best{r})
+                     AND lead(tok) OVER (PARTITION BY wid ORDER BY pos)
+                         = (SELECT b FROM best{r})
+                    THEN 1 ELSE 0 END AS flag
+        FROM seg{p}
+    ),
+    tk{r} AS MATERIALIZED (
+        SELECT wid, pos, tok, flag,
+               CASE WHEN flag = 1 AND (pos - min(pos) OVER (
+                        PARTITION BY wid, pos - frn)) % 2 = 0
+                    THEN 1 ELSE 0 END AS take
+        FROM (
+            SELECT wid, pos, tok, flag,
+                   CASE WHEN flag = 1 THEN row_number() OVER (
+                       PARTITION BY wid, flag ORDER BY pos) END AS frn
+            FROM fl{r}
+        )
+    ),
+    seg{r} AS MATERIALIZED (
+        SELECT wid,
+               row_number() OVER (PARTITION BY wid ORDER BY pos) AS pos,
+               CASE WHEN take = 1
+                    THEN (SELECT a FROM best{r})
+                         || (SELECT b FROM best{r})
+                    ELSE tok END AS tok
+        FROM (SELECT *, coalesce(lag(take) OVER (
+                  PARTITION BY wid ORDER BY pos), 0) AS ptake
+              FROM tk{r})
+        WHERE ptake = 0
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS tok_a,"
+        f" b AS tok_b, CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return head + "," + ",".join(ctes) + "\n    " + finals
+
+
+@register("bpe_learn_merges", _bpe_learn_oracle(8))
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-rule learning (dataprep/bpe.py): 8 merges over the
     documents word-frequency table — the tokenizer-training half of
     the LLM pipeline (tokenize_with_vocab is the applying half). The
     corpus-sized work is ONE word-count agg; every iteration after
-    that touches only the bounded vocabulary. Data-dependent literals
-    inside a per-iteration fold are not SQL-expressible → rows-only
-    here; pytest pins distributed ≡ driver ≡ hand-computed example."""
+    that touches only the bounded vocabulary. Oracle-bearing since
+    round 5: the data-dependent per-round argmax unrolls into CTEs
+    (see _bpe_learn_oracle — the kmeans replay pattern), so what was
+    rows-only now hash-verifies; pytest still pins distributed ≡
+    driver ≡ hand-computed example."""
     from taxi_trips_etl_spark.dataprep.bpe import learn_bpe_auto
 
     return learn_bpe_auto(_t(spark, sf_dir, "documents"), n_merges=8)

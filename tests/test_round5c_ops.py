@@ -75,3 +75,33 @@ def test_bloom_prefilter_passes_everything_when_dim_covers_keys(spark):
     out = bloom_prefilter(fact, dim, fact_key="k", dim_key="dk")
     assert out.count() == 100
     assert out.columns == ["k", "v"]
+
+
+def test_bpe_learn_oracle_replays_run_merges():
+    """Cross-engine pin of the subtle greedy rule: for a merge (a, a)
+    the fold pairs EVEN offsets of each maximal run ('aaaaa' -> aa aa
+    a), which the SQL replay expresses as gaps-and-islands. Crafted
+    corpus forces an (a, a) argmax in round 1 and a merged-token pair
+    in a later round."""
+    import duckdb
+    import pandas as pd
+
+    from taxi_trips_etl_spark.dataprep.bpe import learn_bpe_driver
+    from taxi_trips_etl_spark.queries._round4 import _bpe_learn_oracle
+
+    texts = ["aaaaa aaaa baab", "aaaaa cc cc", "aaaaa baab"]
+    # driver reference on the word-frequency table
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    expect = {
+        (r, a, b, c)
+        for r, a, b, c in learn_bpe_driver(sorted(freqs.items()), 4)
+    }
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"text": texts}))
+    got = {tuple(r) for r in con.execute(_bpe_learn_oracle(4)).fetchall()}
+    assert got == expect
+    # and the run rule actually fired: round 1 must be (a, a)
+    assert any(r == 1 and a == "a" and b == "a" for r, a, b, _ in got)
