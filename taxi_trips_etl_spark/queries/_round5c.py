@@ -8,7 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taxi_trips_etl_spark.operators.bloom import bloom_prefilter
-from taxi_trips_etl_spark.queries._registry import _t, register
+from taxi_trips_etl_spark.queries._registry import _events, _t, register
 
 _KCORE_K = 40
 _KCORE_ROUNDS = 10
@@ -135,4 +135,129 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("revenue_cents"),
         )
+    )
+
+
+@register(
+    "streaming_outer_attribution",
+    """
+    WITH bound AS (SELECT min(ts) + INTERVAL 3 DAY AS cutoff FROM events),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'
+            AND ts < (SELECT cutoff FROM bound)),
+    c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'
+            AND ts < (SELECT cutoff FROM bound))
+    SELECT p.user_id, p.purchase_id,
+           CAST(epoch_us(p.p_ts) AS BIGINT) AS purchase_us,
+           c.click_id,
+           CAST(epoch_us(c.c_ts) AS BIGINT) AS click_us
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts >= p.p_ts - INTERVAL 2 HOUR
+    """,
+)
+def q_streaming_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join
+    (streaming/outer_join.py): purchases joined to the clicks that
+    preceded them within 2 h, plus a NULL row per purchase the
+    WATERMARK proved unattributable — the negative result only
+    event-time reasoning can emit. The drain stages the feed as batch
+    1 and a far-future heartbeat pair (click+purchase, user −1, so
+    BOTH sides' watermarks advance — a filtered-out heartbeat would
+    stall the global minimum watermark) as batch 2; the final no-data
+    micro-batch flushes the state-eviction NULLs. The heartbeat
+    matches nothing and its own purchase row can never flush, so the
+    sink holds exactly the oracle's batch LEFT JOIN."""
+    import os
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.streaming.outer_join import (
+        run_streaming_outer_attribution,
+    )
+
+    ev_all = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # Bound the drained slice to the feed's first 3 days: the
+    # stream-stream state store holds both sides' rows for the whole
+    # single-batch drain, and the SEMANTICS under test (watermarked
+    # outer emission) are span-independent. A live deployment is
+    # bounded by rate x (delay + window), not feed length.
+    cutoff = ev_all.agg(
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("c")
+    ).collect()[0]["c"]
+    ev = ev_all.filter(F.col("ts") < F.lit(cutoff))
+    work = tempfile.mkdtemp(prefix="outer_attr_q_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+
+        def stage(df, name: str) -> None:
+            tmp = f"{work}/stage_{name}"
+            df.coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
+
+        stage(ev, "a_events")
+        heartbeat = (
+            ev.agg(F.max("ts").alias("mts"))
+            .crossJoin(
+                spark.createDataFrame(
+                    [("click",), ("purchase",)], "event_type string"
+                )
+            )
+            .select(
+                F.lit(-1).cast("long").alias("event_id"),
+                (F.col("mts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                "event_type",
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+        )
+        stage(heartbeat, "b_heartbeat")
+        now = os.stat(f"{src}/a_events.parquet").st_mtime
+        os.utime(f"{src}/b_heartbeat.parquet", (now + 60, now + 60))
+
+        schema = spark.read.parquet(f"{src}/a_events.parquet").schema
+        run_streaming_outer_attribution(
+            spark,
+            src,
+            schema,
+            out_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt",
+            window_hours=2,
+        )
+        rows = [
+            (
+                int(r["user_id"]),
+                int(r["purchase_id"]),
+                int(r["purchase_us"]),
+                None if r["click_id"] is None else int(r["click_id"]),
+                None if r["click_us"] is None else int(r["click_us"]),
+            )
+            for r in spark.read.parquet(f"{work}/out")
+            .filter(F.col("user_id") >= 0)  # drop heartbeat artifacts
+            .select(
+                "user_id",
+                "purchase_id",
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                "click_id",
+                F.unix_micros("click_ts").alias("click_us"),
+            )
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted(rows, key=lambda t: (t[0], t[1], t[3] is None, t[3] or 0)),
+        "user_id long, purchase_id long, purchase_us long, "
+        "click_id long, click_us long",
     )
