@@ -261,3 +261,53 @@ def q_streaming_outer_attribution(
         "user_id long, purchase_id long, purchase_us long, "
         "click_id long, click_us long",
     )
+
+
+@register(
+    "incremental_rollup_merge",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_incremental_rollup_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py): the
+    stored (event_type, day) rollup STATE — built from the feed's
+    first 20 days — absorbs the remaining days as a late delta via
+    union + re-sum of mergeable partials. The fact table is never
+    re-scanned for history; the merge shuffle is bounded by group
+    count. The oracle is the ONE-SHOT aggregate over everything,
+    which is precisely the associativity claim incremental
+    maintenance rests on. Day rendered as DATE string for engine
+    parity; value summed as exact integer cents."""
+    from taxi_trips_etl_spark.operators.incremental import (
+        aggregate_partials,
+        merge_partials,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    split = ev.agg(
+        F.date_add(F.min("day"), 20).alias("s")
+    ).collect()[0]["s"]
+    keys = ["event_type", "day"]
+    state = aggregate_partials(
+        ev.filter(F.col("day") < F.lit(split)), keys, F.col("cents")
+    )
+    delta = aggregate_partials(
+        ev.filter(F.col("day") >= F.lit(split)), keys, F.col("cents")
+    )
+    return merge_partials(state, delta, keys).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "value_cents",
+    )

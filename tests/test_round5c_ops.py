@@ -154,3 +154,43 @@ def test_streaming_outer_attribution_emits_watermark_nulls(spark, sf_dir):
     }
     got = {(r["user_id"], r["purchase_id"], r["click_id"]) for r in out}
     assert got == expect
+
+
+def test_incremental_merge_is_split_independent(spark, sf_dir):
+    """Folding history in as 1, 2, or 5 deltas must give the identical
+    state — the associativity contract incremental maintenance rests
+    on (the registry oracle checks one split; this checks several)."""
+    from taxi_trips_etl_spark.operators.incremental import (
+        aggregate_partials,
+        merge_partials,
+    )
+    from taxi_trips_etl_spark.queries import _events
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    keys = ["event_type", "day"]
+    oneshot = {
+        (r["event_type"], str(r["day"]), r["n_events"], r["value_cents"])
+        for r in aggregate_partials(ev, keys, F.col("cents")).collect()
+    }
+    for n_splits in (2, 5):
+        parts = [
+            aggregate_partials(
+                ev.filter(F.pmod(F.dayofmonth("day"), n_splits) == i),
+                keys,
+                F.col("cents"),
+            )
+            for i in range(n_splits)
+        ]
+        state = parts[0]
+        for d in parts[1:]:
+            state = merge_partials(state, d, keys)
+        got = {
+            (r["event_type"], str(r["day"]), r["n_events"],
+             r["value_cents"])
+            for r in state.collect()
+        }
+        assert got == oneshot, f"n_splits={n_splits}"

@@ -122,6 +122,7 @@ EXPECT = {
     # set (pre-checkpoint rounds invisible, same rule as fastss2).
     "graph_kcore": ["HashAggregate"],
     "bloom_prefilter_join": ["BroadcastHashJoin", "HashAggregate"],
+    "incremental_rollup_merge": ["HashAggregate", "Union"],
 }
 
 FORBID = {
@@ -259,6 +260,9 @@ FORBID = {
     # the fact side before the filter.
     "bloom_prefilter_join": ["BatchEvalPython", "SortMergeJoin",
                              "CartesianProduct"],
+    # Union + re-sum of partials: no join anywhere, no Python.
+    "incremental_rollup_merge": ["BatchEvalPython", "Join",
+                                 "CartesianProduct"],
 }
 
 
