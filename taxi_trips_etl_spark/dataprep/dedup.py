@@ -449,6 +449,13 @@ def ngram_containment_pairs(
     posting = tokens_table(docs, text).select(
         "doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
     )
+    # |grams| per doc via a count window over the posting (grams are
+    # distinct per doc by construction). Deliberately NOT computed as
+    # size() on the pre-explode array: referencing the gram array from
+    # both size() and the Generate makes CollapseProject inline — and
+    # so EVALUATE — the whole shingle-builder expression twice per row
+    # (measured 7× slower at sf0.1); through the Generate it builds
+    # exactly once.
     sized = posting.withColumn(
         "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
