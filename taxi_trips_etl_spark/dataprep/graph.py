@@ -245,3 +245,53 @@ def kcore(
     return live.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source_node: int,
+    rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round BFS from ``source_node`` over the directed edge
+    list → (node, hops) for every node reachable within ``rounds``
+    hops (min-hop label propagation — unit-weight SSSP).
+
+    Determinism contract (what the unrolled-CTE oracle replays):
+    dist_{r} = min(dist_{r-1}, 1 + dist_{r-1} of any in-neighbor) —
+    a min over integers, independent of evaluation order and
+    partitioning. Monotone (labels only decrease, the reached set
+    only grows), so an early fixpoint exit equals the full unroll.
+
+    Scale shape: per round one edges⋈dist equi-join on src (the dist
+    side is reached-nodes-sized — broadcast while the frontier is
+    small) + one min-groupBy; lineage truncates per round. This is
+    the relaxation skeleton: swap hops+1 for a weight sum and min for
+    the same min and it is Bellman-Ford.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    dist = (
+        e.sparkSession.createDataFrame(
+            [(int(source_node), 0)], "node long, hops long"
+        )
+        .transform(materialize, eager=True)
+    )
+    n_prev, sum_prev = 1, 0
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops"))
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .transform(materialize, eager=True)
+        )
+        agg = relaxed.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("hops").alias("s")
+        ).collect()[0]
+        dist = relaxed
+        if (agg["n"], agg["s"]) == (n_prev, sum_prev):
+            break  # fixpoint: labels are monotone, no further change
+        n_prev, sum_prev = agg["n"], agg["s"]
+    return dist

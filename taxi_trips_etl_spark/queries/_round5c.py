@@ -311,3 +311,60 @@ def q_incremental_rollup_merge(
         "n_events",
         "value_cents",
     )
+
+
+def _bfs_oracle(rounds: int = 10) -> str:
+    head = (
+        "WITH " + _KCORE_EDGES_SQL.replace(
+            "e0 AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon)",
+            """bedges AS (SELECT src, dst FROM dedges),
+    start AS (SELECT min(least(src, dst)) AS s FROM bedges),
+    d0 AS MATERIALIZED (SELECT (SELECT s FROM start) AS node,
+                               CAST(0 AS BIGINT) AS hops)""",
+        )
+    )
+    ctes = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+            SELECT node, hops FROM d{r - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.hops + 1 AS hops
+            FROM d{r - 1} d JOIN bedges e ON e.src = d.node
+        ) GROUP BY node
+    )""")
+    return head + "," + ",".join(ctes) + f"""
+    SELECT node, hops FROM d{rounds}
+    """
+
+
+@register("graph_bfs_hops", _bfs_oracle(10))
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-weight SSSP (BFS hop counts) from the lowest supplier node
+    over the DIRECTED transition graph (dataprep/graph.py:bfs_hops) —
+    the relaxation skeleton (swap hops+1 for a weight sum and it is
+    Bellman-Ford) that completes the iterative family next to
+    components / PageRank / triangles / k-core. Min-label integer
+    propagation, monotone, so the fixpoint exit matches the oracle's
+    10-round unroll exactly."""
+    from taxi_trips_etl_spark.dataprep.graph import bfs_hops
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    reps = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.min("l_suppkey").alias("rep"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        reps.select("rep", F.lag("rep").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
+        .select(F.col("prev").alias("src"), F.col("rep").alias("dst"))
+        .distinct()
+    )
+    source = edges.agg(
+        F.min(F.least("src", "dst")).alias("s")
+    ).collect()[0]["s"]
+    return bfs_hops(edges, source_node=int(source), rounds=10)

@@ -194,3 +194,32 @@ def test_incremental_merge_is_split_independent(spark, sf_dir):
             for r in state.collect()
         }
         assert got == oneshot, f"n_splits={n_splits}"
+
+
+def test_bfs_hops_chain_diamond_unreachable(spark):
+    from taxi_trips_etl_spark.dataprep.graph import bfs_hops
+
+    # directed: 1->2->3->4, diamond 1->5,5->3 (3 reachable at hop 2 two
+    # ways -> min), island 9->10 unreachable from 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 3), (9, 10)],
+        "src long, dst long",
+    )
+    got = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(edges, source_node=1, rounds=10).collect()
+    }
+    assert got == {(1, 0), (2, 1), (5, 1), (3, 2), (4, 3)}
+
+
+def test_bfs_hops_respects_round_bound(spark):
+    from taxi_trips_etl_spark.dataprep.graph import bfs_hops
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["hops"])
+        for r in bfs_hops(chain, source_node=1, rounds=3).collect()
+    }
+    assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}  # cut at 3 hops

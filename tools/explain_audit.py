@@ -123,6 +123,9 @@ EXPECT = {
     "graph_kcore": ["HashAggregate"],
     "bloom_prefilter_join": ["BroadcastHashJoin", "HashAggregate"],
     "incremental_rollup_merge": ["HashAggregate", "Union"],
+    # BFS: final dist is a checkpointed min-agg (pre-checkpoint rounds
+    # invisible, same rule as kcore/fastss2).
+    "graph_bfs_hops": ["Scan ExistingRDD|HashAggregate"],
 }
 
 FORBID = {
@@ -263,6 +266,7 @@ FORBID = {
     # Union + re-sum of partials: no join anywhere, no Python.
     "incremental_rollup_merge": ["BatchEvalPython", "Join",
                                  "CartesianProduct"],
+    "graph_bfs_hops": ["BatchEvalPython", "CartesianProduct"],
 }
 
 
