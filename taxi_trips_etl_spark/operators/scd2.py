@@ -78,3 +78,36 @@ def scd2_apply(
     return closed_rows.unionByName(untouched_open).unionByName(
         closed_now
     ).unionByName(new_versions)
+
+
+def pit_join(
+    fact: DataFrame,
+    history: DataFrame,
+    fact_key: str,
+    fact_ts: str,
+    dim_key: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row picks the dimension
+    VERSION that was valid at its timestamp — the read-side
+    counterpart of scd2_apply, and the operation that makes SCD2
+    history worth keeping (training-data reproducibility: joining
+    features "as of" the label's time, never the future's).
+
+    Well-formed SCD2 history has non-overlapping [valid_from,
+    valid_to) ranges per key with NULL = open, so exactly one version
+    matches; the range predicate rides the equi-join on the business
+    key (a hash join + residual filter — never a cartesian), and the
+    history side is dimension-sized.
+    """
+    dk = dim_key or fact_key
+    cond = (
+        (fact[fact_key] == history[dk])
+        & (fact[fact_ts] >= history[valid_from])
+        & (
+            history[valid_to].isNull()
+            | (fact[fact_ts] < history[valid_to])
+        )
+    )
+    return fact.join(history, cond)

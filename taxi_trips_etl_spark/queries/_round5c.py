@@ -368,3 +368,140 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.least("src", "dst")).alias("s")
     ).collect()[0]["s"]
     return bfs_hops(edges, source_node=int(source), rounds=10)
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+    WITH hist AS (
+        SELECT c_custkey, c_mktsegment AS seg,
+               TIMESTAMP '1990-01-01' AS valid_from,
+               CASE WHEN c_custkey % 3 = 0
+                    THEN TIMESTAMP '1996-06-01' END AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 'MIGRATED', TIMESTAMP '1996-06-01', NULL
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           h.seg AS segment_at_order
+    FROM orders o JOIN hist h
+      ON h.c_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS TIMESTAMP) >= h.valid_from
+     AND (h.valid_to IS NULL
+          OR CAST(o.o_orderdate AS TIMESTAMP) < h.valid_to)
+    """,
+)
+def q_scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time join (operators/scd2.py:pit_join): every order
+    picks the customer-dimension VERSION valid at its order date —
+    the read side of SCD2 and the as-of discipline that keeps
+    training features from leaking the future. History here is a
+    deterministic two-version construction (every third customer's
+    segment migrates on 1996-06-01) so orders before/after the
+    migration date provably land on different versions. The range
+    predicate rides the c_custkey hash join as a residual filter."""
+    from taxi_trips_etl_spark.operators.scd2 import pit_join
+
+    c = _t(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("1990-01-01").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.lit("1996-06-01").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    v2 = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            F.lit("MIGRATED").alias("seg"),
+            F.lit("1996-06-01").cast("timestamp").alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    hist = v1.unionByName(v2)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("o_ts"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+    joined = pit_join(
+        o, hist, fact_key="o_custkey", fact_ts="o_ts", dim_key="c_custkey"
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "order_date",
+        F.col("seg").alias("segment_at_order"),
+    )
+
+
+@register(
+    "snapshot_diff_customers",
+    """
+    WITH oldv AS (SELECT c_custkey, c_mktsegment, c_acctbal
+                  FROM customer),
+    newv AS (
+        SELECT c_custkey, 
+               CASE WHEN c_custkey % 7 = 0 THEN 'RESEGMENTED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_acctbal
+        FROM customer WHERE c_custkey % 13 != 0
+        UNION ALL
+        SELECT c_custkey + 10000000, c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_mktsegment != n.c_mktsegment
+                     OR o.c_acctbal != n.c_acctbal THEN 'changed'
+           END AS change_type
+    FROM oldv o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey
+    WHERE (o.c_custkey IS NULL OR n.c_custkey IS NULL
+           OR o.c_mktsegment != n.c_mktsegment
+           OR o.c_acctbal != n.c_acctbal)
+    """,
+)
+def q_snapshot_diff_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot diff (operators/diff.py): classify keys as added /
+    removed / changed between two table versions (the daily-load audit
+    report). The new snapshot is a deterministic mutation of the old
+    (every 13th key dropped, every 7th resegmented, every 17th
+    re-keyed in as an addition); the oracle replays the FULL OUTER
+    classification with direct attribute compares, proving the md5
+    row-hash decides exactly like column equality. One key shuffle;
+    unchanged keys never leave the join."""
+    from taxi_trips_etl_spark.operators.diff import snapshot_diff
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_mktsegment", "c_acctbal")
+    new = (
+        old.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, "RESEGMENTED")
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+            "c_acctbal",
+        )
+        .unionByName(
+            old.filter(F.col("c_custkey") % 17 == 0).select(
+                (F.col("c_custkey") + 10000000).alias("c_custkey"),
+                "c_mktsegment",
+                "c_acctbal",
+            )
+        )
+    )
+    return snapshot_diff(
+        old, new, key="c_custkey", attrs=["c_mktsegment", "c_acctbal"]
+    )

@@ -223,3 +223,61 @@ def test_bfs_hops_respects_round_bound(spark):
         for r in bfs_hops(chain, source_node=1, rounds=3).collect()
     }
     assert got == {(1, 0), (2, 1), (3, 2), (4, 3)}  # cut at 3 hops
+
+
+def test_pit_join_picks_version_valid_at_fact_time(spark):
+    from taxi_trips_etl_spark.operators.scd2 import pit_join
+
+    hist = spark.createDataFrame(
+        [
+            (1, "v1", "2020-01-01", "2021-01-01"),
+            (1, "v2", "2021-01-01", None),
+            (2, "only", "2020-01-01", None),
+        ],
+        "k long, seg string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "seg",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    fact = spark.createDataFrame(
+        [
+            (100, 1, "2020-06-15"),  # inside v1
+            (101, 1, "2021-01-01"),  # boundary: half-open -> v2
+            (102, 1, "2025-12-31"),  # open version
+            (103, 2, "2019-01-01"),  # before any version -> no match
+        ],
+        "fid long, fk long, ts string",
+    ).select("fid", "fk", F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        (r["fid"], r["seg"])
+        for r in pit_join(
+            fact, hist, fact_key="fk", fact_ts="ts", dim_key="k"
+        ).collect()
+    }
+    assert got == {(100, "v1"), (101, "v2"), (102, "v2")}
+
+
+def test_snapshot_diff_classification_and_null_safety(spark):
+    from taxi_trips_etl_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "a", 1.0),      # unchanged -> absent from report
+            (2, "b", 2.0),      # NULL -> value: changed (null-safe)
+            (3, "CC", 3.0),     # changed
+            (5, "e", 5.0),      # added
+        ],                       # 4 removed
+        "k long, s string, v double",
+    )
+    got = {
+        (r["k"], r["change_type"])
+        for r in snapshot_diff(old, new, key="k", attrs=["s", "v"]).collect()
+    }
+    assert got == {(2, "changed"), (3, "changed"), (4, "removed"),
+                   (5, "added")}

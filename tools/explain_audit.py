@@ -126,6 +126,9 @@ EXPECT = {
     # BFS: final dist is a checkpointed min-agg (pre-checkpoint rounds
     # invisible, same rule as kcore/fastss2).
     "graph_bfs_hops": ["Scan ExistingRDD|HashAggregate"],
+    # PIT: range predicate must ride the key hash join as residual.
+    "scd2_point_in_time_join": ["Join"],
+    "snapshot_diff_customers": ["Join"],
 }
 
 FORBID = {
@@ -267,6 +270,9 @@ FORBID = {
     "incremental_rollup_merge": ["BatchEvalPython", "Join",
                                  "CartesianProduct"],
     "graph_bfs_hops": ["BatchEvalPython", "CartesianProduct"],
+    "scd2_point_in_time_join": ["BatchEvalPython", "CartesianProduct",
+                                "BroadcastNestedLoopJoin"],
+    "snapshot_diff_customers": ["BatchEvalPython", "CartesianProduct"],
 }
 
 
