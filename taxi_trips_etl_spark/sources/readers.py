@@ -248,3 +248,38 @@ def read_avro(spark, path: str):
             "spark-avro is not bundled in this environment; add "
             "org.apache.spark:spark-avro to spark.jars.packages"
         ) from e
+
+
+def read_parquet_evolving(spark, path: str):
+    """Read a parquet table whose files were written under EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions the file
+    footers' schemas; rows from files predating a column read it as
+    NULL. The default read instead serves whichever single footer the
+    planner sampled — silently dropping newer columns — so any
+    long-lived ingest directory should read through this.
+
+    Cost note for 100 TB: schema merging reads EVERY file footer at
+    planning time; for tables with many files prefer a declared
+    schema (read_parquet with an explicit StructType) once the layout
+    stabilizes — this helper is for the ingest edge where evolution
+    is still happening.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def read_parquet_resilient(spark, path: str):
+    """Read a parquet directory TOLERATING corrupt/truncated files
+    (``ignoreCorruptFiles``): bad objects are skipped with a warning
+    instead of failing the whole scan. At 100 TB some objects WILL be
+    torn (failed multipart uploads, mid-write listings); a nightly
+    pipeline usually prefers finishing with the readable 99.99% and
+    quarantining the bad paths over dying at 3am.
+
+    Deliberately a separate entry point: silently skipping data is a
+    POLICY, not a default — correctness-critical reads (the oracle
+    harness, financial rollups) must keep the fail-fast default and
+    alert instead.
+    """
+    return (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    )

@@ -305,3 +305,30 @@ def test_avro_reader_raises_actionable_error(spark, tmp_path):
         assert "spark-avro" in str(e)
     else:  # pragma: no cover
         raise AssertionError("expected NotImplementedError")
+
+
+def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
+    from taxi_trips_etl_spark.sources.readers import read_parquet_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, s string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, s string, score double"
+    ).write.mode("append").parquet(p)
+    df = read_parquet_evolving(spark, p)
+    assert set(df.columns) == {"id", "s", "score"}
+    rows = {(r["id"], r["score"]) for r in df.collect()}
+    assert rows == {(1, None), (2, 9.5)}
+
+
+def test_read_parquet_resilient_skips_corrupt_file(spark, tmp_path):
+    from taxi_trips_etl_spark.sources.readers import read_parquet_resilient
+
+    p = tmp_path / "dirty"
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "id long"
+    ).coalesce(1).write.parquet(str(p))
+    # a torn object: parquet magic but garbage body/footer
+    (p / "part-corrupt.parquet").write_bytes(b"PAR1" + b"\x00" * 64)
+    df = read_parquet_resilient(spark, str(p))
+    assert df.count() == 10
