@@ -295,3 +295,54 @@ def bfs_hops(
             break  # fixpoint: labels are monotone, no further change
         n_prev, sum_prev = agg["n"], agg["s"]
     return dist
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source_node: int,
+    rounds: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford from ``source_node`` over a directed
+    weighted edge list (integer weights ≥ 0) → (node, dist) for nodes
+    reachable within ``rounds`` relaxations — :func:`bfs_hops` with
+    the unit increment swapped for the edge weight, same determinism
+    contract (integer min, order-independent, monotone ⇒ fixpoint
+    exit ≡ full unroll). After r rounds labels equal the true
+    shortest distance over paths of ≤ r edges — the standard
+    Bellman-Ford partial guarantee the oracle replays exactly.
+    """
+    e = edges.select(
+        F.col(src).alias("src"),
+        F.col(dst).alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).groupBy("src", "dst").agg(F.min("w").alias("w"))
+    dist = (
+        e.sparkSession.createDataFrame(
+            [(int(source_node), 0)], "node long, dist long"
+        )
+        .transform(materialize, eager=True)
+    )
+    n_prev, sum_prev = 1, 0
+    for _ in range(rounds):
+        relaxed = (
+            e.join(dist, e["src"] == dist["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            .unionByName(dist)
+            .groupBy("node")
+            .agg(F.min("dist").cast("long").alias("dist"))
+            .transform(materialize, eager=True)
+        )
+        agg = relaxed.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).collect()[0]
+        dist = relaxed
+        if (agg["n"], agg["s"]) == (n_prev, sum_prev):
+            break
+        n_prev, sum_prev = agg["n"], agg["s"]
+    return dist

@@ -505,3 +505,63 @@ def q_snapshot_diff_customers(
     return snapshot_diff(
         old, new, key="c_custkey", attrs=["c_mktsegment", "c_acctbal"]
     )
+
+
+def _sssp_oracle(rounds: int = 10) -> str:
+    head = (
+        "WITH " + _KCORE_EDGES_SQL.replace(
+            "e0 AS (SELECT a, b FROM canon UNION ALL SELECT b, a FROM canon)",
+            """wedges AS (
+        SELECT src, dst, min((src + dst) % 7 + 1) AS w
+        FROM dedges GROUP BY src, dst
+    ),
+    start AS (SELECT min(least(src, dst)) AS s FROM wedges),
+    d0 AS MATERIALIZED (SELECT (SELECT s FROM start) AS node,
+                               CAST(0 AS BIGINT) AS dist)""",
+        )
+    )
+    ctes = []
+    for r in range(1, rounds + 1):
+        ctes.append(f"""
+    d{r} AS MATERIALIZED (
+        SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+            SELECT node, dist FROM d{r - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + e.w AS dist
+            FROM d{r - 1} d JOIN wedges e ON e.src = d.node
+        ) GROUP BY node
+    )""")
+    return head + "," + ",".join(ctes) + f"""
+    SELECT node, dist FROM d{rounds}
+    """
+
+
+@register("graph_shortest_paths", _sssp_oracle(10))
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bellman-Ford from the lowest supplier node over the directed
+    transition graph with deterministic integer weights
+    ((src+dst) % 7 + 1) — graph_bfs_hops' relaxation skeleton with
+    the weight sum swapped in, exactly as its docstring promises.
+    Oracle: the 10-round unrolled relaxation (labels after r rounds =
+    shortest distance over ≤ r-edge paths, in both engines)."""
+    from taxi_trips_etl_spark.dataprep.graph import shortest_paths
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    reps = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.min("l_suppkey").alias("rep"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    edges = (
+        reps.select("rep", F.lag("rep").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
+        .select(F.col("prev").alias("src"), F.col("rep").alias("dst"))
+        .distinct()
+        .withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+    )
+    source = edges.agg(
+        F.min(F.least("src", "dst")).alias("s")
+    ).collect()[0]["s"]
+    return shortest_paths(edges, source_node=int(source), rounds=10)

@@ -281,3 +281,18 @@ def test_snapshot_diff_classification_and_null_safety(spark):
     }
     assert got == {(2, "changed"), (3, "changed"), (4, "removed"),
                    (5, "added")}
+
+
+def test_shortest_paths_prefers_cheap_detour(spark):
+    from taxi_trips_etl_spark.dataprep.graph import shortest_paths
+
+    # direct 1->3 costs 10; detour 1->2->3 costs 2+3=5
+    edges = spark.createDataFrame(
+        [(1, 3, 10), (1, 2, 2), (2, 3, 3), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    got = {
+        (r["node"], r["dist"])
+        for r in shortest_paths(edges, source_node=1, rounds=10).collect()
+    }
+    assert got == {(1, 0), (2, 2), (3, 5), (4, 6)}

@@ -129,6 +129,7 @@ EXPECT = {
     # PIT: range predicate must ride the key hash join as residual.
     "scd2_point_in_time_join": ["Join"],
     "snapshot_diff_customers": ["Join"],
+    "graph_shortest_paths": ["Scan ExistingRDD|HashAggregate"],
 }
 
 FORBID = {
@@ -273,6 +274,7 @@ FORBID = {
     "scd2_point_in_time_join": ["BatchEvalPython", "CartesianProduct",
                                 "BroadcastNestedLoopJoin"],
     "snapshot_diff_customers": ["BatchEvalPython", "CartesianProduct"],
+    "graph_shortest_paths": ["BatchEvalPython", "CartesianProduct"],
 }
 
 
