@@ -48,3 +48,34 @@ def normalization_predicate(
 def normalize_trips(trips: DataFrame) -> DataFrame:
     """P1 (``SELECT *``) + P2 (conjunctive predicate)."""
     return trips.filter(normalization_predicate())
+
+
+def observed_normalize_metrics(trips: DataFrame) -> dict:
+    """Run the normalization filter while collecting audit counters on
+    the SAME scan via the Observation API — total rows, kept,
+    rejected, and per-cause null counts ride the pass that computes
+    the business result, so a 100 TB quality dashboard costs zero
+    extra reads (the alternative — a second aggregate over the fact
+    table — doubles the scan bill).
+
+    Returns the observed metrics dict (n_total, n_kept, n_rejected,
+    n_null_passengers, n_kept_action — the last from the action
+    itself, cross-checking the observed n_kept).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("normalize_metrics")
+    flagged = trips.withColumn("__ok", normalization_predicate())
+    observed = flagged.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("__ok").cast("long")).alias("n_kept"),
+        F.sum((~F.col("__ok")).cast("long")).alias("n_rejected"),
+        F.sum(
+            F.col("passenger_count").isNull().cast("long")
+        ).alias("n_null_passengers"),
+    )
+    n_kept_action = observed.filter(F.col("__ok")).count()
+    m = dict(obs.get)
+    m["n_kept_action"] = n_kept_action
+    return m

@@ -565,3 +565,61 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.least("src", "dst")).alias("s")
     ).collect()[0]["s"]
     return shortest_paths(edges, source_node=int(source), rounds=10)
+
+
+from taxi_trips_etl_spark.queries._registry import (  # noqa: E402
+    TRIPS_SQL,
+    _norm_trips,  # noqa: F401  (documents the family this belongs to)
+)
+
+
+@register(
+    "observed_scan_metrics",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN ok THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_rejected,
+           CAST(sum(CASE WHEN passenger_count IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_passengers,
+           CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_action
+    FROM (
+        SELECT *,
+               (pickup_datetime != dropoff_datetime
+                AND passenger_count != 0 AND passenger_count IS NOT NULL
+                AND trip_distance != 0 AND trip_distance IS NOT NULL
+                AND fare_amount != 0) AS ok
+        FROM ({TRIPS_SQL})
+    )
+    """,
+)
+def q_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observation-API audit counters
+    (operators/normalize.py:observed_normalize_metrics): the
+    normalization pass emits total/kept/rejected/null-cause counts
+    from the SAME scan that computes the business result — the way a
+    100 TB pipeline affords per-run data-quality metrics (a separate
+    metrics aggregate would double the fact-table read). The action's
+    own count cross-checks the observed n_kept; the oracle recomputes
+    every counter from the raw feed."""
+    from taxi_trips_etl_spark.operators.normalize import (
+        observed_normalize_metrics,
+    )
+    from taxi_trips_etl_spark.sources.taxi_testdata import (
+        trips_from_lineitem,
+    )
+
+    trips = trips_from_lineitem(_t(spark, sf_dir, "lineitem"))
+    m = observed_normalize_metrics(trips)
+    return spark.createDataFrame(
+        [(
+            int(m["n_total"]),
+            int(m["n_kept"]),
+            int(m["n_rejected"]),
+            int(m["n_null_passengers"]),
+            int(m["n_kept_action"]),
+        )],
+        "n_total long, n_kept long, n_rejected long, "
+        "n_null_passengers long, n_kept_action long",
+    )
