@@ -215,6 +215,17 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
 
 
 _mark_verified(4, _R4_VERIFIED)
+
+# Names whose ORACLE was added/changed after their last driver check:
+# the driver's green rows for them were rows-only (or against the old
+# oracle), so the hash claim is unverified — reset them to the front
+# of the rotation. Remove from this set once a CORRECTNESS file shows
+# the hash-green row.
+_REVERIFY: frozenset[str] = frozenset({
+    # round-5 oracle conversions (were rows-only when last checked):
+    "bpe_learn_merges",       # unrolled argmax replay added
+    "hll_distinct_rollup",    # md5-register replay added
+})
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
 _mark_verified(1, (
@@ -266,7 +277,7 @@ def _rotation_order() -> list[str]:
     return sorted(
         names,
         key=lambda n: (
-            max(_VERIFIED_ROUNDS.get(n, (0,))),
+            0 if n in _REVERIFY else max(_VERIFIED_ROUNDS.get(n, (0,))),
             0 if n in _ORACLES else 1,
             names.index(n),
         ),
