@@ -129,3 +129,52 @@ def write_orc(df: DataFrame, path: str) -> None:
     """ORC sink (overwrite) — matching read_orc; columnar with the
     same min/max-stat data skipping story as parquet."""
     df.write.mode("overwrite").orc(path)
+
+
+def erase_keys_partitioned(
+    spark,
+    path: str,
+    keys_df: DataFrame,
+    key_col: str,
+    partition_col: str,
+) -> int:
+    """Targeted right-to-erasure delete on a partitioned parquet table:
+    rewrite ONLY the partitions that contain the keys, via dynamic
+    partition overwrite — every other partition's files are untouched
+    (no full-table rewrite, no tombstone format needed).
+
+    At 100 TB this is the difference between rewriting terabytes and
+    rewriting the handful of partitions a user's rows live in:
+
+      1. one partition-pruned probe finds the affected partition
+         values (an aggregate over just the key + partition columns —
+         column-pruned to the scan);
+      2. only those partitions are re-read (partition filter →
+         PartitionFilters in the scan), anti-joined against the key
+         set (broadcast — an erasure batch is small by nature);
+      3. dynamic partition overwrite replaces exactly those
+         partitions.
+
+    Returns the number of partitions rewritten. Caller owns making
+    ``keys_df`` the complete erasure batch; rerunning is idempotent.
+    """
+    table = spark.read.parquet(path)
+    keys = keys_df.select(F.col(key_col)).distinct()
+    affected = [
+        r[partition_col]
+        for r in table.join(F.broadcast(keys), key_col)
+        .select(partition_col)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    scoped = table.filter(F.col(partition_col).isin(affected))
+    cleaned = scoped.join(F.broadcast(keys), key_col, "left_anti")
+    (
+        cleaned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return len(affected)

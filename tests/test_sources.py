@@ -332,3 +332,53 @@ def test_read_parquet_resilient_skips_corrupt_file(spark, tmp_path):
     (p / "part-corrupt.parquet").write_bytes(b"PAR1" + b"\x00" * 64)
     df = read_parquet_resilient(spark, str(p))
     assert df.count() == 10
+
+
+def test_erase_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    import os
+
+    from taxi_trips_etl_spark.sources.writers import erase_keys_partitioned
+
+    p = str(tmp_path / "users")
+    rows = [(uid, f"d{uid % 4}", uid * 10) for uid in range(40)]
+    (
+        spark.createDataFrame(rows, "user_id long, day string, v long")
+        .repartition(2)
+        .write.partitionBy("day")
+        .parquet(p)
+    )
+
+    def files_by_part():
+        out = {}
+        for d in os.listdir(p):
+            if d.startswith("day="):
+                full = os.path.join(p, d)
+                out[d] = {
+                    (f, os.path.getmtime(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = files_by_part()
+    # erase users 1 and 5 -> both live in partition day=d1 only
+    keys = spark.createDataFrame([(1,), (5,)], "user_id long")
+    n = erase_keys_partitioned(
+        spark, p, keys, key_col="user_id", partition_col="day"
+    )
+    assert n == 1
+    after = files_by_part()
+    # untouched partitions keep byte-identical file sets (same mtimes)
+    for d in ("day=d0", "day=d2", "day=d3"):
+        assert after[d] == before[d], d
+    assert after["day=d1"] != before["day=d1"]
+    remaining = spark.read.parquet(p)
+    assert remaining.filter(F.col("user_id").isin(1, 5)).count() == 0
+    assert remaining.count() == 38
+    # idempotent rerun: nothing left to erase
+    assert (
+        erase_keys_partitioned(
+            spark, p, keys, key_col="user_id", partition_col="day"
+        )
+        == 0
+    )
