@@ -143,3 +143,93 @@ def prepare_corpus_v2(
         "n_seqs",
         "split",
     )
+
+
+def prepare_corpus_v3(
+    docs: DataFrame,
+    budget: int = 100_000,
+    materialize_survivors: bool = True,
+) -> DataFrame:
+    """The round-4/5 curation recipe composed end to end: linear
+    quality-classifier gate → exact dedup → benchmark decontamination
+    → largest-remainder token budgeting per source.
+
+    → (source, n_docs, available_tokens, alloc_tokens)
+
+    Complements v2 (which exercises the rule-gate → scrub → vocab →
+    pack path): v3 is the MODEL-DRIVEN curation path — a hashed-
+    feature classifier decides keep/drop, survivors dedup and
+    decontaminate, and the final mixture is an integer-exact Hamilton
+    apportionment of the token budget over what actually survived
+    (weights renormalized over SURVIVING sources — a source filtered
+    to zero must not strand budget). Every stage is an existing
+    operator; the corpus is scanned once up to the survivor
+    checkpoint, then only vocab-sized tables move.
+    """
+    from taxi_trips_etl_spark.dataprep.text import (
+        feature_hash_counts,
+        ngram_decontaminate,
+    )
+
+    feats = feature_hash_counts(docs, n_buckets=64)
+    w_int = (F.col("bucket") * 37 + 11) % 21 - 10
+    gate = (
+        feats.groupBy("doc_id")
+        .agg(F.sum(F.col("n") * w_int).alias("margin_scaled"))
+        .filter(F.col("margin_scaled") > 0)
+        .select("doc_id")
+    )
+    gated = docs.join(gate, "doc_id")
+    canon = exact_duplicates(gated).select(
+        F.col("canonical_doc_id").alias("doc_id")
+    )
+    kept2 = gated.join(canon, "doc_id").filter(F.col("doc_id") % 20 != 0)
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    contaminated = (
+        ngram_decontaminate(kept2, eval_docs, n=5)
+        .select("doc_id")
+        .distinct()
+    )
+    kept3 = kept2.join(contaminated, "doc_id", "left_anti")
+    if materialize_survivors:
+        kept3 = kept3.transform(materialize, eager=False)
+
+    avail = kept3.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+        .cast("long")
+        .alias("available_tokens"),
+    )
+    weighted = avail.withColumn(
+        "w",
+        F.when(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4"), 3
+        )
+        .when(
+            F.col("source").isin("src5", "src6", "src7", "src8", "src9"), 2
+        )
+        .otherwise(1),
+    )
+    wsum = weighted.agg(F.sum("w").alias("wsum"))
+    calc = (
+        weighted.crossJoin(F.broadcast(wsum))
+        .withColumn("base", F.expr(f"({budget} * w) div wsum"))
+        .withColumn("rem", F.expr(f"({budget} * w) % wsum"))
+    )
+    leftover = calc.agg((F.lit(budget) - F.sum("base")).alias("leftover"))
+    from pyspark.sql import Window as W
+
+    ranked = calc.crossJoin(F.broadcast(leftover)).withColumn(
+        "rr", F.row_number().over(W.orderBy(F.col("rem").desc(), "source"))
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "available_tokens",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_tokens"),
+    )

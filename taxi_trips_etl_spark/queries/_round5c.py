@@ -623,3 +623,84 @@ def q_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total long, n_kept long, n_rejected long, "
         "n_null_passengers long, n_kept_action long",
     )
+
+
+from taxi_trips_etl_spark.queries._registry import TOKS_SQL  # noqa: E402
+
+_V3_FIVE_GRAM = """
+    SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, len({toks}) - 4),
+               i -> concat_ws(' ', {toks}[i], {toks}[i+1],
+                              {toks}[i+2], {toks}[i+3], {toks}[i+4]))))
+               AS gram
+    FROM {src} WHERE len({toks}) >= 5
+"""
+
+
+@register(
+    "corpus_prepare_v3",
+    f"""
+    WITH feat AS (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                    % 64 AS BIGINT) AS bucket,
+               count(*) AS n
+        FROM (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents)
+        GROUP BY 1, 2
+    ),
+    gate AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   sum(n * ((bucket * 37 + 11) % 21 - 10)) AS m
+            FROM feat GROUP BY doc_id
+        ) WHERE m > 0
+    ),
+    g AS (SELECT d.* FROM documents d JOIN gate USING (doc_id)),
+    canon AS (SELECT min(doc_id) AS doc_id FROM g GROUP BY md5(text)),
+    k2 AS (SELECT g.* FROM g JOIN canon USING (doc_id)
+           WHERE doc_id % 20 != 0),
+    evald AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    cg AS ({_V3_FIVE_GRAM.format(toks=TOKS_SQL, src="k2")}),
+    eg AS ({_V3_FIVE_GRAM.format(toks=TOKS_SQL, src="evald")}),
+    contaminated AS (
+        SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (gram)
+        WHERE cg.doc_id != eg.doc_id
+    ),
+    k3 AS (SELECT * FROM k2
+           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    avail AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({TOKS_SQL})) AS BIGINT) AS available_tokens
+        FROM k3 GROUP BY source
+    ),
+    wts AS (
+        SELECT *, CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                       THEN 3
+                       WHEN source IN ('src5','src6','src7','src8','src9')
+                       THEN 2 ELSE 1 END AS w
+        FROM avail
+    ),
+    calc AS (
+        SELECT *, (100000 * w) // (SELECT sum(w) FROM wts) AS base,
+               (100000 * w) % (SELECT sum(w) FROM wts) AS rem
+        FROM wts
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+        FROM calc
+    )
+    SELECT source, n_docs, available_tokens,
+           CAST(base + CASE WHEN rr <= (100000 -
+                  (SELECT sum(base) FROM calc)) THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc_tokens
+    FROM ranked
+    """,
+)
+def q_corpus_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 composed pipeline (dataprep/corpus.py:prepare_corpus_v3):
+    classifier gate → exact dedup → decontamination → Hamilton token
+    budgeting over surviving sources — the MODEL-DRIVEN curation path
+    next to v2's rule-driven one, hash-matched end to end."""
+    from taxi_trips_etl_spark.dataprep.corpus import prepare_corpus_v3
+
+    return prepare_corpus_v3(_t(spark, sf_dir, "documents"))

@@ -130,6 +130,7 @@ EXPECT = {
     "scd2_point_in_time_join": ["Join"],
     "snapshot_diff_customers": ["Join"],
     "graph_shortest_paths": ["Scan ExistingRDD|HashAggregate"],
+    "corpus_prepare_v3": ["HashAggregate", "Window"],
 }
 
 FORBID = {
@@ -275,6 +276,8 @@ FORBID = {
                                 "BroadcastNestedLoopJoin"],
     "snapshot_diff_customers": ["BatchEvalPython", "CartesianProduct"],
     "graph_shortest_paths": ["BatchEvalPython", "CartesianProduct"],
+    "corpus_prepare_v3": ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct"],
 }
 
 
