@@ -704,3 +704,105 @@ def q_corpus_prepare_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.dataprep.corpus import prepare_corpus_v3
 
     return prepare_corpus_v3(_t(spark, sf_dir, "documents"))
+
+
+from taxi_trips_etl_spark.queries._dedup_sim_text import (  # noqa: E402
+    _MINHASH_BANDS_SQL,
+    _MINHASH_SIG_SQL,
+)
+from taxi_trips_etl_spark.queries._registry import GRAMS_SQL  # noqa: E402
+
+
+@register(
+    "minhash_lsh_recall",
+    f"""
+    WITH g AS (SELECT doc_id, grams, len(grams) AS n FROM ({GRAMS_SQL})
+               WHERE len(grams) > 0),
+    truth AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b FROM g a
+        JOIN g b ON a.doc_id < b.doc_id
+         AND least(a.n, b.n) >= greatest(a.n, b.n) * 0.7
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.grams, b.grams)))
+              >= 0.7
+    ),
+    shingled AS ({GRAMS_SQL}),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shingled),
+    bands AS ({_MINHASH_BANDS_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    hit AS (SELECT * FROM cand INTERSECT SELECT * FROM truth)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+           (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM truth), 4) AS recall,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM cand), 4) AS precision
+    """,
+)
+def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AND precision audit for MinHash-LSH banding (the text
+    twin of embedding_near_dup_recall): band-collision candidates vs
+    EXACT 3-gram Jaccard >= 0.7 pairs — ground truth comes from the
+    hash-verified ngram_jaccard operator (PPJoin prefix + sound
+    size-ratio bound: least(na,nb) >= 0.7*greatest(na,nb) is implied
+    by j >= 0.7), so no quadratic brute force is needed and the audit
+    runs on the FULL corpus at every sf. The banding S-curve
+    (1-(1-s^4)^4 at 4x4) becomes a measured, driver-verified number
+    instead of a formula in prose."""
+    from taxi_trips_etl_spark.dataprep.dedup import (
+        lsh_bands,
+        minhash_signature,
+        ngram_jaccard_pairs,
+    )
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, threshold=0.7).select(
+        "doc_id_a", "doc_id_b"
+    )
+    bands = lsh_bands(minhash_signature(docs))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    truth = materialize(truth, eager=True)
+    cand = materialize(cand, eager=True)
+    hit = cand.join(truth, ["doc_id_a", "doc_id_b"])
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_true").cast("double"),
+                4,
+            ).alias("recall"),
+            F.round(
+                F.col("n_hit").cast("double")
+                / F.col("n_cand").cast("double"),
+                4,
+            ).alias("precision"),
+        )
+    )
