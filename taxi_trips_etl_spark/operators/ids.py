@@ -1,0 +1,64 @@
+"""Stable global row ids without a single-reducer sort.
+
+``row_number() OVER (ORDER BY …)`` — the obvious way to mint dense ids —
+funnels the entire table through ONE partition (Spark plans a global
+sort into a single-task window). At 100 TB that task never finishes.
+The scalable equivalent is the classic two-pass rank:
+
+1. range-partition on the order key (parallel sort, each partition owns
+   a contiguous key range);
+2. rank locally inside each partition;
+3. add each partition's exclusive prefix offset (one tiny aggregate over
+   n_partitions rows, broadcast back).
+
+The result equals the global ``row_number`` EXACTLY — every partition's
+keys all sort before the next partition's keys, so global rank = local
+rank + preceding-partition count — provided the order key is unique
+(range partitioning keeps equal keys together, but a non-unique key
+would leave tie order partition-dependent; callers must pass a
+tie-breaking unique suffix, same rule the registry applies before any
+LIMIT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """→ ``df`` + ``id_col`` = 1-based dense rank by ``order_cols``.
+
+    ``order_cols`` must be a unique key (see module docstring). The
+    prefix-offset frame is n_partitions rows — its window sort is
+    driver-trivial and the join back is a broadcast.
+    """
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lrk",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+    )
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(id_col, (F.col("__off") + F.col("__lrk")).cast("long"))
+        .drop("__pid", "__lrk", "__off")
+    )
