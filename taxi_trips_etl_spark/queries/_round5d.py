@@ -20,6 +20,7 @@ __all__ = [
     "q_global_ids_orders",
     "q_k_anonymity_audit",
     "q_dp_noisy_counts",
+    "q_interpolate_user_daily",
 ]
 
 
@@ -127,3 +128,82 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return dp_noisy_counts(ev, ["event_type"], epsilon=1.0, salt="dp")
+
+
+@register(
+    "interpolate_user_daily",
+    """
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / count(*) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+    spine AS (
+        SELECT u.user_id,
+               unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM (SELECT DISTINCT user_id FROM daily) u CROSS JOIN bounds
+    ),
+    j AS (
+        SELECT s.user_id, s.day,
+               CAST(s.day - DATE '1970-01-01' AS BIGINT) AS t, d.v
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.day = s.day
+    ),
+    anch AS (
+        SELECT user_id, day, t, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER wp AS pt,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                   OVER wn AS nt
+        FROM j
+        WINDOW wp AS (PARTITION BY user_id ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wn AS (PARTITION BY user_id ORDER BY t
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NOT NULL AND nv IS NOT NULL
+                      THEN pv + (CAST(t - pt AS DOUBLE)
+                                 / CAST(nt - pt AS DOUBLE)) * (nv - pv)
+                      WHEN pv IS NOT NULL THEN pv
+                      ELSE nv END, 4) AS v_filled,
+           CAST(v IS NULL AS BIGINT) AS was_gap
+    FROM anch
+    """,
+)
+def q_interpolate_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily mean event value (exact integer cents / count)
+    densified onto a (user x day) spine and LINEARLY interpolated
+    across gap days (operators/resample.py) — the trajectory
+    counterpart to forward_fill_gaps' last-known-state fill. Edge gaps
+    extrapolate flat from the nearest anchor."""
+    from taxi_trips_etl_spark.operators.resample import (
+        daily_spine,
+        interpolate_gaps,
+    )
+
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("v")
+    )
+    spine = daily_spine(daily, ["user_id"], "day")
+    j = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "t", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date")).cast("long")
+    )
+    out = interpolate_gaps(j, ["user_id"], "t", "v")
+    return out.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "v_filled",
+        "was_gap",
+    )
