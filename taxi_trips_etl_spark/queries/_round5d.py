@@ -21,6 +21,7 @@ __all__ = [
     "q_k_anonymity_audit",
     "q_dp_noisy_counts",
     "q_interpolate_user_daily",
+    "q_duplicated_substring_spans",
 ]
 
 
@@ -207,3 +208,65 @@ def q_interpolate_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_filled",
         "was_gap",
     )
+
+
+@register(
+    "duplicated_substring_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ts
+        FROM documents
+    ),
+    posts AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(ts[i : i + 7], ' ')) AS h
+        FROM toks, LATERAL unnest(generate_series(1, len(ts) - 7)) AS t(i)
+        WHERE len(ts) >= 8
+    ),
+    capped AS (
+        SELECT doc_id, pos, h FROM
+            (SELECT *, count(*) OVER (PARTITION BY h) AS n FROM posts)
+        WHERE n <= 20
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, b.pos AS pos_b, a.pos - b.pos AS diag
+        FROM capped a JOIN capped b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT *, CASE WHEN pos_a - lag(pos_a) OVER w = 1 THEN 0 ELSE 1
+                  END AS brk
+        FROM pairs
+        WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+    ),
+    isl AS (
+        SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag
+                                 ORDER BY pos_a ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND CURRENT ROW) AS island
+        FROM runs
+    ),
+    spans AS (
+        SELECT doc_a, doc_b, diag, island,
+               min(pos_a) AS a_start, max(pos_a) AS a_end,
+               min(pos_b) AS b_start
+        FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(a_end - a_start + 8 AS BIGINT) AS span_tokens
+    FROM spans WHERE a_end - a_start + 8 >= 12
+    """,
+)
+def q_duplicated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated token spans (>= 12 tokens under an
+    8-token sliding window) with start offsets in BOTH docs — the
+    attribution-level output of Lee et al.'s suffix-array dedup pass,
+    recomposed as postings-join + diagonal gaps-and-islands
+    (dataprep/substring.py). Hot windows are capped at 20 postings
+    deterministically, so Spark and the oracle drop the same
+    boilerplate."""
+    from taxi_trips_etl_spark.dataprep.substring import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, w=8, min_len=12, max_postings=20)
