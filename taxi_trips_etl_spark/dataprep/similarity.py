@@ -856,3 +856,61 @@ def standardize_dims(
             6,
         ).alias("z"),
     )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for EVERY vector, the
+    k most-cosine-similar vectors carrying a DIFFERENT label — the
+    near-miss negatives that make embedding training hard (easy
+    negatives are plentiful and useless; the informative ones sit just
+    across the decision boundary).
+
+    Output: (query_id, neighbor_id, cosine, hn_rank), rank by score
+    desc with neighbor-id tiebreak.
+
+    Shape: exact brute force over the label-excluded cross join — right
+    for the corpus-sized label spaces this registry entry runs on. At
+    100 TB embeddings, put the IVF prefilter in front (ivf_topk's
+    coarse quantizer, probing only foreign-label clusters) and keep
+    this exact scorer as the rerank stage; the hot-path discipline
+    here (repartitioned probe side, JVM fold for the dot product, one
+    window for the top-k) is shared with embedding_near_dup_recall.
+    """
+    q = embeddings.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = (
+        q.repartition("query_id")
+        .join(F.broadcast(c), F.col("q_label") != F.col("c_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("hn_rank").cast("long").alias("hn_rank"),
+        )
+    )

@@ -22,6 +22,7 @@ __all__ = [
     "q_dp_noisy_counts",
     "q_interpolate_user_daily",
     "q_duplicated_substring_spans",
+    "q_hard_negative_mining",
 ]
 
 
@@ -270,3 +271,37 @@ def q_duplicated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return duplicated_spans(docs, w=8, min_len=12, max_postings=20)
+
+
+def _hard_negative_oracle() -> str:
+    from taxi_trips_etl_spark.queries._dedup_sim_text import _COS_SQL
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+               FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS_SQL} AS cos
+        FROM e a JOIN e b ON a.label != b.label
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS r
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(r AS BIGINT) AS hn_rank
+    FROM ranked WHERE r <= 2
+    """
+
+
+@register("hard_negative_mining", _hard_negative_oracle())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 cross-label nearest neighbors per embedding — the
+    contrastive hard negatives (dataprep/similarity.py:
+    hard_negative_topk). Exact at registry scale; the 100 TB path
+    fronts it with the IVF coarse quantizer per the docstring."""
+    from taxi_trips_etl_spark.dataprep.similarity import hard_negative_topk
+
+    return hard_negative_topk(_t(spark, sf_dir, "embeddings"), k=2)
