@@ -9,7 +9,7 @@ extreme cardinality), then unpivots to one row per column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -278,3 +278,85 @@ def hll_portable_oracle_sql(
            registers_set, n_partials_merged
     FROM per_key JOIN n_partials USING (k)
     """
+
+
+# --- mergeable histogram quantiles ---------------------------------------
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    n_bins: int = 128,
+) -> DataFrame:
+    """Approximate quantiles from a fixed equi-width histogram — the
+    MERGEABLE alternative to an exact sort: bin counts are persistable
+    partials that add across partitions/days (same rollup dataflow as
+    the HLL registers), and any quantile is answered from the B-row
+    histogram without re-reading data. Exact percentiles
+    (percentiles_exact) re-shuffle raw values per question; this is
+    two narrow aggregates total, error bounded by bin width
+    (range/n_bins).
+
+    Estimator: linear interpolation inside the first bin whose
+    cumulative count reaches q·n (the textbook grouped-data quantile).
+    → (quantile, estimate), deterministic, engine-replayable.
+    """
+    bounds = df.agg(
+        F.min(F.col(value_col).cast("double")).alias("lo"),
+        F.max(F.col(value_col).cast("double")).alias("hi"),
+        F.count(value_col).cast("double").alias("n"),
+    )
+    binned = (
+        df.select(F.col(value_col).cast("double").alias("x"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor(
+                    (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))
+                    * n_bins
+                ),
+            )
+            .cast("long")
+            .alias("bin")
+        )
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_cum)).withColumn(
+        "cum_prev", F.col("cum") - F.col("c")
+    )
+    qs = F.explode(
+        F.array(*[F.lit(float(q)) for q in quantiles])
+    ).alias("quantile")
+    targets = cum.crossJoin(F.broadcast(bounds.select("lo", "hi", "n"))).select(
+        "bin", "c", "cum", "cum_prev", "lo", "hi", "n", qs
+    )
+    # first bin whose cum reaches q*n; rank to keep exactly one
+    hit = targets.filter(F.col("cum") >= F.col("quantile") * F.col("n"))
+    w_first = Window.partitionBy("quantile").orderBy("bin")
+    return (
+        hit.withColumn("rk", F.row_number().over(w_first))
+        .filter(F.col("rk") == 1)
+        .select(
+            "quantile",
+            F.round(
+                F.col("lo")
+                + (
+                    F.col("bin").cast("double")
+                    + (
+                        (F.col("quantile") * F.col("n") - F.col("cum_prev"))
+                        / F.col("c")
+                    )
+                )
+                * ((F.col("hi") - F.col("lo")) / F.lit(float(n_bins))),
+                4,
+            ).alias("estimate"),
+        )
+    )

@@ -161,3 +161,61 @@ def weighted_priority_sample(
         .orderBy("priority_key", key)
         .limit(k)
     )
+
+
+def temperature_mixture_weights(
+    docs, source_col: str = "source", text_col: str = "text",
+    alpha: float = 0.7, budget_docs: int = 10000,
+):
+    """Temperature-based source mixing (the multilingual-LM standard,
+    e.g. mBERT/XLM-R exponentiated sampling): sampling weight per
+    source ∝ (token share)^alpha, alpha<1 flattening the head so
+    low-resource sources are up-sampled relative to their raw share.
+
+    → (source, n_docs, n_tokens, raw_share, weight, expected_docs):
+    ``weight`` sums to 1, ``expected_docs`` = weight × budget_docs.
+
+    One token-count aggregate (map-side combinable) + a broadcast
+    1-row total — the n_sources-row result is driver-sized at any
+    corpus scale. pow/ln run on identical operands in the DuckDB
+    replay; outputs round to 4/6 per the registry portability rules.
+    """
+    from pyspark.sql import functions as F
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).cast("long").alias("n_tokens"),
+    )
+    # pow() results are quantized to integer micro-units BEFORE the
+    # cross-source sum: a float sum's value depends on addition order
+    # (partition race), while integer sums are exact and
+    # order-independent — the same reason the registry sums money as
+    # cents. The 1e-6 quantization is part of the operator's spec.
+    pw = F.round(
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) * 1e6
+    ).cast("long")
+    per = per.withColumn("pw", pw)
+    tot = per.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.sum("pw").cast("double").alias("tot_pw"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tot_tokens"), 6
+            ).alias("raw_share"),
+            F.round(
+                F.col("pw").cast("double") / F.col("tot_pw"), 6
+            ).alias("weight"),
+            F.round(
+                F.col("pw").cast("double") / F.col("tot_pw") * budget_docs,
+                4,
+            ).alias("expected_docs"),
+        )
+    )

@@ -23,6 +23,8 @@ __all__ = [
     "q_interpolate_user_daily",
     "q_duplicated_substring_spans",
     "q_hard_negative_mining",
+    "q_temperature_mixture_weights",
+    "q_histogram_quantile_estimate",
 ]
 
 
@@ -305,3 +307,101 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.dataprep.similarity import hard_negative_topk
 
     return hard_negative_topk(_t(spark, sf_dir, "embeddings"), k=2)
+
+
+@register(
+    "temperature_mixture_weights",
+    """
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    pw AS (
+        SELECT *, CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.7) * 1e6)
+                       AS BIGINT) AS p
+        FROM per
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+                   CAST(sum(p) AS DOUBLE) AS tot_p
+            FROM pw)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS raw_share,
+           round(CAST(p AS DOUBLE) / tot_p, 6) AS weight,
+           round(CAST(p AS DOUBLE) / tot_p * 10000, 4) AS expected_docs
+    FROM pw CROSS JOIN tot
+    """,
+)
+def q_temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentiated (temperature alpha=0.7) source-mixing weights over
+    token shares — the multilingual-LM up-sampling rule for
+    low-resource sources (dataprep/sampling.py:
+    temperature_mixture_weights). pow() partials quantize to integer
+    micro-units before the cross-source sum so the result is
+    addition-order-independent."""
+    from taxi_trips_etl_spark.dataprep.sampling import (
+        temperature_mixture_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_weights(
+        docs, alpha=0.7, budget_docs=10000
+    )
+
+
+@register(
+    "histogram_quantile_estimate",
+    """
+    WITH b AS (
+        SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+               CAST(max(l_extendedprice) AS DOUBLE) AS hi,
+               CAST(count(l_extendedprice) AS DOUBLE) AS n
+        FROM lineitem
+    ),
+    binned AS (
+        SELECT least(127, CAST(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                                     / (hi - lo) * 128) AS BIGINT)) AS bin
+        FROM lineitem CROSS JOIN b
+    ),
+    hist AS (
+        SELECT bin, CAST(count(*) AS DOUBLE) AS c FROM binned GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, c,
+               sum(c) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    t AS (
+        SELECT q.quantile, bin, c, cum, cum - c AS cum_prev, lo, hi, n
+        FROM cum
+        CROSS JOIN (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+                             AS DOUBLE) AS quantile) q
+        CROSS JOIN b
+        WHERE cum >= q.quantile * n
+    ),
+    first_hit AS (
+        SELECT * FROM
+            (SELECT *, row_number() OVER (PARTITION BY quantile
+                                          ORDER BY bin) AS rk
+             FROM t)
+        WHERE rk = 1
+    )
+    SELECT quantile,
+           round(lo + (CAST(bin AS DOUBLE)
+                       + (quantile * n - cum_prev) / c)
+                      * ((hi - lo) / 128.0), 4) AS estimate
+    FROM first_hit
+    """,
+)
+def q_histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-data quantile estimates from a 128-bin equi-width
+    histogram (dataprep/profile.py:histogram_quantiles) — the MERGEABLE
+    quantile path: bin counts are persistable partials that sum across
+    partitions/days, so any quantile is answered without re-shuffling
+    raw values the way percentiles_exact must."""
+    from taxi_trips_etl_spark.dataprep.profile import histogram_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return histogram_quantiles(li, "l_extendedprice")
