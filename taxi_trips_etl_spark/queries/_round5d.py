@@ -25,6 +25,7 @@ __all__ = [
     "q_hard_negative_mining",
     "q_temperature_mixture_weights",
     "q_histogram_quantile_estimate",
+    "q_pca_power_projection",
 ]
 
 
@@ -405,3 +406,26 @@ def q_histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
 
     li = _t(spark, sf_dir, "lineitem")
     return histogram_quantiles(li, "l_extendedprice")
+
+
+def _pca_power_oracle() -> str:
+    from taxi_trips_etl_spark.dataprep.pca_power import (
+        power_iteration_oracle_sql,
+    )
+
+    return power_iteration_oracle_sql(dim=64, iterations=12)
+
+
+@register("pca_power_projection", _pca_power_oracle())
+def q_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection via INTEGER-exact power
+    iteration (dataprep/pca_power.py) — the oracle-replayable
+    counterpart to the rows-only eigh-based embedding_pca_project:
+    quantized int64 moments (order-free sums), integer iteration
+    state, engine-matched half-away rounding. DuckDB replays the whole
+    trajectory through a recursive CTE and hash-matches bit-exactly."""
+    from taxi_trips_etl_spark.dataprep.pca_power import power_iteration_pc1
+
+    return power_iteration_pc1(
+        _t(spark, sf_dir, "embeddings"), iterations=12
+    )
