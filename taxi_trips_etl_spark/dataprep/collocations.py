@@ -121,3 +121,91 @@ def vocab_top_p(
         (F.col("cum_cnt") - F.col("cnt")) * p_den
         < p_num * F.col("n_tokens")
     ).select("word", "cnt", "rnk", "cum_cnt")
+
+
+def skipgram_cooccurrence(
+    docs: DataFrame,
+    text: str = "text",
+    max_offset: int = 3,
+    top_pairs: int = 100,
+) -> DataFrame:
+    """Word2vec-style positional co-occurrence: for every token, the
+    tokens up to ``max_offset`` positions AHEAD of it, weighted by
+    harmonic distance (the word2vec window-sampling expectation 1/d).
+    Weights are kept exact by scaling to the LCM: w6 = 6/d ∈ {6, 3, 2},
+    so the aggregate is an integer sum and the ranking never compares
+    floats. Directional (center → following context), which is what a
+    skip-gram co-occurrence matrix builder consumes; symmetrize by
+    adding the transpose downstream if needed.
+
+    → top ``top_pairs`` rows (w1, w2, pair_n, w6_sum) by weighted count
+    (row_number on (w6_sum desc, w1, w2) — exactly ``top_pairs`` rows).
+
+    Scale shape: offsets are generated per document from the token
+    array (3 slices of the SAME materialized array — tokens_table puts
+    an Exchange under the split so it evaluates once); one shuffle on
+    (w1, w2) with map-side combine; the final cut is a global
+    TakeOrderedAndProject over the vocab²-bounded aggregate.
+    """
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    weights = {1: 6, 2: 3, 3: 2}
+    offset_arrays = [
+        F.when(
+            F.size("toks") > off,
+            F.expr(
+                f"transform(sequence(1, size(toks) - {off}), "
+                f"i -> struct(element_at(toks, i) AS w1, "
+                f"element_at(toks, i + {off}) AS w2, "
+                f"CAST({weights[off]} AS BIGINT) AS w6))"
+            ),
+        ).otherwise(F.expr("array()"))
+        for off in range(1, max_offset + 1)
+    ]
+    pairs = (
+        tokens_table(docs, text)
+        .select(F.explode(F.flatten(F.array(*offset_arrays))).alias("p"))
+        .select("p.w1", "p.w2", "p.w6")
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pair_n"),
+            F.sum("w6").cast("long").alias("w6_sum"),
+        )
+    )
+    # Global top-N as TakeOrderedAndProject (per-partition heaps) —
+    # a single-partition row_number window here would funnel the whole
+    # vocab² aggregate through one task. The sort key (w6_sum, w1, w2)
+    # is unique per row, so limit ≡ the oracle's row_number cut.
+    return pairs.orderBy(F.col("w6_sum").desc(), "w1", "w2").limit(
+        top_pairs
+    )
+
+
+def skipgram_oracle_sql(toks_sql: str, max_offset: int = 3,
+                        top_pairs: int = 100) -> str:
+    """DuckDB twin of :func:`skipgram_cooccurrence` — same offsets,
+    same integer 6/d weights, same row_number cut."""
+    weights = {1: 6, 2: 3, 3: 2}
+    branches = "\n        UNION ALL\n".join(
+        f"""
+        SELECT pr[1] AS w1, pr[2] AS w2, CAST({weights[off]} AS BIGINT) AS w6
+        FROM (SELECT unnest(list_transform(
+                  generate_series(1, len(t) - {off}),
+                  i -> [t[i], t[i + {off}]])) AS pr
+              FROM (SELECT {toks_sql} AS t FROM documents
+                    WHERE len({toks_sql}) > {off}))
+        """
+        for off in range(1, max_offset + 1)
+    )
+    return f"""
+    WITH pairs AS ({branches}),
+    agg AS (
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS pair_n,
+               CAST(sum(w6) AS BIGINT) AS w6_sum
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT w1, w2, pair_n, w6_sum FROM (
+        SELECT *, row_number() OVER (ORDER BY w6_sum DESC, w1, w2) AS rk
+        FROM agg)
+    WHERE rk <= {top_pairs}
+    """

@@ -914,3 +914,152 @@ def hard_negative_topk(
             F.col("hn_rank").cast("long").alias("hn_rank"),
         )
     )
+
+
+def truncation_recall(
+    embeddings: DataFrame,
+    dims: tuple[int, ...] = (16, 32),
+    k: int = 10,
+    query_ids_below: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimension-truncation audit: recall@k of
+    brute-force cosine top-k computed on only the FIRST ``d`` vector
+    components, against full-dimension truth — the measurement that
+    decides how far a 100 TB index can shrink its vectors before ANN
+    quality pays. (MRL-trained embedding families order information
+    by prefix, so prefix truncation is the deployment-relevant cut.)
+
+    → (dim, query_id, hits, recall_at_k) per probe query and
+    truncation width; hits is the exact integer overlap, recall one
+    IEEE division by the literal k.
+
+    Scale shape: like ``ann_recall_at_k`` this is the AUDIT path —
+    exact scoring over a bounded probe set (queries broadcast against
+    the corpus, one pass per dim + truth); the production path serves
+    the truncated vectors from IVF/LSH. Joins after scoring touch only
+    probe×k rows.
+    """
+    q = embeddings.filter(F.col(id_col) < query_ids_below).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    pairs = F.broadcast(q).join(
+        c, F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_cos").desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = _topk(
+        pairs.select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+        )
+    )
+    per_dim = []
+    for d in dims:
+        approx = _topk(
+            pairs.select(
+                "query_id",
+                "neighbor_id",
+                cosine(
+                    F.slice(F.col("q_vec"), 1, d),
+                    F.slice(F.col("c_vec"), 1, d),
+                ).alias("_cos"),
+            )
+        )
+        hits = (
+            approx.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+        )
+        per_dim.append(
+            # Left join against the probe set so a query with ZERO
+            # overlap still emits a row (hits = 0, not absence).
+            q.select("query_id")
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "query_id",
+                F.coalesce(F.col("hits"), F.lit(0))
+                .cast("long")
+                .alias("hits"),
+            )
+        )
+    out = per_dim[0]
+    for extra in per_dim[1:]:
+        out = out.unionByName(extra)
+    return out.withColumn(
+        "recall_at_k",
+        F.col("hits").cast("double") / F.lit(float(k)),
+    ).orderBy("dim", "query_id")
+
+
+def truncation_recall_oracle_sql(
+    dims: tuple[int, ...] = (16, 32),
+    k: int = 10,
+    query_ids_below: int = 20,
+) -> str:
+    """DuckDB twin of :func:`truncation_recall` — same prefix slices,
+    same list_sum cosine (proven bit-compatible with the Spark
+    zip_with fold by similarity_cosine_topk), same row_number cut."""
+
+    def cos(width: str) -> str:
+        return f"""
+        list_sum(list_transform(generate_series(1, {width}),
+                                i -> a.emb[i] * b.emb[i]))
+        / (sqrt(list_sum(list_transform(generate_series(1, {width}),
+                                        i -> a.emb[i] * a.emb[i])))
+           * sqrt(list_sum(list_transform(generate_series(1, {width}),
+                                          i -> b.emb[i] * b.emb[i]))))
+        """
+
+    def topk(width: str, name: str) -> str:
+        return f"""
+    {name} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {cos(width)} DESC, b.vec_id) AS rk
+            FROM e a JOIN e b ON a.vec_id != b.vec_id
+            WHERE a.vec_id < {query_ids_below})
+        WHERE rk <= {k}
+    )"""
+
+    dim_blocks = ",".join(topk(str(d), f"ap_{d}") for d in dims)
+    dim_selects = "\n    UNION ALL\n".join(
+        f"""
+    SELECT CAST({d} AS BIGINT) AS dim, q.query_id,
+           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits
+    FROM (SELECT DISTINCT vec_id AS query_id FROM e
+          WHERE vec_id < {query_ids_below}) q
+    LEFT JOIN (SELECT a.query_id, count(*) AS hits
+               FROM ap_{d} a JOIN truth t
+                 ON t.query_id = a.query_id
+                AND t.neighbor_id = a.neighbor_id
+               GROUP BY a.query_id) h USING (query_id)
+        """
+        for d in dims
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    {topk("len(a.emb)", "truth")},
+    {dim_blocks}
+    SELECT dim, query_id, hits,
+           CAST(hits AS DOUBLE) / {float(k)} AS recall_at_k
+    FROM ({dim_selects})
+    """

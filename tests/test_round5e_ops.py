@@ -1,0 +1,234 @@
+"""Property tests for the round-5e batch: CMS, Kneser-Ney, sparse
+TF-IDF cosine, skip-gram co-occurrence, truncation recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- Count-Min sketch -----------------------------------------------------
+
+
+def test_cms_estimate_never_undercounts(spark, sf_dir):
+    from taxi_trips_etl_spark.dataprep.cms import cms_token_estimates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = cms_token_estimates(docs, probe_top_n=20).collect()
+    assert len(rows) == 20
+    assert all(r.cms_cnt >= r.exact_cnt for r in rows)
+
+
+def test_cms_registers_bounded_and_mass_preserving(spark):
+    from taxi_trips_etl_spark.dataprep.cms import (
+        DEPTH,
+        WIDTH,
+        cms_registers,
+    )
+
+    docs = _docs(
+        spark, [(i, "a b c a b a") for i in range(10)]
+    ).select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    regs = cms_registers(docs, "word").collect()
+    assert len(regs) <= DEPTH * WIDTH
+    assert all(0 <= r.col_idx < WIDTH for r in regs)
+    # Every hash row holds the full stream mass (60 tokens x depth).
+    total = sum(r.reg_cnt for r in regs)
+    assert total == 60 * DEPTH
+
+
+def test_cms_partials_merge_cellwise(spark):
+    """Register tables built on two halves ADD to the whole-corpus
+    table — the mergeability contract that makes the sketch a rollup."""
+    from taxi_trips_etl_spark.dataprep.cms import cms_registers
+
+    words = [(i, w) for i in range(40) for w in f"tok{i % 7} filler".split()]
+    df = spark.createDataFrame(words, "doc_id long, word string")
+    whole = {
+        (r.row_idx, r.col_idx): r.reg_cnt
+        for r in cms_registers(df, "word").collect()
+    }
+    lo = cms_registers(df.filter("doc_id < 20"), "word").collect()
+    hi = cms_registers(df.filter("doc_id >= 20"), "word").collect()
+    merged: dict = {}
+    for r in [*lo, *hi]:
+        key = (r.row_idx, r.col_idx)
+        merged[key] = merged.get(key, 0) + r.reg_cnt
+    assert merged == whole
+
+
+# --- Kneser-Ney -----------------------------------------------------------
+
+
+def test_kneser_ney_matches_pure_python(spark):
+    from taxi_trips_etl_spark.dataprep.lm import kneser_ney_bigram_topk
+
+    corpus = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "a cat and a dog"),
+    ]
+    got = {
+        (r.head, r.next_word): (r.pair_n, r.p_kn)
+        for r in kneser_ney_bigram_topk(
+            _docs(spark, corpus), heads=5, next_per_head=2
+        ).collect()
+    }
+
+    # Pure-python reference with the same D = 3/4 integer form.
+    bg: dict = {}
+    for _, text in corpus:
+        toks = text.lower().split()
+        for w1, w2 in zip(toks, toks[1:]):
+            bg[(w1, w2)] = bg.get((w1, w2), 0) + 1
+    c1: dict = {}
+    n1p: dict = {}
+    npred: dict = {}
+    for (w1, w2), c in bg.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1p[w1] = n1p.get(w1, 0) + 1
+        npred[w2] = npred.get(w2, 0) + 1
+    b_types = len(bg)
+    heads = sorted(c1, key=lambda w: (-c1[w], w))[:5]
+    expect = {}
+    for h in heads:
+        succ = [(w2, c) for (w1, w2), c in bg.items() if w1 == h]
+        scored = sorted(
+            succ,
+            key=lambda wc: (
+                -((4 * wc[1] - 3) * b_types + 3 * n1p[h] * npred[wc[0]]),
+                wc[0],
+            ),
+        )[:2]
+        for w2, c in scored:
+            num = (4 * c - 3) * b_types + 3 * n1p[h] * npred[w2]
+            expect[(h, w2)] = (c, num / (4 * c1[h] * b_types))
+    assert got == expect
+    # Smoothed probabilities are proper: in (0, 1].
+    assert all(0.0 < p <= 1.0 for _, p in got.values())
+
+
+def test_kneser_ney_full_distribution_sums_to_one(spark):
+    """With next_per_head = vocab the per-head distribution must sum
+    to exactly 1 over OBSERVED successors' formula + the discount mass
+    assigned to unseen ones; check the observed part stays < 1."""
+    from taxi_trips_etl_spark.dataprep.lm import kneser_ney_bigram_topk
+
+    rows = kneser_ney_bigram_topk(
+        _docs(spark, [(0, "x y x z x y")]), heads=1, next_per_head=100
+    ).collect()
+    total = sum(r.p_kn for r in rows)
+    # x -> {y: 2, z: 1}; the interpolation term spreads continuation
+    # mass over observed types only here, so the sum is exactly 1.
+    assert math.isclose(total, 1.0, rel_tol=1e-12)
+
+
+# --- sparse TF-IDF cosine -------------------------------------------------
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    from taxi_trips_etl_spark.dataprep.sparse_sim import tfidf_cosine_pairs
+
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma"),
+            (1, "alpha beta gamma"),
+            (2, "delta epsilon zeta"),
+            *[(i, f"unique{i} filler{i}") for i in range(3, 40)],
+        ],
+    )
+    rows = tfidf_cosine_pairs(
+        docs, max_df_frac=0.25, min_cosine=0.5
+    ).collect()
+    pairs = {(r.doc_id_a, r.doc_id_b): r.cosine for r in rows}
+    assert pytest.approx(pairs[(0, 1)], abs=1e-9) == 1.0
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+    assert all(0.0 <= c <= 1.0 + 1e-12 for c in pairs.values())
+
+
+def test_tfidf_df_prune_drops_stopwords(spark):
+    from taxi_trips_etl_spark.dataprep.sparse_sim import tfidf_milli_vectors
+
+    docs = _docs(spark, [(i, f"the word{i}") for i in range(20)])
+    vec = tfidf_milli_vectors(docs, max_df_frac=0.10)
+    words = {r.word for r in vec.select("word").distinct().collect()}
+    assert "the" not in words  # df = 20 > 2 = cap
+    assert "word0" in words
+
+
+# --- skip-gram co-occurrence ----------------------------------------------
+
+
+def test_skipgram_weights_and_offsets(spark):
+    from taxi_trips_etl_spark.dataprep.collocations import (
+        skipgram_cooccurrence,
+    )
+
+    rows = skipgram_cooccurrence(
+        _docs(spark, [(0, "a b c d")]), max_offset=3, top_pairs=100
+    ).collect()
+    got = {(r.w1, r.w2): (r.pair_n, r.w6_sum) for r in rows}
+    assert got == {
+        ("a", "b"): (1, 6),
+        ("b", "c"): (1, 6),
+        ("c", "d"): (1, 6),
+        ("a", "c"): (1, 3),
+        ("b", "d"): (1, 3),
+        ("a", "d"): (1, 2),
+    }
+
+
+def test_skipgram_short_docs_no_pairs(spark):
+    from taxi_trips_etl_spark.dataprep.collocations import (
+        skipgram_cooccurrence,
+    )
+
+    assert (
+        skipgram_cooccurrence(
+            _docs(spark, [(0, "solo")]), max_offset=3
+        ).count()
+        == 0
+    )
+
+
+# --- truncation recall ----------------------------------------------------
+
+
+def test_truncation_recall_full_width_is_perfect(spark, sf_dir):
+    from taxi_trips_etl_spark.dataprep.similarity import truncation_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = truncation_recall(
+        emb, dims=(64,), k=5, query_ids_below=5
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.hits == 5 and r.recall_at_k == 1.0 for r in rows)
+
+
+def test_truncation_recall_monotone_dims(spark, sf_dir):
+    """Wider prefixes should not do worse on average — the Matryoshka
+    premise, checked as a mean over probes (individual queries may
+    flip)."""
+    from taxi_trips_etl_spark.dataprep.similarity import truncation_recall
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = truncation_recall(
+        emb, dims=(8, 32), k=10, query_ids_below=10
+    ).collect()
+    mean = {}
+    for d in (8, 32):
+        rs = [r.recall_at_k for r in rows if r.dim == d]
+        assert len(rs) == 10
+        assert all(0.0 <= x <= 1.0 for x in rs)
+        mean[d] = sum(rs) / len(rs)
+    assert mean[32] >= mean[8]
