@@ -874,45 +874,99 @@ def hard_negative_topk(
     Output: (query_id, neighbor_id, cosine, hn_rank), rank by score
     desc with neighbor-id tiebreak.
 
-    Shape: exact brute force over the label-excluded cross join — right
-    for the corpus-sized label spaces this registry entry runs on. At
-    100 TB embeddings, put the IVF prefilter in front (ivf_topk's
-    coarse quantizer, probing only foreign-label clusters) and keep
-    this exact scorer as the rerank stage; the hot-path discipline
-    here (repartitioned probe side, JVM fold for the dot product, one
-    window for the top-k) is shared with embedding_near_dup_recall.
+    Shape: exact scoring, but NEVER materialized as n² rows — queries
+    are hashed into ``blocks`` groups and each group meets the whole
+    (replicated) corpus inside ONE Arrow-batched ``applyInPandas``
+    call that computes the full score block as a single float64
+    numpy matmul and emits only the k winners per query. That is
+    ~1000× less work per pair than the previous per-pair JVM
+    ``zip_with``/``aggregate`` fold over a broadcast nested-loop
+    join, and the shuffle carries n·k output rows instead of n².
+    The per-executor memory bound is the corpus matrix — the same
+    bound the broadcast-join formulation already had. At 100 TB
+    embeddings the corpus no longer fits; front this with the IVF
+    coarse quantizer (``ivf_topk``), probing only foreign-label
+    lists, and keep this exact matmul as the rerank stage over the
+    probed candidates.
+
+    Tie-break fidelity: the corpus block is pre-sorted by
+    neighbor_id, so a STABLE argsort on the negated score column
+    reproduces (cosine desc, neighbor_id asc) exactly; scores are
+    float64 end-to-end (float32 inputs upcast before the matmul),
+    matching the oracle's CAST(... AS DOUBLE[]) arithmetic, and
+    rounding to 6 decimals happens JVM-side with F.round so
+    HALF_UP semantics match DuckDB's.
     """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    blocks = 32
+    spark = embeddings.sparkSession
     q = embeddings.select(
-        F.col(id_col).alias("query_id"),
+        F.col(id_col).cast("long").alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col(label_col).alias("q_label"),
+        (F.col(id_col) % blocks).cast("int").alias("blk"),
+    )
+    blk_df = F.broadcast(
+        spark.range(blocks).select(F.col("id").cast("int").alias("blk"))
     )
     c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
+        F.col(id_col).cast("long").alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(label_col).alias("c_label"),
-    )
-    scored = (
-        q.repartition("query_id")
-        .join(F.broadcast(c), F.col("q_label") != F.col("c_label"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+    ).crossJoin(blk_df)
+
+    def _score_block(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "_cos": pd.Series(dtype="float64"),
+                    "hn_rank": pd.Series(dtype="int64"),
+                }
+            )
+        right = right.sort_values("neighbor_id", kind="mergesort")
+        Q = np.vstack(left["q_vec"].to_numpy()).astype(np.float64)
+        C = np.vstack(right["c_vec"].to_numpy()).astype(np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        cn = np.sqrt((C * C).sum(axis=1))
+        S = (Q @ C.T) / (qn[:, None] * cn[None, :])
+        same = (
+            left["q_label"].to_numpy()[:, None]
+            == right["c_label"].to_numpy()[None, :]
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("_cos").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("hn_rank", F.row_number().over(w))
-        .filter(F.col("hn_rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("_cos", 6).alias("cosine"),
-            F.col("hn_rank").cast("long").alias("hn_rank"),
+        S[same] = -np.inf
+        k_eff = min(k, S.shape[1])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :k_eff]
+        scores = np.take_along_axis(S, idx, axis=1)
+        nid = right["neighbor_id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    left["query_id"].to_numpy(), k_eff
+                ),
+                "neighbor_id": nid[idx].ravel(),
+                "_cos": scores.ravel(),
+                "hn_rank": np.tile(
+                    np.arange(1, k_eff + 1), len(left)
+                ),
+            }
         )
+        return out[np.isfinite(out["_cos"].to_numpy())]
+
+    scored = q.groupBy("blk").cogroup(c.groupBy("blk")).applyInPandas(
+        _score_block,
+        "query_id long, neighbor_id long, _cos double, hn_rank long",
+    )
+    return scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round("_cos", 6).alias("cosine"),
+        F.col("hn_rank").alias("hn_rank"),
     )
 
 

@@ -134,8 +134,30 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r05.json
-# into this map as (…, 5) so the rotation keeps cycling fairly:
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r06.json
+# into this map as (…, 6) so the rotation keeps cycling fairly:
+_R5_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r05.json (all 50 sampled entries)
+    "hll_distinct_rollup", "bpe_learn_merges", "tpch_parts_supplier_cnt",
+    "tpch_promotion_candidates", "domain_token_budgets",
+    "curriculum_interleave", "bpe_apply_encode", "ngram_containment_pairs",
+    "pmi_collocations", "heavy_hitters_tokens", "vocab_top_p_cutoff",
+    "merge_event_intervals", "streaming_dedup_watermark",
+    "embedding_near_dup_recall", "graph_kcore", "bloom_prefilter_join",
+    "streaming_outer_attribution", "incremental_rollup_merge",
+    "graph_bfs_hops", "scd2_point_in_time_join", "snapshot_diff_customers",
+    "graph_shortest_paths", "observed_scan_metrics", "corpus_prepare_v3",
+    "minhash_lsh_recall", "kmv_user_overlap", "global_ids_orders",
+    "k_anonymity_audit", "dp_noisy_counts", "interpolate_user_daily",
+    "duplicated_substring_spans", "hard_negative_mining",
+    "temperature_mixture_weights", "histogram_quantile_estimate",
+    "pca_power_projection", "cms_token_counts", "kneser_ney_bigram",
+    "tfidf_cosine_pairs", "skipgram_cooccurrence",
+    "embedding_truncation_recall", "model_daily_trip_metrics",
+    "model_trips_view", "model_staging_rename", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_simhash_fingerprint", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "similarity_cosine_topk", "similarity_lsh_topk",
+)
 _R4_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r04.json
     "embedding_kmeans", "tpch_min_cost_supplier", "tpch_product_profit",
@@ -214,17 +236,20 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(5, _R5_VERIFIED)
 _mark_verified(4, _R4_VERIFIED)
 
 # Names whose ORACLE was added/changed after their last driver check:
 # the driver's green rows for them were rows-only (or against the old
 # oracle), so the hash claim is unverified — reset them to the front
 # of the rotation. Remove from this set once a CORRECTNESS file shows
-# the hash-green row.
+# the hash-green row.  (Round 5 cleared bpe_learn_merges and
+# hll_distinct_rollup: both hash-green in CORRECTNESS_r05.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # round-5 oracle conversions (were rows-only when last checked):
-    "bpe_learn_merges",       # unrolled argmax replay added
-    "hll_distinct_rollup",    # md5-register replay added
+    # round-6 oracle conversions (were rows-only when last checked):
+    "flagship_most_populars",   # VALUES replay of axial hex ids added
+    "similarity_pq_topk",       # ADC-table SQL replay added
+    "embedding_pca_project",    # PC1 power-iteration replay added
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

@@ -118,18 +118,36 @@ def test_kneser_ney_matches_pure_python(spark):
 
 
 def test_kneser_ney_full_distribution_sums_to_one(spark):
-    """With next_per_head = vocab the per-head distribution must sum
-    to exactly 1 over OBSERVED successors' formula + the discount mass
-    assigned to unseen ones; check the observed part stays < 1."""
+    """KN is a proper distribution: when the head's OBSERVED successor
+    set covers the whole vocabulary, the emitted (observed-bigram)
+    probabilities must sum to exactly 1 — no continuation mass leaks
+    to unseen successors because there are none.  Corpus chosen so the
+    top head ``x`` is followed by every vocab word {x, y, z}:
+    p(y|x) = 14/60, p(z|x) = 14/60, p(x|x) = 32/60."""
+    from taxi_trips_etl_spark.dataprep.lm import kneser_ney_bigram_topk
+
+    rows = kneser_ney_bigram_topk(
+        _docs(spark, [(0, "x y x z x x")]), heads=1, next_per_head=100
+    ).collect()
+    total = sum(r.p_kn for r in rows)
+    assert math.isclose(total, 1.0, rel_tol=1e-12)
+    assert {r.next_word for r in rows} == {"x", "y", "z"}
+
+
+def test_kneser_ney_observed_mass_excludes_unseen_successors(spark):
+    """Corpus "x y x z x y": head ``x`` never precedes itself, so the
+    unseen successor ``x`` keeps continuation mass λ(x)·P_cont(x) =
+    (D·N1p(x)/c1(x)) · (Npred(x)/B) = (0.75·2/3)·(2/4) = 1/4 that the
+    topk table (observed bigrams only) rightly never emits — the
+    observed probabilities must sum to exactly 1 − 1/4 = 3/4."""
     from taxi_trips_etl_spark.dataprep.lm import kneser_ney_bigram_topk
 
     rows = kneser_ney_bigram_topk(
         _docs(spark, [(0, "x y x z x y")]), heads=1, next_per_head=100
     ).collect()
     total = sum(r.p_kn for r in rows)
-    # x -> {y: 2, z: 1}; the interpolation term spreads continuation
-    # mass over observed types only here, so the sum is exactly 1.
-    assert math.isclose(total, 1.0, rel_tol=1e-12)
+    assert math.isclose(total, 0.75, rel_tol=1e-12)
+    assert {r.next_word for r in rows} == {"y", "z"}
 
 
 # --- sparse TF-IDF cosine -------------------------------------------------
