@@ -124,14 +124,11 @@ def _power_iterate(c_int: list[list[int]], iterations: int) -> list[int]:
     return q
 
 
-def power_iteration_pc1(
-    embeddings: DataFrame,
-    iterations: int = 12,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """→ (vec_id, pc1): projection onto the power-iteration top
-    component. See module docstring for the exact-replay ledger."""
+def _collect_cov_int(
+    embeddings: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, int, list[list[int]]]:
+    """One distributed moment pass → (vecs frame, dim, integer
+    covariance matrix). Shared by pc1 and the multi-component PCA."""
     vecs = embeddings.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
@@ -153,7 +150,51 @@ def power_iteration_pc1(
             gi = g[i]
             for j in range(dim):
                 gi[j] += flat[base + j]
-    c_int = _covariance_int(n, m, g)
+    return vecs, dim, _covariance_int(n, m, g)
+
+
+def _rayleigh_deflate(
+    c_int: list[list[int]], q: list[int]
+) -> list[list[int]]:
+    """Hotelling deflation C' = C − λ·v·vᵀ with λ the Rayleigh
+    quotient of the final iterate, requantized to 1e-10 ints.
+
+    Exactness ledger: w = C·q and den = Σq² are exact integers
+    (Python bigints; the oracle uses HUGEINT where qᵀw exceeds
+    int64); λ is ONE double division of the two (their int→double
+    conversions are correctly rounded and identical on both
+    engines); each deflation term is the fixed left-associated IEEE
+    chain λ·(q_i/Q_VEC)·(q_j/Q_VEC) rounded half-away — λ carries
+    C's own 1e-10 integer units (num ~ Q_VEC²·Q_COV·λ_true over
+    den ~ Q_VEC²), so no requantization factor appears; the oracle
+    spells the same chain token-for-token."""
+    d = len(c_int)
+    w = [sum(c_int[i][j] * q[j] for j in range(d)) for i in range(d)]
+    num = sum(q[i] * w[i] for i in range(d))
+    den = sum(x * x for x in q)
+    lam = float(num) / float(den)
+    out = []
+    for i in range(d):
+        qi = q[i] / Q_VEC
+        out.append(
+            [
+                c_int[i][j]
+                - _round_half_away(lam * qi * (q[j] / Q_VEC))
+                for j in range(d)
+            ]
+        )
+    return out
+
+
+def power_iteration_pc1(
+    embeddings: DataFrame,
+    iterations: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, pc1): projection onto the power-iteration top
+    component. See module docstring for the exact-replay ledger."""
+    vecs, dim, c_int = _collect_cov_int(embeddings, id_col, vec_col)
     q = _power_iterate(c_int, iterations)
     comp = [x / Q_VEC for x in q]
     arr = "array(" + ",".join(f"{x!r}D" for x in comp) + ")"
@@ -167,6 +208,185 @@ def power_iteration_pc1(
             6,
         ).alias("pc1"),
     )
+
+
+def power_iteration_pca(
+    embeddings: DataFrame,
+    n_components: int = 4,
+    iterations: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_id, component_idx, value): projection onto the top
+    ``n_components`` principal directions, each found by the
+    integer-exact power iteration and removed by Rayleigh/Hotelling
+    deflation (:func:`_rayleigh_deflate`) before the next — the
+    oracle-replayable counterpart to ``similarity.pca_project``'s
+    eigh. Convergence caveat per component as in the module
+    docstring; replay fidelity does NOT depend on convergence (both
+    engines walk the identical trajectory)."""
+    vecs, dim, c_int = _collect_cov_int(embeddings, id_col, vec_col)
+    projs = []
+    c = c_int
+    for _ in range(n_components):
+        q = _power_iterate(c, iterations)
+        arr = "array(" + ",".join(f"{x / Q_VEC!r}D" for x in q) + ")"
+        projs.append(
+            f"round(aggregate(zip_with(v, {arr}, (a, b) -> a * b),"
+            " 0.0D, (acc, x) -> acc + x), 6)"
+        )
+        c = _rayleigh_deflate(c, q)
+    return vecs.select(
+        id_col,
+        F.posexplode(F.expr("array(" + ",".join(projs) + ")")),
+    ).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("pos").cast("long").alias("component_idx"),
+        F.col("col").alias("value"),
+    )
+
+
+def _iteration_ctes(
+    cmat: str, tag: str, dim: int, iterations: int
+) -> str:
+    """The recursive power-iteration CTE chain over covariance CTE
+    ``cmat``, names suffixed ``tag`` — the exact fragment
+    power_iteration_oracle_sql inlines, parameterized for reuse per
+    deflation stage."""
+    q0 = _round_half_away(1.0 / math.sqrt(dim) * Q_VEC)
+    return f"""
+    it{tag} AS (
+        SELECT 0 AS t,
+               list_transform(generate_series(1, {dim}),
+                              x -> CAST({q0} AS BIGINT)) AS q
+        UNION ALL
+        SELECT t + 1,
+               list_transform(w, x ->
+                   CAST(round(CAST(x AS DOUBLE) / nrm * {Q_VEC})
+                        AS BIGINT))
+        FROM (
+            SELECT t, w,
+                   sqrt(list_sum(list_transform(
+                       w, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       AS nrm
+            FROM (
+                SELECT t,
+                       list_transform(generate_series(1, {dim}), i ->
+                           list_sum(list_transform(
+                               generate_series(1, {dim}),
+                               j -> C[i][j] * q[j]))) AS w
+                FROM it{tag}, {cmat}
+                WHERE t < {iterations}
+            )
+        )
+        WHERE nrm > 0
+    ),
+    final_q{tag} AS MATERIALIZED (SELECT q FROM it{tag}
+                                  ORDER BY t DESC LIMIT 1),
+    signed{tag} AS MATERIALIZED (
+        SELECT CASE WHEN (SELECT x FROM (SELECT unnest(q) AS x,
+                                                generate_subscripts(q, 1)
+                                                    AS p FROM final_q{tag})
+                          WHERE x != 0 ORDER BY p LIMIT 1) < 0
+                    THEN list_transform(q, x -> -x) ELSE q END AS q
+        FROM final_q{tag}
+    )"""
+
+
+def _deflate_ctes(cmat: str, tag: str, nxt: str, dim: int) -> str:
+    """Deflation CTEs: λ from the Rayleigh quotient of signed{tag}'s
+    iterate over ``cmat`` (qᵀw in HUGEINT — it exceeds int64), then
+    the next covariance ``nxt`` with the identical IEEE term chain
+    as :func:`_rayleigh_deflate`."""
+    return f"""
+    wv{tag} AS MATERIALIZED (
+        SELECT q,
+               list_transform(generate_series(1, {dim}), i ->
+                   list_sum(list_transform(generate_series(1, {dim}),
+                                           j -> C[i][j] * q[j]))) AS w
+        FROM signed{tag}, {cmat}
+    ),
+    lam{tag} AS MATERIALIZED (
+        SELECT CAST(list_sum(list_transform(generate_series(1, {dim}),
+                   i -> CAST(q[i] AS HUGEINT) * CAST(w[i] AS HUGEINT)))
+                   AS DOUBLE)
+               / CAST(list_sum(list_transform(q, x -> x * x)) AS DOUBLE)
+                   AS lam
+        FROM wv{tag}
+    ),
+    {nxt} AS MATERIALIZED (
+        SELECT list_transform(generate_series(1, {dim}), i ->
+                 list_transform(generate_series(1, {dim}), j ->
+                   C[i][j] - CAST(round(lam
+                       * (CAST(q[i] AS DOUBLE) / {Q_VEC})
+                       * (CAST(q[j] AS DOUBLE) / {Q_VEC}))
+                       AS BIGINT))) AS C
+        FROM {cmat}, signed{tag}, lam{tag}
+    )"""
+
+
+def power_iteration_pca_oracle_sql(
+    dim: int = 64, n_components: int = 4, iterations: int = 12
+) -> str:
+    """DuckDB twin of :func:`power_iteration_pca`: shared integer
+    moments/covariance, then per component a recursive iteration +
+    sign fix + (for all but the last) Rayleigh deflation — each step
+    the same exact-integer / fixed-IEEE ledger as the single-
+    component oracle."""
+    stages = []
+    for c in range(1, n_components + 1):
+        stages.append(_iteration_ctes(f"cmat{c}", str(c), dim, iterations))
+        if c < n_components:
+            stages.append(
+                _deflate_ctes(f"cmat{c}", str(c), f"cmat{c + 1}", dim)
+            )
+    comps = "\n        UNION ALL ".join(
+        f"SELECT {c - 1} AS component_idx, q FROM signed{c}"
+        for c in range(1, n_components + 1)
+    )
+    return f"""
+    WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    idx AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    moments AS (
+        SELECT i.i, j.i AS j,
+               sum(CAST(round(emb[i.i] * emb[j.i] * {Q_COV}) AS BIGINT))
+                   AS s
+        FROM e, idx i, idx j
+        GROUP BY 1, 2
+    ),
+    mean_s AS (
+        SELECT i.i,
+               sum(CAST(round(emb[i.i] * {Q_COV}) AS BIGINT)) AS ms
+        FROM e, idx i GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n FROM e),
+    cov AS (
+        SELECT mo.i, mo.j,
+               CAST(round(((CAST(mo.s AS DOUBLE) / {Q_COV}) / n
+                           - (CAST(a.ms AS DOUBLE) / {Q_COV} / n)
+                             * (CAST(b.ms AS DOUBLE) / {Q_COV} / n))
+                          * {Q_COV}) AS BIGINT) AS c
+        FROM moments mo
+        JOIN mean_s a ON a.i = mo.i
+        JOIN mean_s b ON b.i = mo.j
+        CROSS JOIN nn
+    ),
+    cmat1 AS MATERIALIZED (
+        SELECT list(r ORDER BY i) AS C
+        FROM (SELECT i, list(c ORDER BY j) AS r FROM cov GROUP BY i)
+    ),
+    {",".join(stages)},
+    comps AS (
+        {comps}
+    )
+    SELECT vec_id,
+           CAST(component_idx AS BIGINT) AS component_idx,
+           round(list_sum(list_transform(generate_series(1, {dim}),
+                 i -> emb[i] * (CAST(q[i] AS DOUBLE) / {Q_VEC}))), 6)
+               AS value
+    FROM e CROSS JOIN comps
+    """
 
 
 def power_iteration_oracle_sql(

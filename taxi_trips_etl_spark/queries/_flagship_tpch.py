@@ -38,11 +38,29 @@ from taxi_trips_etl_spark.queries._registry import (  # noqa: F401
 )
 
 # ===========================================================================
-# Flagship (geo-UDF path — not SQL-expressible, driver does rows-only)
+# Flagship (geo-UDF path). Oracle: the hex cells come from the
+# centroid_cell UDF, but on the synthetic zone dim that mapping is
+# knowable at import time — the same pure-Python function bakes a
+# zone_id→cell VALUES list into FLAGSHIP_KNOWN_ZONES_SQL (_relational),
+# so the REAL pipeline output (run_taxi_pipeline, UDF enrichment and
+# all) is pinned exactly; only the output aliases differ.
 # ===========================================================================
 
+from taxi_trips_etl_spark.queries._relational import (  # noqa: E402
+    FLAGSHIP_KNOWN_ZONES_SQL,
+)
 
-@register("flagship_most_populars")  # no oracle: hex cells come from UDFs
+FLAGSHIP_MOST_POPULARS_SQL = f"""
+    SELECT popularity,
+           route_pickup_cell AS route_pickup_hex,
+           route_dropoff_cell AS route_dropoff_hex,
+           route_count, dropoff_hexagon, dropoff_count,
+           pickup_hexagon, pickup_count
+    FROM ({FLAGSHIP_KNOWN_ZONES_SQL})
+"""
+
+
+@register("flagship_most_populars", FLAGSHIP_MOST_POPULARS_SQL)
 def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.plans.pipeline import run_taxi_pipeline
 
@@ -783,26 +801,32 @@ def q_tpch_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_pca_project")  # rows-only: eigendecomposition has
-# no DuckDB twin; Spark≡numpy projection equality is pytest-pinned.
+def _pca4_oracle() -> str:
+    from taxi_trips_etl_spark.dataprep.pca_power import (
+        power_iteration_pca_oracle_sql,
+    )
+
+    return power_iteration_pca_oracle_sql(
+        dim=64, n_components=4, iterations=12
+    )
+
+
+@register("embedding_pca_project", _pca4_oracle())
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA to 4 components: one covariance agg pass + driver eigh +
-    literal-eigenvector projection — see similarity.py:pca_project.
+    """PCA to 4 components via deflated integer-exact power iteration
+    (dataprep/pca_power.py:power_iteration_pca) — DuckDB replays the
+    full trajectory (moments → covariance → per-component recursive
+    iteration → Rayleigh deflation), so the hash pins all four
+    projections; the production eigh path (similarity.pca_project)
+    keeps its Spark≡numpy pytest pins.
 
     Output is posexploded to scalar (vec_id, component_idx, value) rows
     per the registry's BIGINT/DOUBLE/VARCHAR portability rule — array
     cells are unhashable in pandas-side canonicalization."""
-    from taxi_trips_etl_spark.dataprep.similarity import pca_project
+    from taxi_trips_etl_spark.dataprep.pca_power import power_iteration_pca
 
     emb = _t(spark, sf_dir, "embeddings")
-    projected = pca_project(emb, n_components=4)
-    return projected.select(
-        "vec_id", F.posexplode(F.col("pc").cast("array<double>"))
-    ).select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("pos").cast("long").alias("component_idx"),
-        F.col("col").cast("double").alias("value"),
-    )
+    return power_iteration_pca(emb, n_components=4, iterations=12)
 
 
 @register(

@@ -1086,15 +1086,26 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("similarity_pq_topk")  # rows-only: numpy codebook training
-def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-Quantization ANN: 8-byte codes + ADC lookup scoring —
-    the compressed-scan ANN shape for 100 TB corpora. Codebooks train
-    on a deterministic sample (driver numpy Lloyd's), hence no SQL
-    oracle; recall and Spark≡numpy ADC equality are pytest-verified."""
-    from taxi_trips_etl_spark.dataprep.similarity import pq_topk
+def _pq_oracle() -> str:
+    from taxi_trips_etl_spark.dataprep.pq_exact import pq_oracle_sql
 
-    return pq_topk(
+    return pq_oracle_sql(
+        dim=64, m=8, ksub=16, k=3, query_ids_below=5, train_iters=3
+    )
+
+
+@register("similarity_pq_topk", _pq_oracle())
+def q_similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-Quantization ANN: m-byte codes + ADC lookup scoring —
+    the compressed-scan ANN shape for 100 TB corpora. This entry runs
+    the INTEGER-EXACT training/encoding twin (dataprep/pq_exact.py:
+    quantized coords, integer Lloyd's, int64 ADC in 1e-12 units) so
+    DuckDB replays the whole trajectory and the hash pins it; the
+    float production path (similarity.pq_topk, driver numpy Lloyd's)
+    keeps its pytest recall + Spark≡numpy ADC-equality pins."""
+    from taxi_trips_etl_spark.dataprep.pq_exact import pq_topk_replayable
+
+    return pq_topk_replayable(
         _t(spark, sf_dir, "embeddings"), m=8, ksub=16, k=3, query_ids_below=5
     )
 

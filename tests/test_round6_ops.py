@@ -1,0 +1,233 @@
+"""Round-6 additions:
+
+- pq_exact: integer-exact PQ training/ADC (the oracle-replayable twin
+  of similarity.pq_topk) — ADC ranking must broadly agree with exact
+  L2 ranking on well-separated data, and the whole pipeline must be
+  deterministic across invocations.
+- pca_power.power_iteration_pca: deflated multi-component power
+  iteration — components must be near-orthogonal and span the same
+  subspace numpy's eigh finds on anisotropic data.
+- hard_negative_topk (blocked-matmul rewrite): exactness vs a
+  brute-force python reference on a small corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _emb_df(spark, vecs, labels=None):
+    rows = [
+        (
+            i,
+            [float(x) for x in v],
+            int(labels[i]) if labels is not None else i % 3,
+        )
+        for i, v in enumerate(vecs)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+# --- pq_exact ---------------------------------------------------------------
+
+
+def test_pq_replayable_deterministic(spark):
+    from taxi_trips_etl_spark.dataprep.pq_exact import pq_topk_replayable
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    a = sorted(
+        map(
+            tuple,
+            pq_topk_replayable(
+                df, m=4, ksub=4, k=2, query_ids_below=3, train_iters=2
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            pq_topk_replayable(
+                df, m=4, ksub=4, k=2, query_ids_below=3, train_iters=2
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) == 6  # 3 queries x k=2
+
+
+def test_pq_replayable_finds_near_cluster(spark):
+    """Two tight, far-apart clusters: every query's PQ top-k must come
+    from its own cluster — the coarse property ADC cannot miss."""
+    from taxi_trips_etl_spark.dataprep.pq_exact import pq_topk_replayable
+
+    rng = np.random.RandomState(11)
+    a = rng.randn(30, 16) * 0.05
+    b = rng.randn(30, 16) * 0.05 + 10.0
+    vecs = np.vstack([a, b]).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    rows = pq_topk_replayable(
+        df, m=4, ksub=8, k=3, query_ids_below=2, train_iters=3
+    ).collect()
+    assert rows, "no output"
+    for r in rows:
+        assert r.neighbor_id < 30, f"query {r.query_id} left its cluster"
+
+
+def test_pq_oracle_sql_matches_spark_plan(spark, tmp_path):
+    """End-to-end DuckDB replay on a private parquet (independent of
+    the driver harness): byte-identical row sets."""
+    import duckdb
+
+    from taxi_trips_etl_spark.dataprep.pq_exact import (
+        pq_oracle_sql,
+        pq_topk_replayable,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(80, 16).astype(np.float32)
+    df = _emb_df(spark, vecs)
+    p = str(tmp_path / "emb.parquet")
+    df.select("vec_id", "embedding", "label").coalesce(1).write.parquet(p)
+    got = sorted(
+        map(
+            tuple,
+            pq_topk_replayable(
+                df, m=4, ksub=8, k=2, query_ids_below=4, train_iters=2
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM parquet_scan('{p}/*.parquet')"
+    )
+    sql = pq_oracle_sql(
+        dim=16, m=4, ksub=8, k=2, query_ids_below=4, train_iters=2
+    )
+    want = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert got == want
+
+
+# --- deflated power-iteration PCA -------------------------------------------
+
+
+def test_power_iteration_pca_matches_eigh_subspace(spark):
+    """Anisotropic gaussian with well-separated spectrum: each deflated
+    power-iteration direction must align (|cos| > 0.95) with the
+    corresponding eigh eigenvector, and projections must correlate."""
+    from taxi_trips_etl_spark.dataprep.pca_power import (
+        _collect_cov_int,
+        _power_iterate,
+        _rayleigh_deflate,
+        Q_VEC,
+    )
+
+    rng = np.random.RandomState(5)
+    scales = np.array([8.0, 4.0, 2.0, 1.0] + [0.05] * 12)
+    basis, _ = np.linalg.qr(rng.randn(16, 16))
+    X = (rng.randn(400, 16) * scales) @ basis.T
+    df = _emb_df(spark, X.astype(np.float32))
+    _, dim, c_int = _collect_cov_int(df, "vec_id", "embedding")
+    cov = np.cov(np.array(X, dtype=np.float64).T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, np.argsort(evals)[::-1][:3]]
+    c = c_int
+    for comp in range(3):
+        q = _power_iterate(c, iterations=30)
+        v = np.array(q, dtype=np.float64) / Q_VEC
+        v = v / np.linalg.norm(v)
+        align = abs(float(v @ top[:, comp]))
+        assert align > 0.95, f"component {comp}: |cos|={align:.3f}"
+        c = _rayleigh_deflate(c, q)
+
+
+def test_power_iteration_pca_components_orthogonal(spark):
+    from taxi_trips_etl_spark.dataprep.pca_power import (
+        _collect_cov_int,
+        _power_iterate,
+        _rayleigh_deflate,
+        Q_VEC,
+    )
+
+    rng = np.random.RandomState(9)
+    X = rng.randn(300, 16) * np.linspace(6, 0.5, 16)
+    df = _emb_df(spark, X.astype(np.float32))
+    _, _, c_int = _collect_cov_int(df, "vec_id", "embedding")
+    comps = []
+    c = c_int
+    for _ in range(4):
+        q = _power_iterate(c, iterations=25)
+        v = np.array(q, dtype=np.float64) / Q_VEC
+        comps.append(v / np.linalg.norm(v))
+        c = _rayleigh_deflate(c, q)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            dot = abs(float(comps[i] @ comps[j]))
+            assert dot < 0.1, f"components {i},{j} not orthogonal: {dot:.3f}"
+
+
+def test_power_iteration_pca_output_shape(spark):
+    from taxi_trips_etl_spark.dataprep.pca_power import power_iteration_pca
+
+    rng = np.random.RandomState(1)
+    df = _emb_df(spark, rng.randn(50, 16).astype(np.float32))
+    out = power_iteration_pca(df, n_components=3, iterations=8)
+    rows = out.collect()
+    assert len(rows) == 150
+    assert {r.component_idx for r in rows} == {0, 1, 2}
+    assert all(isinstance(r.value, float) for r in rows)
+
+
+# --- hard_negative_topk (blocked matmul) ------------------------------------
+
+
+def test_hard_negative_matches_bruteforce(spark):
+    from taxi_trips_etl_spark.dataprep.similarity import hard_negative_topk
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(40, 8).astype(np.float32)
+    labels = [i % 4 for i in range(40)]
+    df = _emb_df(spark, vecs, labels)
+    got = {
+        (r.query_id, r.hn_rank): (r.neighbor_id, r.cosine)
+        for r in hard_negative_topk(df, k=2).collect()
+    }
+    V = vecs.astype(np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = V @ V.T
+    for qi in range(40):
+        cands = sorted(
+            (
+                (-S[qi, ci], ci)
+                for ci in range(40)
+                if labels[ci] != labels[qi]
+            ),
+        )[:2]
+        for rank, (negs, ci) in enumerate(cands, start=1):
+            nid, cos = got[(qi, rank)]
+            assert nid == ci
+            assert math.isclose(cos, round(-negs, 6), abs_tol=2e-6)
+
+
+def test_hard_negative_fewer_than_k_foreign(spark):
+    """k larger than the foreign-label pool: emit what exists, ranked,
+    never a row for a same-label neighbor."""
+    from taxi_trips_etl_spark.dataprep.similarity import hard_negative_topk
+
+    rng = np.random.RandomState(4)
+    vecs = rng.randn(5, 8).astype(np.float32)
+    labels = [0, 0, 0, 0, 1]  # queries with label 1 see only 4 foreign
+    df = _emb_df(spark, vecs, labels)
+    rows = hard_negative_topk(df, k=10).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q[4]) == 4  # the lone label-1 vector: 4 foreign rows
+    for q in (0, 1, 2, 3):
+        assert len(by_q[q]) == 1  # only vec 4 is foreign to label 0
