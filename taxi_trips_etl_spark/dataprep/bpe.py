@@ -105,8 +105,11 @@ def learn_bpe_distributed(
         vocab = vocab.select(
             F.expr(_merge_fold_expr(a, b)).alias("toks"), "freq"
         ).transform(materialize, eager=False)
-    return spark.createDataFrame(
-        out, "merge_rank long, tok_a string, tok_b string, pair_count long"
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(
+        spark, out,
+        "merge_rank long, tok_a string, tok_b string, pair_count long",
     )
 
 
@@ -160,6 +163,9 @@ def learn_bpe_auto(
         return learn_bpe_distributed(docs, text_col, n_merges)
     rows = list(zip(probe["word"].tolist(), probe["freq"].tolist()))
     out = learn_bpe_driver(rows, n_merges)
-    return spark.createDataFrame(
-        out, "merge_rank long, tok_a string, tok_b string, pair_count long"
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(
+        spark, out,
+        "merge_rank long, tok_a string, tok_b string, pair_count long",
     )

@@ -295,7 +295,9 @@ def connected_components_auto(
     ).schema
     if not mapping:
         return spark.createDataFrame([], schema)
-    return spark.createDataFrame(mapping, schema)
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(spark, mapping, schema)
 
 
 def canonicalize_near_dups(

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.sources.localrel import local_rows
+
 from taxi_trips_etl_spark.dataprep.materialize import materialize
 
 TOTAL = 10**12
@@ -136,8 +138,8 @@ def pagerank_auto(
         for s, d in zip(srcs, dsts):
             insum[d] += rank[s] // deg[s]
         rank = {v: base + (85 * insum[v]) // 100 for v in nodes}
-    return spark.createDataFrame(
-        [(v, rank[v]) for v in nodes], "node long, rank_e12 long"
+    return local_rows(
+        spark, [(v, rank[v]) for v in nodes], "node long, rank_e12 long"
     )
 
 
@@ -272,8 +274,8 @@ def bfs_hops(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     dist = (
-        e.sparkSession.createDataFrame(
-            [(int(source_node), 0)], "node long, hops long"
+        local_rows(
+            e.sparkSession, [(int(source_node), 0)], "node long, hops long"
         )
         .transform(materialize, eager=True)
     )
@@ -320,8 +322,8 @@ def shortest_paths(
         F.col(weight).cast("long").alias("w"),
     ).groupBy("src", "dst").agg(F.min("w").alias("w"))
     dist = (
-        e.sparkSession.createDataFrame(
-            [(int(source_node), 0)], "node long, dist long"
+        local_rows(
+            e.sparkSession, [(int(source_node), 0)], "node long, dist long"
         )
         .transform(materialize, eager=True)
     )

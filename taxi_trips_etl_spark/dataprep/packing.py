@@ -59,8 +59,10 @@ def pack_sequences(
     for r in bucket_rows:
         offsets.append((r["_bucket"], acc))
         acc += r["t"]
-    off_df = docs.sparkSession.createDataFrame(
-        offsets, "_bucket long, _bucket_offset long"
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    off_df = local_rows(
+        docs.sparkSession, offsets, "_bucket long, _bucket_offset long"
     )
 
     # Pass 2: partition-local cumsum + broadcast bucket offsets.

@@ -1246,8 +1246,10 @@ def q_streaming_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        [(int(i),) for i in sorted(kept)], "doc_id long"
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(
+        spark, [(int(i),) for i in sorted(kept)], "doc_id long"
     )
 
 
@@ -1313,6 +1315,8 @@ def q_streaming_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        sorted(rows), "rule string, violations long, batch_id long"
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(
+        spark, sorted(rows), "rule string, violations long, batch_id long"
     )

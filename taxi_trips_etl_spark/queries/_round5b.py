@@ -231,8 +231,10 @@ def q_streaming_dedup_watermark(
         ]
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        sorted(rows),
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(
+        spark, sorted(rows),
         "event_type string, n_events long, first_us long, last_us long",
     )
 

@@ -206,27 +206,35 @@ def q_streaming_outer_attribution(
             shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
 
         stage(ev, "a_events")
-        heartbeat = (
-            ev.agg(F.max("ts").alias("mts"))
-            .crossJoin(
-                spark.createDataFrame(
-                    [("click",), ("purchase",)], "event_type string"
-                )
-            )
-            .select(
-                F.lit(-1).cast("long").alias("event_id"),
-                (F.col("mts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-                F.lit(-1).cast("long").alias("user_id"),
-                "event_type",
-                F.lit(0.0).alias("value"),
-                F.lit(None).cast("string").alias("props"),
-            )
+        # Heartbeat time derives from the ALREADY-COLLECTED cutoff
+        # (every staged event is < cutoff, so cutoff + 30 days is past
+        # any of them) — a literal 2-row frame, not a third scan of
+        # the events feed (the max(ts) aggregation this replaces was
+        # ~a third of the whole entry's wall-clock). Built as a SQL
+        # VALUES relation, NOT createDataFrame: a Python-list frame is
+        # Python-RDD-backed and each write pays ~4-6 s of Python
+        # worker round-trips; the VALUES plan stays JVM-local (~0.1s).
+        hb_ts = cutoff.strftime("%Y-%m-%d %H:%M:%S")
+        heartbeat = spark.sql(
+            f"""
+            SELECT CAST(-1 AS BIGINT) AS event_id,
+                   TIMESTAMP '{hb_ts}' + INTERVAL 30 DAYS AS ts,
+                   CAST(-1 AS BIGINT) AS user_id,
+                   event_type,
+                   CAST(0.0 AS DOUBLE) AS value,
+                   CAST(NULL AS STRING) AS props
+            FROM VALUES ('click'), ('purchase') AS t(event_type)
+            """
         )
         stage(heartbeat, "b_heartbeat")
         now = os.stat(f"{src}/a_events.parquet").st_mtime
         os.utime(f"{src}/b_heartbeat.parquet", (now + 60, now + 60))
 
         schema = spark.read.parquet(f"{src}/a_events.parquet").schema
+        # 2 state partitions: the 3-day slice holds ~1k users, and
+        # state-store commits cost n_partitions x n_batches x sides
+        # (outer_join.py docstring) — 8 partitions measured 2x the
+        # wall-clock of 2 for identical output.
         run_streaming_outer_attribution(
             spark,
             src,
@@ -234,16 +242,16 @@ def q_streaming_outer_attribution(
             out_path=f"{work}/out",
             checkpoint_path=f"{work}/ckpt",
             window_hours=2,
+            state_partitions=2,
         )
-        rows = [
-            (
-                int(r["user_id"]),
-                int(r["purchase_id"]),
-                int(r["purchase_us"]),
-                None if r["click_id"] is None else int(r["click_id"]),
-                None if r["click_us"] is None else int(r["click_us"]),
-            )
-            for r in spark.read.parquet(f"{work}/out")
+        # Materialize JVM-side (localCheckpoint) so the tmpdir can be
+        # removed without round-tripping ~2k rows through a Python
+        # collect + createDataFrame (a Python-list frame costs ~4-6 s
+        # of Python-RDD overhead at every downstream action).
+        from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+        out = materialize(
+            spark.read.parquet(f"{work}/out")
             .filter(F.col("user_id") >= 0)  # drop heartbeat artifacts
             .select(
                 "user_id",
@@ -251,16 +259,12 @@ def q_streaming_outer_attribution(
                 F.unix_micros("purchase_ts").alias("purchase_us"),
                 "click_id",
                 F.unix_micros("click_ts").alias("click_us"),
-            )
-            .collect()
-        ]
+            ),
+            eager=True,
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(
-        sorted(rows, key=lambda t: (t[0], t[1], t[3] is None, t[3] or 0)),
-        "user_id long, purchase_id long, purchase_us long, "
-        "click_id long, click_us long",
-    )
+    return out
 
 
 @register(
@@ -612,7 +616,10 @@ def q_observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     trips = trips_from_lineitem(_t(spark, sf_dir, "lineitem"))
     m = observed_normalize_metrics(trips)
-    return spark.createDataFrame(
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(
+        spark,
         [(
             int(m["n_total"]),
             int(m["n_kept"]),

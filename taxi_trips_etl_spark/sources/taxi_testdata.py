@@ -95,4 +95,6 @@ def zone_dim(spark: SparkSession, n_zones: int = N_ZONES) -> DataFrame:
         rows.append((z, _zone_wkt(z, detailed=False)))
         if z % 5 == 0:
             rows.append((z, _zone_wkt(z, detailed=True)))
-    return spark.createDataFrame(rows, "zone_id long, zone_geom string")
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(spark, rows, "zone_id long, zone_geom string")
