@@ -558,6 +558,77 @@ def minhash_lsh_incremental(
     )
 
 
+def boilerplate_chunk_removal(
+    docs: DataFrame,
+    chunk_tokens: int = 3,
+    df_divisor: int = 20,
+    df_floor: int = 3,
+    text: str = "text",
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the line-dedup pass of
+    C4/CCNet adapted to aligned token chunks — this corpus has no
+    newline structure): a chunk is BOILERPLATE when it appears in at
+    least max(df_floor, ceil(n_docs / df_divisor)) DISTINCT documents,
+    and every occurrence is dropped — unlike :func:`chunk_dedup`'s
+    first-wins rule, which keeps one copy. Navigation headers, license
+    blocks and share-bars repeat across a large fraction of a crawl;
+    keeping even one copy per duplicate cluster still trains on them,
+    so the df-threshold rule removes the text class, not the copies.
+
+    → (doc_id, text_clean, n_chunks_kept, n_chunks_dropped)
+
+    Scale shape: one explode to n_tokens/chunk_tokens rows, one
+    distinct-doc count per chunk (partial-agg shuffle on the chunk
+    string), threshold broadcast as a 1-row crossJoin, one shuffle
+    back on doc_id for the ordered reassembly — same two-shuffle
+    floor as chunk_dedup. All threshold arithmetic is integer
+    (ceil(a/b) = (a+b-1) div b), so any engine lands on the same cut.
+    """
+    n = int(chunk_tokens)
+    chunks = F.expr(
+        f"transform(sequence(0, (size(toks) - 1) div {n}), "
+        f"i -> array_join(slice(toks, i * {n} + 1, {n}), ' '))"
+    )
+    exploded = (
+        tokens_table(docs, text)
+        .select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    )
+    thresh = docs.agg(
+        F.expr(
+            f"greatest(CAST({df_floor} AS BIGINT), "
+            f"(count(1) + {df_divisor - 1}) div {df_divisor})"
+        ).alias("df_cut")
+    )
+    df_per_chunk = exploded.groupBy("chunk").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    flagged = (
+        exploded.join(df_per_chunk, "chunk")
+        .crossJoin(F.broadcast(thresh))
+        .withColumn("keep", (F.col("df") < F.col("df_cut")).cast("int"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(array_sort(collect_list(struct("
+                    "chunk_idx, if(keep = 1, chunk, null) AS c))), "
+                    "s -> s.c)"
+                ),
+            ).alias("text_clean"),
+            F.sum("keep").cast("long").alias("n_chunks_kept"),
+            (F.count(F.lit(1)) - F.sum("keep"))
+            .cast("long")
+            .alias("n_chunks_dropped"),
+        )
+        .select(
+            "doc_id", "text_clean", "n_chunks_kept", "n_chunks_dropped"
+        )
+    )
+
+
 def fastss_pairs(
     df: DataFrame,
     id_col: str = "c_custkey",

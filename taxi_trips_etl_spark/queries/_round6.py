@@ -1,0 +1,278 @@
+# Round-6 batch: corpus-frequency boilerplate removal, KN-perplexity
+# quality gating, physical-layout planners (range split points, skew
+# salt factors), tokenizer fertility audit, packing fragmentation
+# audit. Every entry oracle-bearing from birth (the registry's
+# no-rows-only invariant as of round 6).
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from taxi_trips_etl_spark.queries._registry import TOKS_SQL, _t, register
+
+
+@register(
+    "boilerplate_chunk_removal",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKS_SQL} AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i - 1 AS chunk_idx,
+               array_to_string(
+                   list_slice(t, (i - 1) * 2 + 1, (i - 1) * 2 + 2), ' '
+               ) AS chunk
+        FROM (SELECT doc_id, t,
+                     unnest(generate_series(1, ((len(t) - 1) // 2) + 1)) AS i
+              FROM toks)
+    ),
+    cut AS (SELECT greatest(CAST(3 AS BIGINT),
+                            (count(*) + 19) // 20) AS df_cut
+            FROM documents),
+    dfreq AS (
+        SELECT chunk, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM chunks GROUP BY 1
+    ),
+    marked AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk,
+               CASE WHEN d.df < cut.df_cut THEN 1 ELSE 0 END AS keep
+        FROM chunks c JOIN dfreq d USING (chunk) CROSS JOIN cut
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep = 1 THEN chunk END, ' '
+                               ORDER BY chunk_idx), '') AS text_clean,
+           CAST(count(*) FILTER (WHERE keep = 1) AS BIGINT)
+               AS n_chunks_kept,
+           CAST(count(*) FILTER (WHERE keep = 0) AS BIGINT)
+               AS n_chunks_dropped
+    FROM marked GROUP BY doc_id
+    """,
+)
+def q_boilerplate_chunk_removal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (dataprep/dedup.py:
+    boilerplate_chunk_removal — the C4/CCNet line-dedup pass on
+    aligned 2-token chunks): a chunk appearing in >= max(3,
+    ceil(n_docs/20)) DISTINCT docs is dropped from EVERY document —
+    unlike chunk_dedup's first-wins rule, which keeps one copy. All
+    threshold arithmetic integer, so the oracle lands on the same
+    cut."""
+    from taxi_trips_etl_spark.dataprep.dedup import (
+        boilerplate_chunk_removal,
+    )
+
+    return boilerplate_chunk_removal(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=2,
+        df_divisor=20,
+        df_floor=3,
+    )
+
+
+def _kn_xent_oracle() -> str:
+    from taxi_trips_etl_spark.dataprep.lm import (
+        kneser_ney_doc_xent_oracle_sql,
+    )
+
+    return kneser_ney_doc_xent_oracle_sql(TOKS_SQL, keep_below=3.5)
+
+
+@register("kn_doc_xent_filter", _kn_xent_oracle())
+def q_kn_doc_xent_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity quality gate with the interpolated-KN bigram
+    estimator (dataprep/lm.py:kneser_ney_doc_xent) — the CCNet filter
+    upgraded from the unigram proxy (unigram_logprob_buckets). The
+    model trains on the same corpus, so every doc bigram scores by the
+    exact-integer KN formula; per-bigram logs quantize to int64
+    micro-nats before the (order-free) sum, and the mean is one
+    division of two exact integers."""
+    from taxi_trips_etl_spark.dataprep.lm import kneser_ney_doc_xent
+
+    return kneser_ney_doc_xent(
+        _t(spark, sf_dir, "documents"), keep_below=3.5
+    )
+
+
+@register(
+    "range_partition_plan",
+    """
+    WITH r AS (
+        SELECT l_orderkey AS k,
+               row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                   AS rn
+        FROM lineitem
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+    SELECT CAST((rn - 1) * 16 // n AS BIGINT) AS bucket,
+           CAST(min(k) AS BIGINT) AS lo,
+           CAST(max(k) AS BIGINT) AS hi,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM r CROSS JOIN n
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth split points for repartitionByRange(l_orderkey)
+    over 16 target partitions (dataprep/layout.py:range_partition_plan)
+    — the pinned-boundary layout table that makes rerun/backfill file
+    ranges stable where Spark's own RangePartitioner re-samples per
+    run. Audit-grade exact rank here; the 100 TB path applies the same
+    integer arithmetic to a deterministic sample."""
+    from taxi_trips_etl_spark.dataprep.layout import range_partition_plan
+
+    return range_partition_plan(
+        _t(spark, sf_dir, "lineitem"),
+        key="l_orderkey",
+        n_partitions=16,
+        tiebreak="l_linenumber",
+    )
+
+
+@register(
+    "adaptive_salt_plan",
+    """
+    SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows,
+           least(CAST(32 AS BIGINT),
+                 (count(*) + 399) // 400) AS salt_factor
+    FROM lineitem GROUP BY 1
+    HAVING (count(*) + 399) // 400 > 1
+    ORDER BY n_rows DESC, l_suppkey
+    """,
+)
+def q_adaptive_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation planner (dataprep/layout.py:adaptive_salt_plan):
+    per join key the ceil(count/target) salt factor the salted-join
+    builder (see skew_salted_join) uses to split a hot key across
+    sub-partitions. Only the heavy tail is emitted — light keys ride
+    the unsalted path — so the plan table is broadcastable by
+    construction."""
+    from taxi_trips_etl_spark.dataprep.layout import adaptive_salt_plan
+
+    return adaptive_salt_plan(
+        _t(spark, sf_dir, "lineitem"),
+        key="l_suppkey",
+        target_rows_per_task=400,
+        max_salt=32,
+    )
+
+
+def _fertility_oracle() -> str:
+    from taxi_trips_etl_spark.queries._round5 import _BPE_ORACLE
+
+    return f"""
+    WITH perdoc AS ({_BPE_ORACLE})
+    SELECT d.source,
+           CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+           (2000 * sum(p.n_bpe_tokens) + sum(p.n_words))
+               // (2 * sum(p.n_words)) AS fertility_milli
+    FROM perdoc p JOIN documents d USING (doc_id)
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+@register("tokenizer_fertility_by_source", _fertility_oracle())
+def q_tokenizer_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer-QA fertility audit: BPE subword tokens per word, by
+    source, under the frozen merge table of bpe_apply_encode — the
+    number that decides whether a tokenizer is fair to a domain (high
+    fertility = that source pays more sequence length per word, trains
+    slower, truncates sooner). fertility_milli is the integer
+    round-half-up of 1000·tokens/words — (2000·t + w) div (2·w) — so
+    no float division enters the hash."""
+    from taxi_trips_etl_spark.queries._round5 import q_bpe_apply_encode
+
+    perdoc = q_bpe_apply_encode(spark, sf_dir)
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        perdoc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility_milli",
+            F.expr(
+                "(2000 * n_bpe_tokens + n_words) div (2 * n_words)"
+            ).cast("long"),
+        )
+        .orderBy("source")
+    )
+
+
+def _frag_sql(seq_len: int) -> str:
+    return f"""
+    SELECT CAST({seq_len} AS BIGINT) AS seq_len,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE n_seqs > 1) AS BIGINT)
+               AS n_docs_split,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+           CAST((max(start_offset + n_tokens) - 1) // {seq_len} + 1
+                AS BIGINT) AS n_sequences,
+           (2000 * count(*) FILTER (WHERE n_seqs > 1) + count(*))
+               // (2 * count(*)) AS split_frac_milli
+    FROM (
+        SELECT doc_id, n_tokens, start_offset,
+               (start_offset + n_tokens - 1) // {seq_len}
+                   - start_offset // {seq_len} + 1 AS n_seqs
+        FROM (
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS start_offset
+            FROM (SELECT doc_id, CAST(len({TOKS_SQL}) AS BIGINT)
+                             AS n_tokens
+                  FROM documents)
+        )
+    )
+    """
+
+
+@register(
+    "packing_fragmentation_audit",
+    f"{_frag_sql(128)} UNION ALL {_frag_sql(512)} ORDER BY seq_len",
+)
+def q_packing_fragmentation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sequence-packing fragmentation audit at seq_len 128 and 512:
+    how many documents straddle a training-sequence boundary under
+    concatenate-and-split packing (dataprep/packing.py), total
+    sequences produced, and the split fraction in integer milli units
+    — the table that prices a seq_len choice (every split doc loses
+    attention context at the cut). Reuses pack_sequences' bucketed
+    two-pass plan; the audit agg is a handful of scalars per
+    seq_len."""
+    from taxi_trips_etl_spark.dataprep.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for seq_len in (128, 512):
+        p = pack_sequences(docs, seq_len=seq_len)
+        outs.append(
+            p.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum((F.col("n_seqs") > 1).cast("long"))
+                .cast("long")
+                .alias("n_docs_split"),
+                F.sum("n_tokens").cast("long").alias("tokens_total"),
+                F.expr(
+                    f"CAST((max(start_offset + n_tokens) - 1)"
+                    f" div {seq_len} + 1 AS BIGINT)"
+                ).alias("n_sequences"),
+            ).select(
+                F.lit(seq_len).cast("long").alias("seq_len"),
+                "n_docs",
+                "n_docs_split",
+                "tokens_total",
+                "n_sequences",
+                F.expr(
+                    "(2000 * n_docs_split + n_docs) div (2 * n_docs)"
+                ).cast("long").alias("split_frac_milli"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("seq_len")

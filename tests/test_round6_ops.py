@@ -231,3 +231,94 @@ def test_hard_negative_fewer_than_k_foreign(spark):
     assert len(by_q[4]) == 4  # the lone label-1 vector: 4 foreign rows
     for q in (0, 1, 2, 3):
         assert len(by_q[q]) == 1  # only vec 4 is foreign to label 0
+
+
+# --- round-6 operator batch --------------------------------------------------
+
+
+def _docs6(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", f"src{i % 2}", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_boilerplate_removal_drops_all_occurrences(spark):
+    """A chunk present in >= df_floor docs vanishes EVERYWHERE —
+    including its first occurrence (contrast: chunk_dedup keeps one)."""
+    from taxi_trips_etl_spark.dataprep.dedup import (
+        boilerplate_chunk_removal,
+    )
+
+    rows = [(i, f"share this uniq{i} word{i}") for i in range(10)]
+    out = {
+        r.doc_id: r
+        for r in boilerplate_chunk_removal(
+            _docs6(spark, rows), chunk_tokens=2, df_divisor=2, df_floor=3
+        ).collect()
+    }
+    # "share this" appears in all 10 docs -> boilerplate everywhere;
+    # "uniqN wordN" is unique per doc -> kept.
+    for i in range(10):
+        assert out[i].text_clean == f"uniq{i} word{i}"
+        assert out[i].n_chunks_dropped == 1
+        assert out[i].n_chunks_kept == 1
+
+
+def test_boilerplate_removal_keeps_rare_chunks(spark):
+    from taxi_trips_etl_spark.dataprep.dedup import (
+        boilerplate_chunk_removal,
+    )
+
+    rows = [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta")]
+    out = boilerplate_chunk_removal(
+        _docs6(spark, rows), chunk_tokens=2, df_divisor=2, df_floor=3
+    ).collect()
+    # df = 2 < floor 3: nothing dropped even though both docs repeat.
+    assert all(r.n_chunks_dropped == 0 for r in out)
+
+
+def test_kn_doc_xent_orders_quality(spark):
+    """A document made of the corpus's dominant bigram scores LOWER
+    cross-entropy than one of rare bigrams."""
+    from taxi_trips_etl_spark.dataprep.lm import kneser_ney_doc_xent
+
+    rows = [
+        (0, "a b a b a b a b a b"),
+        (1, "a b a b a b a b a b"),
+        (2, "q r s t u v w x y z"),
+    ]
+    out = {
+        r.doc_id: r.xent_nats
+        for r in kneser_ney_doc_xent(_docs6(spark, rows)).collect()
+    }
+    assert out[0] == out[1] < out[2]
+
+
+def test_range_partition_plan_equidepth(spark):
+    from taxi_trips_etl_spark.dataprep.layout import range_partition_plan
+
+    df = spark.range(1000).select(
+        (F.col("id") % 100).alias("key"), F.col("id").alias("uid")
+    )
+    plan = range_partition_plan(
+        df, key="key", n_partitions=8, tiebreak="uid"
+    ).collect()
+    assert [r.bucket for r in plan] == list(range(8))
+    assert all(r.n_rows == 125 for r in plan)  # 1000/8 exact
+    for a, b in zip(plan, plan[1:]):
+        assert a.hi <= b.lo  # boundaries are monotone
+
+
+def test_adaptive_salt_plan_heavy_tail_only(spark):
+    from taxi_trips_etl_spark.dataprep.layout import adaptive_salt_plan
+
+    rows = [(1,)] * 5000 + [(2,)] * 100 + [(3,)] * 2001
+    df = spark.createDataFrame(rows, "k long")
+    plan = {
+        r.k: r.salt_factor
+        for r in adaptive_salt_plan(
+            df, key="k", target_rows_per_task=1000, max_salt=4
+        ).collect()
+    }
+    assert plan == {1: 4, 3: 3}  # ceil(5000/1000)=5 capped at 4; 2 absent
