@@ -131,6 +131,17 @@ EXPECT = {
     "snapshot_diff_customers": ["Join"],
     "graph_shortest_paths": ["Scan ExistingRDD|HashAggregate"],
     "corpus_prepare_v3": ["HashAggregate", "Window"],
+    # Round 6. hard_negative_mining must be the blocked cogroup
+    # matmul, never a pair join.
+    "hard_negative_mining": ["FlatMapCoGroupsInPandas"],
+    "boilerplate_chunk_removal": ["HashAggregate"],
+    "kn_doc_xent_filter": ["BroadcastHashJoin", "HashAggregate"],
+    "range_partition_plan": ["Window", "HashAggregate"],
+    "adaptive_salt_plan": ["HashAggregate"],
+    # PQ: ranking is a WindowGroupLimit over the ADC scores; the giant
+    # literal-codebook expressions run interpreted (codegen declines
+    # the oversized tree), which is fine — they are still JVM-side.
+    "similarity_pq_topk": ["WindowGroupLimit", "Window"],
 }
 
 FORBID = {
@@ -278,6 +289,27 @@ FORBID = {
     "graph_shortest_paths": ["BatchEvalPython", "CartesianProduct"],
     "corpus_prepare_v3": ["BatchEvalPython", "ArrowEvalPython",
                           "CartesianProduct"],
+    # Round 6. The rewritten hard-negative plan may not regress to the
+    # all-pairs pair join it replaced; its only Python is the Arrow
+    # cogroup, and the only nested loop allowed is the 32-row literal
+    # block replication (which is why BNLJ is NOT forbidden here —
+    # EXPECT pins FlatMapCoGroupsInPandas as the scoring path).
+    "hard_negative_mining": ["CartesianProduct", "BatchEvalPython"],
+    # Chunk df-count + reassembly: never doc x doc, never Python.
+    "boilerplate_chunk_removal": ["CartesianProduct", "BatchEvalPython",
+                                  "ArrowEvalPython", "SortMergeJoin"],
+    # The KN model join must broadcast (vocab^2-bounded); the corpus
+    # path stays JVM-side.
+    "kn_doc_xent_filter": ["SortMergeJoin", "CartesianProduct",
+                           "BatchEvalPython", "ArrowEvalPython"],
+    # Planners are pure relational: no Python, no joins beyond the
+    # sanctioned 1-row broadcast.
+    "adaptive_salt_plan": ["Join", "BatchEvalPython"],
+    "range_partition_plan": ["SortMergeJoin", "BatchEvalPython"],
+    # Integer PQ: encode + ADC are pure codegen over literal
+    # codebooks; no Python anywhere in the corpus path.
+    "similarity_pq_topk": ["BatchEvalPython", "ArrowEvalPython",
+                           "SortMergeJoin", "CartesianProduct"],
 }
 
 
