@@ -970,6 +970,142 @@ def hard_negative_topk(
     )
 
 
+def hard_negative_topk_ivf(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining behind the IVF coarse quantizer — the
+    100 TB composition :func:`hard_negative_topk`'s docstring
+    promises: every vector probes its ``nprobe`` nearest cells and
+    reranks ONLY those cells' foreign-label members, so the scored
+    pair count is Σ_cell |probers(cell)|·|members(cell)| instead of
+    n² — the inverted-list contraction that keeps exact-rerank ANN
+    affordable when the corpus no longer fits a broadcast.
+
+    Output: (query_id, neighbor_id, cosine, hn_rank) — the top-k
+    cross-label cosine neighbors WITHIN the probed cells (recall < 1
+    vs the exact miner is inherent to IVF and governed by nprobe).
+
+    Determinism split: cell ASSIGNMENT uses the JVM ``cosine`` fold —
+    the same expression the hash-green IVF entry already proved
+    agrees with DuckDB's list_sum — so both engines build identical
+    inverted lists and probe sets; only the RERANK runs as the
+    blocked float64 matmul (per-cell cogroup/applyInPandas, corpus
+    pre-sorted by id for the stable tie-break), whose ulp noise the
+    6-decimal rounding absorbs. Per-cell top-k before the global
+    window is lossless (global top-k ⊆ union of per-cell top-k at
+    the same k), so the final window sees ≤ nprobe·k rows per query.
+    """
+    import pandas as pd  # noqa: F401
+
+    cents = (
+        embeddings.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+        )
+    )
+    scored_cells = embeddings.join(F.broadcast(cents)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(label_col),
+        "cent_id",
+        cosine(F.col(vec_col), F.col("cent_vec")).alias("_ccos"),
+    )
+    w_cell = Window.partitionBy(id_col).orderBy(
+        F.col("_ccos").desc(), F.col("cent_id")
+    )
+    # assignment and probes both derive from ranked_cells (self-join
+    # shape) — checkpoint per the repo's no-ReusedExchange rule, which
+    # also resolves Spark's ambiguous-column complaint on the cogroup.
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    ranked_cells = materialize(
+        scored_cells.withColumn(
+            "cell_rank", F.row_number().over(w_cell)
+        ),
+        eager=False,
+    )
+    assignment = ranked_cells.filter(F.col("cell_rank") == 1).select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+        "cent_id",
+    )
+    probes = ranked_cells.filter(F.col("cell_rank") <= nprobe).select(
+        F.col(id_col).cast("long").alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+        "cent_id",
+    )
+
+    def _score_cell(left, right):
+        import numpy as np
+        import pandas as pd
+
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype="int64"),
+                    "neighbor_id": pd.Series(dtype="int64"),
+                    "_cos": pd.Series(dtype="float64"),
+                }
+            )
+        right = right.sort_values("neighbor_id", kind="mergesort")
+        Q = np.vstack(left["q_vec"].to_numpy()).astype(np.float64)
+        C = np.vstack(right["c_vec"].to_numpy()).astype(np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        cn = np.sqrt((C * C).sum(axis=1))
+        S = (Q @ C.T) / (qn[:, None] * cn[None, :])
+        same = (
+            left["q_label"].to_numpy()[:, None]
+            == right["c_label"].to_numpy()[None, :]
+        )
+        S[same] = -np.inf
+        k_eff = min(k, S.shape[1])
+        idx = np.argsort(-S, axis=1, kind="stable")[:, :k_eff]
+        scores = np.take_along_axis(S, idx, axis=1)
+        nid = right["neighbor_id"].to_numpy()
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(
+                    left["query_id"].to_numpy(), k_eff
+                ),
+                "neighbor_id": nid[idx].ravel(),
+                "_cos": scores.ravel(),
+            }
+        )
+        return out[np.isfinite(out["_cos"].to_numpy())]
+
+    cell_topk = (
+        probes.groupBy("cent_id")
+        .cogroup(assignment.groupBy("cent_id"))
+        .applyInPandas(
+            _score_cell,
+            "query_id long, neighbor_id long, _cos double",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cell_topk.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("_cos", 6).alias("cosine"),
+            F.col("hn_rank").cast("long").alias("hn_rank"),
+        )
+    )
+
+
 def truncation_recall(
     embeddings: DataFrame,
     dims: tuple[int, ...] = (16, 32),

@@ -276,3 +276,148 @@ def q_packing_fragmentation_audit(
             )
         )
     return outs[0].unionByName(outs[1]).orderBy("seq_len")
+
+
+_HNIVF_COS = """
+    list_sum(list_transform(generate_series(1, len({a})),
+                            i -> {a}[i] * {b}[i]))
+    / (sqrt(list_sum(list_transform(generate_series(1, len({a})),
+                                    i -> {a}[i] * {a}[i])))
+       * sqrt(list_sum(list_transform(generate_series(1, len({b})),
+                                      i -> {b}[i] * {b}[i]))))
+"""
+
+
+@register(
+    "hard_negative_mining_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, emb AS cent_vec
+              FROM e WHERE vec_id < 8),
+    scored_cells AS (
+        SELECT a.vec_id, a.emb, a.label, cents.cent_id,
+               {_HNIVF_COS.format(a="a.emb", b="cents.cent_vec")} AS ccos
+        FROM e a CROSS JOIN cents
+    ),
+    ranked_cells AS (
+        SELECT vec_id, emb, label, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY ccos DESC, cent_id)
+                   AS cell_rank
+        FROM scored_cells
+    ),
+    assignment AS (
+        SELECT vec_id AS neighbor_id, emb AS c_vec, label AS c_label,
+               cent_id
+        FROM ranked_cells WHERE cell_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, emb AS q_vec, label AS q_label,
+               cent_id
+        FROM ranked_cells WHERE cell_rank <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               {_HNIVF_COS.format(a="p.q_vec", b="a.c_vec")} AS cos
+        FROM probes p JOIN assignment a USING (cent_id)
+        WHERE p.q_label != a.c_label
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS r
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+           CAST(r AS BIGINT) AS hn_rank
+    FROM ranked WHERE r <= 2
+    """,
+)
+def q_hard_negative_mining_ivf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB hard-negative plan: IVF coarse quantizer in front
+    (probe 2 of 8 cells, inverted-list contraction of the pair count)
+    + exact per-cell matmul rerank (dataprep/similarity.py:
+    hard_negative_topk_ivf). The exact all-pairs miner
+    (hard_negative_mining) stays as the truth/audit twin; this entry
+    pins the approximation ITSELF — the oracle replays assignment,
+    probing and rerank, so any recall drift from the exact answer is
+    a property of IVF, not a bug."""
+    from taxi_trips_etl_spark.dataprep.similarity import (
+        hard_negative_topk_ivf,
+    )
+
+    return hard_negative_topk_ivf(
+        _t(spark, sf_dir, "embeddings"), n_centroids=8, nprobe=2, k=2
+    )
+
+
+@register(
+    "streaming_late_dupes_dropped",
+    """
+    WITH b AS (SELECT date_trunc('day', min(ts)) AS d0 FROM events)
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events CROSS JOIN b
+    WHERE ts < d0 + INTERVAL 3 DAY
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_late_dupes_dropped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark LATENESS pinned end-to-end (streaming/late_data.py):
+    batch 3 re-delivers every day-1 row two batches after its window
+    expired, so the engine must DROP all of them — append-mode output
+    equals the plain batch per-day count (the oracle). A single
+    accepted late duplicate double-counts day 1 and breaks the hash.
+    The staging deliberately encodes Spark's one-batch watermark lag
+    (late-event filtering uses batch N−1's watermark, eviction uses
+    batch N's — a replay in the IMMEDIATELY following batch is still
+    accepted; measured, see the module docstring). Distinct from the
+    explicit keyed-state dedup entries: this is the implicit
+    replay-dedup a 100 TB ingest gets from bounded lateness."""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.queries._registry import _events
+    from taxi_trips_etl_spark.streaming.late_data import (
+        run_late_data_drain,
+        stage_late_replay,
+    )
+
+    ev_all = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    day0 = ev_all.agg(
+        F.date_trunc("day", F.min("ts")).alias("d")
+    ).collect()[0]["d"]
+    d0 = day0.strftime("%Y-%m-%d %H:%M:%S")
+    ev = ev_all.filter(
+        F.col("ts") < F.expr(f"TIMESTAMP '{d0}' + INTERVAL 3 DAYS")
+    )
+    work = tempfile.mkdtemp(prefix="late_data_q_")
+    try:
+        src = stage_late_replay(spark, ev, day0, work)
+        schema = spark.read.parquet(f"{src}/a_ontime.parquet").schema
+        run_late_data_drain(
+            spark,
+            src,
+            schema,
+            out_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt",
+        )
+        out = materialize(
+            spark.read.parquet(f"{work}/out").select(
+                F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "n_events",
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

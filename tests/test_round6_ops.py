@@ -322,3 +322,84 @@ def test_adaptive_salt_plan_heavy_tail_only(spark):
         ).collect()
     }
     assert plan == {1: 4, 3: 3}  # ceil(5000/1000)=5 capped at 4; 2 absent
+
+
+def test_hard_negative_ivf_subset_of_exact_candidates(spark):
+    """IVF hard negatives must (a) never pair same labels, (b) rank by
+    cosine within the probed candidates, and (c) on well-separated
+    clusters where probing covers the relevant cells, agree with the
+    exact miner for most queries."""
+    from taxi_trips_etl_spark.dataprep.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_ivf,
+    )
+
+    rng = np.random.RandomState(21)
+    vecs = rng.randn(60, 16).astype(np.float32)
+    labels = [i % 3 for i in range(60)]
+    df = _emb_df(spark, vecs, labels)
+    ivf = hard_negative_topk_ivf(
+        df, n_centroids=6, nprobe=3, k=2
+    ).collect()
+    lab = dict(enumerate(labels))
+    assert ivf, "no output"
+    for r in ivf:
+        assert lab[r.query_id] != lab[r.neighbor_id]
+    exact = {
+        (r.query_id, r.hn_rank): r.neighbor_id
+        for r in hard_negative_topk(df, k=2).collect()
+    }
+    agree = sum(
+        1
+        for r in ivf
+        if exact.get((r.query_id, r.hn_rank)) == r.neighbor_id
+    )
+    assert agree >= len(ivf) * 0.5  # recall governed by nprobe
+
+
+def test_stage_late_replay_layout(spark, tmp_path):
+    """Four files, mtime-ordered: on-time days 1-2, day 3, the day-1
+    re-delivery, the heartbeat — the one-batch watermark-lag staging
+    (see streaming/late_data.py module docstring)."""
+    import os
+
+    from taxi_trips_etl_spark.streaming.late_data import stage_late_replay
+
+    rows = []
+    import datetime
+
+    day0 = datetime.datetime(2024, 1, 1)
+    for d in range(3):
+        for i in range(4):
+            rows.append(
+                (
+                    d * 10 + i,
+                    day0 + datetime.timedelta(days=d, hours=i),
+                    i,
+                    "click",
+                    1.0,
+                    None,
+                )
+            )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    src = stage_late_replay(spark, ev, day0, str(tmp_path / "w"))
+    files = sorted(
+        os.listdir(src), key=lambda f: os.stat(f"{src}/{f}").st_mtime
+    )
+    assert files == [
+        "a_ontime.parquet",
+        "b_day3.parquet",
+        "c_late_replay.parquet",
+        "d_heartbeat.parquet",
+    ]
+    assert spark.read.parquet(f"{src}/a_ontime.parquet").count() == 8
+    assert spark.read.parquet(f"{src}/b_day3.parquet").count() == 4
+    late = spark.read.parquet(f"{src}/c_late_replay.parquet")
+    assert late.count() == 4  # exactly the day-1 rows, re-delivered
+    assert late.agg(F.max("ts")).collect()[0][0] < day0 + datetime.timedelta(days=1)
+    hb = spark.read.parquet(f"{src}/d_heartbeat.parquet").collect()
+    assert len(hb) == 1 and hb[0].user_id == -1
