@@ -558,6 +558,142 @@ def minhash_lsh_incremental(
     )
 
 
+def weighted_minhash_pairs(
+    docs: DataFrame,
+    text: str = "text",
+    cap: int = 2,
+    ngram: int = 2,
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    min_wjacc_milli: int = 250,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """WEIGHTED-Jaccard near-dup pairs — the tf-aware upgrade of the
+    set-Jaccard miners: two docs built from the same vocabulary in
+    different proportions score low, repeated-content clones score
+    high. Weighted Jaccard of capped term frequencies
+    (Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b), tf capped at ``cap``)
+    via the replica-expansion identity: token t with capped tf c
+    becomes items t#1..t#c, and SET Jaccard of the replica sets IS
+    the weighted Jaccard of the capped multisets — so the standard
+    md5-MinHash/LSH machinery (engine-portable, already hash-green)
+    applies unchanged, and the exact verify is integer min/max sums.
+
+    → (doc_id_a, doc_id_b, wjacc_milli) for band-bucket candidates
+    with wjacc_milli ≥ ``min_wjacc_milli`` (milli = integer
+    round-half-up of 1000·num/den — no float in the hash).
+
+    Scale shape: replica explode is ≤ cap× the token table; signature
+    is one partially-aggregated shuffle; candidates come from the
+    band-bucket equi-join (Σ bucket², never n²); the exact verify
+    joins tf tables ONLY for candidate pairs and doc totals ride a
+    broadcast.
+    """
+    # NON-distinct shingles (word_ngrams dedups — useless for tf):
+    # every occurrence counts toward the capped frequency.
+    grams = F.expr(
+        f"case when size(toks) >= {ngram} then "
+        f"transform(sequence(0, size(toks) - {ngram}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {ngram}))) "
+        f"else array() end"
+    )
+    tf = (
+        tokens_table(docs, text)
+        .select("doc_id", F.explode(grams).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(cap))
+            .cast("long")
+            .alias("tf")
+        )
+    )
+    tf = tf.transform(materialize, eager=False)  # 3 consumers below
+    reps = tf.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, int(tf)), i -> concat(tok, '#', i))")
+        ).alias("item"),
+    )
+    sig = reps.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("item")))
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ]
+    )
+    # Degenerate-corpus guard (same rule as minhash_lsh_candidates):
+    # buckets above max_bucket_size are dropped DETERMINISTICALLY on
+    # both engines before pairing, bounding the candidate join.
+    banded = lsh_bands(sig, k=k, bands=bands)
+    bsz = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("bsz")
+    )
+    banded = banded.join(
+        bsz.filter(F.col("bsz") <= max_bucket_size),
+        ["band_id", "band_key"],
+    ).select("doc_id", "band_id", "band_key")
+    banded = banded.transform(materialize, eager=False)  # self-join
+    cand = (
+        banded
+        .alias("x")
+        .join(
+            banded.alias("y"),
+            F.expr(
+                "x.band_id = y.band_id AND x.band_key = y.band_key"
+                " AND x.doc_id < y.doc_id"
+            ),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_id_a"),
+            F.col("y.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            tf.select(
+                F.col("doc_id").alias("doc_id_a"),
+                "tok",
+                F.col("tf").alias("tf_a"),
+            ),
+            "doc_id_a",
+        )
+        .join(
+            tf.select(
+                F.col("doc_id").alias("doc_id_b"),
+                "tok",
+                F.col("tf").alias("tf_b"),
+            ),
+            ["doc_id_b", "tok"],
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).cast("long").alias("num"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("tot"))
+    return (
+        inter.join(
+            F.broadcast(tot.select(F.col("doc_id").alias("doc_id_a"),
+                                   F.col("tot").alias("tot_a"))),
+            "doc_id_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("doc_id").alias("doc_id_b"),
+                                   F.col("tot").alias("tot_b"))),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.expr(
+                "(2000 * num + (tot_a + tot_b - num))"
+                " div (2 * (tot_a + tot_b - num))"
+            ).cast("long").alias("wjacc_milli"),
+        )
+        .filter(F.col("wjacc_milli") >= min_wjacc_milli)
+    )
+
+
 def boilerplate_chunk_removal(
     docs: DataFrame,
     chunk_tokens: int = 3,

@@ -421,3 +421,82 @@ def q_streaming_late_dupes_dropped(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _weighted_minhash_oracle() -> str:
+    from taxi_trips_etl_spark.queries._dedup_sim_text import (
+        _MINHASH_BANDS_SQL,
+        _MINHASH_SIG_SQL,
+    )
+
+    return f"""
+    WITH toks AS (SELECT doc_id, {TOKS_SQL} AS t FROM documents),
+    tf AS (
+        SELECT doc_id, tok, CAST(least(count(*), 2) AS BIGINT) AS tf
+        FROM (SELECT doc_id, concat_ws(' ', t[i], t[i + 1]) AS tok
+              FROM (SELECT doc_id, t,
+                           unnest(generate_series(1, len(t) - 1)) AS i
+                    FROM toks WHERE len(t) >= 2))
+        GROUP BY 1, 2
+    ),
+    reps AS (
+        SELECT doc_id, tok || '#' || CAST(i AS VARCHAR) AS item
+        FROM (SELECT doc_id, tok,
+                     unnest(generate_series(1, CAST(tf AS INTEGER)))
+                         AS i
+              FROM tf)
+    ),
+    shingled AS (SELECT doc_id, list(item) AS grams
+                 FROM reps GROUP BY 1),
+    sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} FROM shingled),
+    bands0 AS ({_MINHASH_BANDS_SQL}),
+    bands AS (
+        SELECT doc_id, band_id, band_key FROM (
+            SELECT doc_id, band_id, band_key,
+                   count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+            FROM bands0
+        ) WHERE bsz <= 50
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.doc_id_a, c.doc_id_b,
+               CAST(sum(least(ta.tf, tb.tf)) AS BIGINT) AS num
+        FROM cand c
+        JOIN tf ta ON ta.doc_id = c.doc_id_a
+        JOIN tf tb ON tb.doc_id = c.doc_id_b AND tb.tok = ta.tok
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tot
+            FROM tf GROUP BY 1)
+    SELECT i.doc_id_a, i.doc_id_b,
+           (2000 * i.num + (a.tot + b.tot - i.num))
+               // (2 * (a.tot + b.tot - i.num)) AS wjacc_milli
+    FROM inter i
+    JOIN tot a ON a.doc_id = i.doc_id_a
+    JOIN tot b ON b.doc_id = i.doc_id_b
+    WHERE (2000 * i.num + (a.tot + b.tot - i.num))
+              // (2 * (a.tot + b.tot - i.num)) >= 250
+    """
+
+
+@register("dedup_weighted_jaccard", _weighted_minhash_oracle())
+def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Jaccard (capped-tf multiset) near-dup pairs via
+    replica-expansion MinHash/LSH + exact integer min/max verify
+    (dataprep/dedup.py:weighted_minhash_pairs) — the tf-aware miner
+    that separates same-vocabulary-different-proportions docs from
+    true repeated-content clones, which set-Jaccard cannot."""
+    from taxi_trips_etl_spark.dataprep.dedup import weighted_minhash_pairs
+
+    return weighted_minhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        cap=2,
+        ngram=2,
+        min_wjacc_milli=250,
+        max_bucket_size=50,
+    )

@@ -403,3 +403,25 @@ def test_stage_late_replay_layout(spark, tmp_path):
     assert late.agg(F.max("ts")).collect()[0][0] < day0 + datetime.timedelta(days=1)
     hb = spark.read.parquet(f"{src}/d_heartbeat.parquet").collect()
     assert len(hb) == 1 and hb[0].user_id == -1
+
+
+def test_weighted_jaccard_separates_tf_profiles(spark):
+    """Identical docs score 1000; a doc vs its truncated prefix scores
+    by capped-multiset overlap, below the clone score."""
+    from taxi_trips_etl_spark.dataprep.dedup import weighted_minhash_pairs
+
+    rows = [
+        (0, "a b a b a b a b"),
+        (1, "a b a b a b a b"),   # clone of 0
+        (2, "a b c d e f g h"),   # shares the 'a b' gram only
+        *[(i, f"u{i} v{i} w{i} x{i}") for i in range(3, 30)],
+    ]
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.wjacc_milli
+        for r in weighted_minhash_pairs(
+            _docs6(spark, rows), cap=2, ngram=2, min_wjacc_milli=0,
+        ).collect()
+    }
+    assert out[(0, 1)] == 1000
+    if (0, 2) in out:  # only if LSH banded them together
+        assert out[(0, 2)] < 500
