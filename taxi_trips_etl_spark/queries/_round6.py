@@ -500,3 +500,184 @@ def q_dedup_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_wjacc_milli=250,
         max_bucket_size=50,
     )
+
+
+@register(
+    "trend_slope_by_event_type",
+    """
+    WITH d AS (
+        SELECT event_type,
+               CAST(date_diff('day',
+                    (SELECT min(CAST(ts AS DATE)) FROM events),
+                    CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events
+        GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM d GROUP BY 1
+    )
+    SELECT event_type, n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               AS slope_cents_per_day
+    FROM s WHERE n * sxx - sx * sx != 0
+    ORDER BY event_type
+    """,
+)
+def q_trend_slope_by_event_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group OLS trend: slope of daily revenue-cents against the
+    day index, per event type — the drift detector a pipeline puts on
+    every metric. Closed form (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) over
+    EXACT integers (x = days since the feed's first day, y = integer
+    cents; every sum int64-bounded), so the only float is the final
+    division, rounded to 6 — no regression library, no Python, one
+    corpus scan plus a per-group aggregate."""
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    ev = _events(spark, sf_dir)
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit(d0)).cast("long").alias("x"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("y")
+        )
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return (
+        s.filter(F.expr("n * sxx - sx * sx != 0"))
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            F.round(
+                F.expr("CAST(n * sxy - sx * sy AS DOUBLE)")
+                / F.expr("CAST(n * sxx - sx * sx AS DOUBLE)"),
+                6,
+            ).alias("slope_cents_per_day"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "streaming_full_outer_attribution",
+    """
+    WITH bound AS (SELECT min(ts) + INTERVAL 3 DAY AS cutoff FROM events),
+    p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+          FROM events WHERE event_type = 'purchase'
+            AND ts < (SELECT cutoff FROM bound)),
+    c AS (SELECT user_id, event_id AS click_id, ts AS c_ts
+          FROM events WHERE event_type = 'click'
+            AND ts < (SELECT cutoff FROM bound))
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           p.purchase_id,
+           CAST(epoch_us(p.p_ts) AS BIGINT) AS purchase_us,
+           c.click_id,
+           CAST(epoch_us(c.c_ts) AS BIGINT) AS click_us
+    FROM p FULL JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_ts <= p.p_ts
+     AND c.c_ts >= p.p_ts - INTERVAL 2 HOUR
+    """,
+)
+def q_streaming_full_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join (streaming/
+    outer_join.py:attribution_full_outer_stream): completes the
+    join-family matrix — inner (click attribution), LEFT OUTER
+    (unattributed purchases), and now both negative emissions at once
+    (purchases with no prior click AND clicks with no following
+    purchase, each proven by the watermark). Same heartbeat-drained
+    staging as the LEFT OUTER entry; the heartbeat pair matches
+    itself and is dropped by the user_id >= 0 read filter."""
+    import os
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.queries._registry import _events
+    from taxi_trips_etl_spark.streaming.outer_join import (
+        run_streaming_full_outer_attribution,
+    )
+
+    ev_all = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    cutoff = ev_all.agg(
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("c")
+    ).collect()[0]["c"]
+    ev = ev_all.filter(F.col("ts") < F.lit(cutoff))
+    work = tempfile.mkdtemp(prefix="full_outer_q_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+
+        def stage(df, name: str) -> None:
+            tmp = f"{work}/stage_{name}"
+            df.coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
+
+        stage(ev, "a_events")
+        hb_ts = cutoff.strftime("%Y-%m-%d %H:%M:%S")
+        heartbeat = spark.sql(
+            f"""
+            SELECT CAST(-1 AS BIGINT) AS event_id,
+                   TIMESTAMP '{hb_ts}' + INTERVAL 30 DAYS AS ts,
+                   CAST(-1 AS BIGINT) AS user_id,
+                   event_type,
+                   CAST(0.0 AS DOUBLE) AS value,
+                   CAST(NULL AS STRING) AS props
+            FROM VALUES ('click'), ('purchase') AS t(event_type)
+            """
+        )
+        stage(heartbeat, "b_heartbeat")
+        now = os.stat(f"{src}/a_events.parquet").st_mtime
+        os.utime(f"{src}/b_heartbeat.parquet", (now + 60, now + 60))
+        schema = spark.read.parquet(f"{src}/a_events.parquet").schema
+        run_streaming_full_outer_attribution(
+            spark,
+            src,
+            schema,
+            out_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt",
+            window_hours=2,
+        )
+        out = materialize(
+            spark.read.parquet(f"{work}/out")
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id",
+                "purchase_id",
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+                "click_id",
+                F.unix_micros("click_ts").alias("click_us"),
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

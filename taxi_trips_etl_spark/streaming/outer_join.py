@@ -114,3 +114,80 @@ def run_streaming_outer_attribution(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def attribution_full_outer_stream(
+    spark: SparkSession,
+    staged_dir: str,
+    schema,
+    window_hours: int = 2,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """FULL OUTER variant of :func:`purchases_without_clicks_stream`:
+    additionally emits (NULL, click) for clicks no purchase followed
+    within ``window_hours`` — the abandoned-browse signal. Both
+    negative emissions are watermark-proofs; state stays bounded by
+    rate × (delay + window) on each side. The heartbeat pair matches
+    ITSELF (both user −1, equal ts satisfy the range) — callers drop
+    user −1 rows, same as the LEFT OUTER drain."""
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", delay)
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+                AND c_ts <= p_ts
+                AND c_ts >= p_ts - INTERVAL {window_hours} HOURS"""
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("p_ts").alias("purchase_ts"),
+        F.col("c_id").alias("click_id"),
+        F.col("c_ts").alias("click_ts"),
+    )
+
+
+def run_streaming_full_outer_attribution(
+    spark: SparkSession,
+    staged_dir: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    window_hours: int = 2,
+    state_partitions: int = 2,
+) -> None:
+    """Drain the staged dir through the FULL OUTER join (same
+    state-partition bracket as the LEFT OUTER runner)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            attribution_full_outer_stream(
+                spark, staged_dir, schema, window_hours
+            )
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
