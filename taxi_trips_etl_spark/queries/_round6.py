@@ -681,3 +681,30 @@ def q_streaming_full_outer_attribution(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+def _rouge_oracle() -> str:
+    from taxi_trips_etl_spark.dataprep.lcs import rouge_l_oracle_sql
+    from taxi_trips_etl_spark.queries._registry import GRAMS_SQL
+
+    return rouge_l_oracle_sql(
+        TOKS_SQL, GRAMS_SQL, jaccard_threshold=0.5, limit_pairs=12
+    )
+
+
+@register("rouge_l_decontaminate", _rouge_oracle())
+def q_rouge_l_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-L (LCS-F) scoring of near-dup candidate pairs
+    (dataprep/lcs.py:rouge_l_pairs) — the decontamination criterion
+    that catches lightly-EDITED eval copies n-gram rules miss (token
+    order survives paraphrase; long n-grams do not). Quadratic DP runs
+    ONLY on the bounded Jaccard-prefiltered candidate set; the oracle
+    replays the DP by anti-diagonal recursion with integer state, so
+    the hash pins both the pair selection and every DP cell."""
+    from taxi_trips_etl_spark.dataprep.lcs import rouge_l_pairs
+
+    return rouge_l_pairs(
+        _t(spark, sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        limit_pairs=12,
+    )

@@ -425,3 +425,34 @@ def test_weighted_jaccard_separates_tf_profiles(spark):
     assert out[(0, 1)] == 1000
     if (0, 2) in out:  # only if LSH banded them together
         assert out[(0, 2)] < 500
+
+
+def test_rouge_l_scores_edited_copy(spark):
+    """An edited copy (insertions break long n-grams, order survives)
+    must score high ROUGE-L; the LCS length must be exact."""
+    from taxi_trips_etl_spark.dataprep.lcs import rouge_l_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    edited = "the quick brown fox leaps over the lazy dog near the old river bank today"
+    rows = [
+        (0, base),
+        (1, edited),
+        *[(i, f"z{i} y{i} x{i} w{i} v{i} u{i}") for i in range(2, 20)],
+    ]
+    out = rouge_l_pairs(
+        _docs6(spark, rows), jaccard_threshold=0.2, limit_pairs=5
+    ).collect()
+    got = {(r.doc_id_a, r.doc_id_b): r for r in out}
+    assert (0, 1) in got
+    r = got[(0, 1)]
+    # exact LCS: all 13 shared-order tokens ("jumps"->"leaps" breaks
+    # one, "old" inserts one)
+    a, b = base.split(), edited.split()
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j in range(1, len(b) + 1):
+            cur[j] = prev[j - 1] + 1 if x == b[j - 1] else max(prev[j], cur[j - 1])
+        prev = cur
+    assert r.lcs_tokens == prev[len(b)]
+    assert r.rouge_l_f_milli > 850
