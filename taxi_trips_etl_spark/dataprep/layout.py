@@ -66,6 +66,106 @@ def range_partition_plan(
     )
 
 
+def sampled_range_partition_plan(
+    df: DataFrame,
+    key: str,
+    n_partitions: int = 16,
+    sample_mod: int = 10,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """The PRODUCTION version of :func:`range_partition_plan`: split
+    points come from a deterministic ~1/``sample_mod`` hash sample
+    (md5 of the key+tiebreak, engine-portable — no RNG, rerun-stable),
+    then EVERY row is assigned against those pinned boundaries and the
+    plan reports actual per-bucket counts — the planner and its skew
+    audit in one pass shape.
+
+    → (bucket, lo, hi, n_rows, skew_milli): skew_milli is the
+    bucket's actual share in milli units of the ideal 1/k (1000 =
+    perfectly balanced; 2000 = this bucket carries 2× its share —
+    the number that says resample or bump k before the expensive
+    repartition runs).
+
+    Scale shape: the sample is a scan-side filter (no shuffle); its
+    global rank is k·sample-sized, not corpus-sized; full-data
+    assignment is one broadcast range join against k boundary rows +
+    a partial-agg count. This is exactly what repartitionByRange's
+    sampler does internally — exposed, deterministic, and auditable.
+    """
+    tb = tiebreak if tiebreak else key
+    sample = df.filter(
+        F.expr(
+            f"CAST(conv(substring(md5(concat(CAST({key} AS STRING),"
+            f" ':', CAST({tb} AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            f" % {sample_mod} = 0"
+        )
+    )
+    n_s = sample.select(F.count(F.lit(1)).cast("long").alias("ns"))
+    sel = sample.select(
+        F.col(key).alias("k_"),
+        *([F.col(tiebreak).alias("tb_")] if tiebreak else []),
+    )
+    w = Window.orderBy(
+        F.col("k_"), *([F.col("tb_")] if tiebreak else [])
+    )
+    ranked = (
+        sel
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(n_s))
+    )
+    # Upper split point of bucket b = the sample value at rank
+    # ceil((b+1)·ns/k) — the last bucket is unbounded above.
+    bounds = (
+        ranked.withColumn(
+            "bucket",
+            F.expr(f"(rn - 1) * {n_partitions} div ns").cast("long"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("k_").cast("long").alias("upper"))
+    )
+    # Assignment: bucket of a row = number of split points strictly
+    # below its key (range join against k-1 upper bounds, broadcast).
+    splits = bounds.filter(F.col("bucket") < n_partitions - 1).select(
+        "bucket", "upper"
+    )
+    # Assign per DISTINCT key (bucket is a pure function of the key),
+    # carrying each key's row count — the broadcast range join then
+    # touches |keys| rows, not |rows|.
+    keys = df.groupBy(F.col(key).alias("k_")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    assigned = (
+        keys.join(
+            F.broadcast(splits),
+            F.col("k_") > F.col("upper"),
+            "left_outer",
+        )
+        .groupBy("k_", "cnt")
+        .agg(F.count(F.col("upper")).cast("long").alias("bucket"))
+    )
+    total = df.select(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.min("k_").cast("long").alias("lo"),
+            F.max("k_").cast("long").alias("hi"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "lo",
+            "hi",
+            "n_rows",
+            F.expr(
+                f"(2000 * n_rows * {n_partitions} + n)"
+                " div (2 * n)"
+            ).cast("long").alias("skew_milli"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def adaptive_salt_plan(
     df: DataFrame,
     key: str,

@@ -708,3 +708,63 @@ def q_rouge_l_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         jaccard_threshold=0.5,
         limit_pairs=12,
     )
+
+
+@register(
+    "sampled_range_partition_plan",
+    """
+    WITH samp AS (
+        SELECT l_orderkey AS k_, l_linenumber AS tb
+        FROM lineitem
+        WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR)
+                  || ':' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10 = 0
+    ),
+    ns AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM samp),
+    ranked AS (
+        SELECT k_, row_number() OVER (ORDER BY k_, tb) AS rn
+        FROM samp
+    ),
+    bounds AS (
+        SELECT (rn - 1) * 16 // ns AS bucket, max(k_) AS upper
+        FROM ranked CROSS JOIN ns GROUP BY 1
+    ),
+    splits AS (SELECT bucket, upper FROM bounds WHERE bucket < 15),
+    keys AS (SELECT l_orderkey AS k_, CAST(count(*) AS BIGINT) AS cnt
+             FROM lineitem GROUP BY 1),
+    assigned AS (
+        SELECT k.k_, k.cnt,
+               CAST(count(s.upper) AS BIGINT) AS bucket
+        FROM keys k LEFT JOIN splits s ON k.k_ > s.upper
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem)
+    SELECT bucket, CAST(min(k_) AS BIGINT) AS lo,
+           CAST(max(k_) AS BIGINT) AS hi,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           (2000 * sum(cnt) * 16 + n) // (2 * n) AS skew_milli
+    FROM assigned CROSS JOIN tot
+    GROUP BY bucket, n ORDER BY bucket
+    """,
+)
+def q_sampled_range_partition_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION range-partition planner (dataprep/layout.py:
+    sampled_range_partition_plan): split points from a deterministic
+    md5 hash sample (rerun-stable, unlike RangePartitioner's RNG
+    sampling), then every row audited against the pinned boundaries —
+    per-bucket counts and skew_milli (1000 = perfect balance) in one
+    pass shape. The exact-rank twin (range_partition_plan) is the
+    audit of this sampler's quality."""
+    from taxi_trips_etl_spark.dataprep.layout import (
+        sampled_range_partition_plan,
+    )
+
+    return sampled_range_partition_plan(
+        _t(spark, sf_dir, "lineitem"),
+        key="l_orderkey",
+        n_partitions=16,
+        sample_mod=10,
+        tiebreak="l_linenumber",
+    )

@@ -456,3 +456,22 @@ def test_rouge_l_scores_edited_copy(spark):
         prev = cur
     assert r.lcs_tokens == prev[len(b)]
     assert r.rouge_l_f_milli > 850
+
+
+def test_sampled_range_partition_plan_balance(spark):
+    from taxi_trips_etl_spark.dataprep.layout import (
+        sampled_range_partition_plan,
+    )
+
+    df = spark.range(20000).select(
+        F.col("id").alias("key"), (F.col("id") * 7 % 20000).alias("uid")
+    )
+    plan = sampled_range_partition_plan(
+        df, key="key", n_partitions=8, sample_mod=10, tiebreak="uid"
+    ).collect()
+    assert [r.bucket for r in plan] == list(range(8))
+    assert sum(r.n_rows for r in plan) == 20000
+    for r in plan:  # hash sample of a uniform key: near-balanced
+        assert 600 <= r.skew_milli <= 1500, (r.bucket, r.skew_milli)
+    for a, b in zip(plan, plan[1:]):
+        assert a.hi < b.lo  # integer keys: ranges strictly separate
