@@ -142,6 +142,12 @@ EXPECT = {
     # literal-codebook expressions run interpreted (codegen declines
     # the oversized tree), which is fine — they are still JVM-side.
     "similarity_pq_topk": ["WindowGroupLimit", "Window"],
+    "hard_negative_mining_ivf": ["FlatMapCoGroupsInPandas", "Window"],
+    "dedup_weighted_jaccard": ["HashAggregate"],
+    "rouge_l_decontaminate": ["MapInPandas"],
+    "trend_slope_by_event_type": ["HashAggregate"],
+    "sampled_range_partition_plan": ["HashAggregate",
+                                     "BroadcastNestedLoopJoin"],
 }
 
 FORBID = {
@@ -310,6 +316,17 @@ FORBID = {
     # codebooks; no Python anywhere in the corpus path.
     "similarity_pq_topk": ["BatchEvalPython", "ArrowEvalPython",
                            "SortMergeJoin", "CartesianProduct"],
+    # IVF hard negatives: candidates come from inverted lists; the
+    # only Python is the per-cell Arrow cogroup.
+    "hard_negative_mining_ivf": ["CartesianProduct", "BatchEvalPython"],
+    # Candidates ride the band-bucket equi-join, never doc x doc.
+    "dedup_weighted_jaccard": ["CartesianProduct", "BatchEvalPython",
+                               "BroadcastNestedLoopJoin"],
+    # The quadratic DP touches only the bounded pair set (MapInPandas
+    # over ~12 rows); the corpus path stays JVM-side.
+    "rouge_l_decontaminate": ["BatchEvalPython"],
+    "trend_slope_by_event_type": ["Join", "BatchEvalPython",
+                                  "CartesianProduct"],
 }
 
 
