@@ -768,3 +768,100 @@ def q_sampled_range_partition_plan(
         sample_mod=10,
         tiebreak="l_linenumber",
     )
+
+
+@register(
+    "span_corruption_masks",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, len({TOKS_SQL}) AS n FROM documents
+        WHERE len({TOKS_SQL}) >= 4
+    ),
+    spans AS (
+        SELECT doc_id, n,
+               greatest(1, (n * 15 // 100) // 3) AS n_spans,
+               unnest(generate_series(0,
+                   greatest(1, (n * 15 // 100) // 3) - 1)) AS span_id
+        FROM toks
+    ),
+    geom AS (
+        SELECT doc_id, span_id,
+               span_id * n // n_spans AS seg_lo,
+               (span_id + 1) * n // n_spans
+                   - span_id * n // n_spans AS seg_len,
+               CAST(concat('0x', substr(md5('spanlen:'
+                    || CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(span_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   AS h2,
+               CAST(concat('0x', substr(md5('spanpos:'
+                    || CAST(doc_id AS VARCHAR) || ':'
+                    || CAST(span_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   AS h1
+        FROM spans
+    )
+    SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+           CAST(seg_lo + h1 % (seg_len - least(2 + h2 % 3, seg_len) + 1)
+                AS BIGINT) AS start,
+           CAST(least(2 + h2 % 3, seg_len) AS BIGINT) AS length
+    FROM geom
+    """,
+)
+def q_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption masks, DETERMINISTIC
+    (dataprep/corruption.py): 15% noise density, mean span 3, one
+    span per equal token-axis segment (containment = non-overlap
+    without rejection), boundaries from md5 integers of (doc_id,
+    span_id) — reproducible training batches and a bit-exact oracle
+    in place of batch-assembly RNG."""
+    from taxi_trips_etl_spark.dataprep.corruption import (
+        span_corruption_masks,
+    )
+
+    return span_corruption_masks(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "negative_sample_table",
+    f"""
+    WITH counts AS (
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest({TOKS_SQL}) AS tok FROM documents)
+        WHERE tok != '' GROUP BY 1
+    ),
+    cum AS (
+        SELECT token,
+               CAST(round(pow(CAST(n AS DOUBLE), 0.75) * 1000000)
+                    AS BIGINT) AS wq,
+               CAST(sum(CAST(round(pow(CAST(n AS DOUBLE), 0.75)
+                                   * 1000000) AS BIGINT))
+                    OVER (ORDER BY token ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_hi
+        FROM counts
+    ),
+    c2 AS (SELECT token, cum_hi - wq AS cum_lo, cum_hi FROM cum),
+    tw AS (SELECT max(cum_hi) AS tw FROM c2),
+    draws AS (
+        SELECT i AS sample_idx,
+               CAST(concat('0x', substr(md5('neg:'
+                    || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % (SELECT tw FROM tw) AS target
+        FROM (SELECT unnest(generate_series(0, 499)) AS i)
+    )
+    SELECT CAST(d.sample_idx AS BIGINT) AS sample_idx, c.token
+    FROM draws d JOIN c2 c
+      ON d.target >= c.cum_lo AND d.target < c.cum_hi
+    ORDER BY 1
+    """,
+)
+def q_negative_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style negative-sampling table: 500 deterministic
+    draws from the corpus unigram^0.75 distribution
+    (dataprep/corruption.py:negative_sample_table) — md5 inverse-CDF
+    over integer milli-weights, so a contrastive/skip-gram trainer
+    gets reproducible negatives and the oracle replays every draw."""
+    from taxi_trips_etl_spark.dataprep.corruption import (
+        negative_sample_table,
+    )
+
+    return negative_sample_table(_t(spark, sf_dir, "documents"))

@@ -475,3 +475,44 @@ def test_sampled_range_partition_plan_balance(spark):
         assert 600 <= r.skew_milli <= 1500, (r.bucket, r.skew_milli)
     for a, b in zip(plan, plan[1:]):
         assert a.hi < b.lo  # integer keys: ranges strictly separate
+
+
+def test_span_corruption_masks_valid_layout(spark):
+    from taxi_trips_etl_spark.dataprep.corruption import (
+        span_corruption_masks,
+    )
+
+    rows = [(i, " ".join(f"t{j}" for j in range(40 + i))) for i in range(6)]
+    out = span_corruption_masks(_docs6(spark, rows)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, spans in by_doc.items():
+        n = 40 + doc_id
+        spans = sorted(spans, key=lambda r: r.start)
+        covered = sum(r.length for r in spans)
+        assert 0 < covered <= n * 0.25  # ~15% noise, segment-clamped
+        for r in spans:
+            assert 0 <= r.start and r.start + r.length <= n
+            assert 1 <= r.length <= 4
+        for a, b in zip(spans, spans[1:]):  # segment containment
+            assert a.start + a.length <= b.start
+
+
+def test_negative_sample_table_prefers_frequent(spark):
+    from taxi_trips_etl_spark.dataprep.corruption import (
+        negative_sample_table,
+    )
+
+    rows = [(i, "common " * 50 + f"rare{i}") for i in range(10)]
+    out = negative_sample_table(
+        _docs6(spark, rows), n_samples=300
+    ).collect()
+    assert len(out) == 300
+    toks = [r.token for r in out]
+    common_frac = toks.count("common") / 300
+    # 'common' holds ~(500^0.75)/(500^0.75 + 10·1) ≈ 0.91 of the mass
+    assert common_frac > 0.75
+    # determinism
+    again = negative_sample_table(_docs6(spark, rows), n_samples=300).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
