@@ -865,3 +865,102 @@ def q_negative_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return negative_sample_table(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "jsonl_roundtrip_docs",
+    """
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(len(text)) AS BIGINT) AS total_text_len
+    FROM documents GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_jsonl_roundtrip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip (sources/readers.py:write_jsonl /
+    read_jsonl): the documents table goes out as line-delimited JSON
+    and comes back through the PERMISSIVE explicit-schema reader (at
+    100 TB, schema inference would scan everything twice; corrupt
+    lines quarantine instead of failing the ingest). The oracle
+    aggregates the ORIGINAL table, so the hash proves the round-trip
+    lost nothing — count, chars and text lengths per source."""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.sources.readers import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="jsonl_rt_")
+    try:
+        write_jsonl(docs, f"{work}/docs")
+        back = read_jsonl(
+            spark,
+            f"{work}/docs",
+            schema="doc_id long, text string, lang string,"
+            " source string, n_chars long",
+        )
+        out = materialize(
+            back.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+                F.sum(F.length("text")).cast("long").alias(
+                    "total_text_len"
+                ),
+            ).orderBy("source"),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "sft_pair_format",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+               WHERE len({TOKS_SQL}) >= 4)
+    SELECT doc_id,
+           CAST(len(toks) // 2 AS BIGINT) AS n_prompt_tokens,
+           CAST(len(toks) - len(toks) // 2 AS BIGINT)
+               AS n_response_tokens,
+           concat('<|user|>\n',
+                  array_to_string(list_slice(toks, 1, len(toks) // 2),
+                                  ' '),
+                  '\n<|assistant|>\n',
+                  array_to_string(list_slice(toks, len(toks) // 2 + 1,
+                                             len(toks)), ' '))
+               AS chatml
+    FROM t
+    """,
+)
+def q_sft_pair_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT data-prep formatting: each doc becomes a (prompt, response)
+    pair — first half of the tokens prompts, second half responds —
+    rendered into a chat-template string with role sentinels, plus
+    the per-side token counts a packing/budgeting step consumes.
+    Pure JVM string ops (slice + array_join); the template is the
+    plan, so swapping chat formats is a literal change, not a UDF."""
+    from taxi_trips_etl_spark.dataprep.dedup import tokens_table
+
+    t = tokens_table(_t(spark, sf_dir, "documents")).filter(
+        F.size("toks") >= 4
+    )
+    half = F.expr("size(toks) div 2")
+    return t.select(
+        "doc_id",
+        half.cast("long").alias("n_prompt_tokens"),
+        (F.size("toks") - half).cast("long").alias("n_response_tokens"),
+        F.concat(
+            F.lit("<|user|>\n"),
+            F.expr("array_join(slice(toks, 1, size(toks) div 2), ' ')"),
+            F.lit("\n<|assistant|>\n"),
+            F.expr(
+                "array_join(slice(toks, size(toks) div 2 + 1,"
+                " size(toks) - size(toks) div 2), ' ')"
+            ),
+        ).alias("chatml"),
+    )
