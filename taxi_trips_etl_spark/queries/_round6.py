@@ -688,7 +688,7 @@ def _rouge_oracle() -> str:
     from taxi_trips_etl_spark.queries._registry import GRAMS_SQL
 
     return rouge_l_oracle_sql(
-        TOKS_SQL, GRAMS_SQL, jaccard_threshold=0.5, limit_pairs=12
+        TOKS_SQL, GRAMS_SQL, jaccard_threshold=0.7, limit_pairs=12
     )
 
 
@@ -703,9 +703,13 @@ def q_rouge_l_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash pins both the pair selection and every DP cell."""
     from taxi_trips_etl_spark.dataprep.lcs import rouge_l_pairs
 
+    # 0.7 keeps the identical 25-pair survivor set on this corpus
+    # (checked 0.5-0.7 at sf0.001/0.01) while the PPJoin prefix index
+    # shrinks from half the grams to ~30% — the candidate join is the
+    # entry's whole cost, the DP is 12 pairs regardless.
     return rouge_l_pairs(
         _t(spark, sf_dir, "documents"),
-        jaccard_threshold=0.5,
+        jaccard_threshold=0.7,
         limit_pairs=12,
     )
 
@@ -964,3 +968,76 @@ def q_sft_pair_format(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("chatml"),
     )
+
+
+@register(
+    "streaming_checkpoint_resume",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_checkpoint_resume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once across a STOP/RESTART (streaming/resume.py): the
+    daily-count query runs as two separate StreamingQuery lifecycles
+    sharing one checkpoint — run 1 drains the feed's first half, file
+    two lands, run 2 RESUMES (the offset log proves half one is done,
+    the state store carries its counts forward). Final sink = counts
+    over the whole feed exactly once; a broken resume double-counts
+    or loses the first half and breaks the batch-oracle hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.queries._registry import _events
+    from taxi_trips_etl_spark.streaming.resume import run_resumable_drain
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mid = ev.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("m")
+    ).collect()[0]["m"]
+    work = tempfile.mkdtemp(prefix="resume_q_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+
+        def stage(df, name: str) -> None:
+            tmp = f"{work}/stage_{name}"
+            df.coalesce(1).write.parquet(tmp)
+            part = next(
+                f for f in os.listdir(tmp) if f.endswith(".parquet")
+            )
+            shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
+
+        schema_src = None
+        stage(ev.filter(F.col("ts") < F.lit(mid)), "a_first_half")
+        schema_src = spark.read.parquet(f"{src}/a_first_half.parquet").schema
+        # Lifecycle 1: only the first half exists.
+        run_resumable_drain(
+            spark, src, schema_src,
+            out_path=f"{work}/out", checkpoint_path=f"{work}/ckpt",
+        )
+        # Second half lands AFTER the first drain finished.
+        stage(ev.filter(F.col("ts") >= F.lit(mid)), "b_second_half")
+        t0 = os.stat(f"{src}/a_first_half.parquet").st_mtime
+        os.utime(f"{src}/b_second_half.parquet", (t0 + 60, t0 + 60))
+        # Lifecycle 2: same checkpoint — must resume, not reprocess.
+        run_resumable_drain(
+            spark, src, schema_src,
+            out_path=f"{work}/out", checkpoint_path=f"{work}/ckpt",
+        )
+        out = materialize(
+            spark.read.parquet(f"{work}/out").select(
+                "day", "event_type", "n_events"
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

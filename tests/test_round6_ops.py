@@ -516,3 +516,58 @@ def test_negative_sample_table_prefers_frequent(spark):
     # determinism
     again = negative_sample_table(_docs6(spark, rows), n_samples=300).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Second lifecycle must resume from the offset log, not reprocess
+    file A — the combined counts equal the batch answer exactly."""
+    import datetime
+    import os
+    import shutil
+
+    from taxi_trips_etl_spark.streaming.resume import run_resumable_drain
+
+    day0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (d * 10 + i, day0 + datetime.timedelta(days=d, hours=i), i,
+         "click" if i % 2 else "view", 1.0, None)
+        for d in range(4) for i in range(6)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    work = str(tmp_path)
+    src = f"{work}/src"
+    os.makedirs(src)
+
+    def stage(df, name):
+        tmp = f"{work}/stage_{name}"
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
+
+    mid = day0 + datetime.timedelta(days=2)
+    stage(ev.filter(F.col("ts") < F.lit(mid)), "a")
+    schema = spark.read.parquet(f"{src}/a.parquet").schema
+    run_resumable_drain(spark, src, schema,
+                        out_path=f"{work}/out", checkpoint_path=f"{work}/ck")
+    stage(ev.filter(F.col("ts") >= F.lit(mid)), "b")
+    t0 = os.stat(f"{src}/a.parquet").st_mtime
+    os.utime(f"{src}/b.parquet", (t0 + 60, t0 + 60))
+    run_resumable_drain(spark, src, schema,
+                        out_path=f"{work}/out", checkpoint_path=f"{work}/ck")
+    got = {
+        (r.day, r.event_type): r.n_events
+        for r in spark.read.parquet(f"{work}/out").collect()
+    }
+    want = {
+        (r.day, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want  # doubled day-1/2 counts = resume reprocessed A
+    # the offset log shows both lifecycles committed batches
+    assert len(os.listdir(f"{work}/ck/offsets")) >= 2
