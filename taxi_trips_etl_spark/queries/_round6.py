@@ -1041,3 +1041,79 @@ def q_streaming_checkpoint_resume(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "streaming_semi_attribution",
+    """
+    WITH bound AS (SELECT min(ts) + INTERVAL 3 DAY AS cutoff FROM events)
+    SELECT p.user_id, p.event_id AS purchase_id,
+           CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND p.ts < (SELECT cutoff FROM bound)
+      AND EXISTS (
+          SELECT 1 FROM events c
+          WHERE c.event_type = 'click'
+            AND c.ts < (SELECT cutoff FROM bound)
+            AND c.user_id = p.user_id
+            AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 2 HOUR)
+    """,
+)
+def q_streaming_semi_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream LEFT SEMI join (streaming/
+    outer_join.py:attributed_purchases_semi_stream) — each purchase
+    emits AT MOST ONCE on its first qualifying click, completing the
+    streaming join matrix (inner / left outer / full outer / semi).
+    An inner join would fan out one row per matching click; the semi
+    form IS the dedup. Oracle: batch EXISTS over the same 3-day
+    slice. No heartbeat: emission happens on match, so the drain
+    needs no watermark flush for completeness."""
+    import os
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.queries._registry import _events
+    from taxi_trips_etl_spark.streaming.outer_join import (
+        run_streaming_semi_attribution,
+    )
+
+    ev_all = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    cutoff = ev_all.agg(
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("c")
+    ).collect()[0]["c"]
+    ev = ev_all.filter(F.col("ts") < F.lit(cutoff))
+    work = tempfile.mkdtemp(prefix="semi_attr_q_")
+    try:
+        src = f"{work}/src"
+        os.makedirs(src)
+        tmp = f"{work}/stage"
+        ev.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(f"{tmp}/{part}", f"{src}/a_events.parquet")
+        schema = spark.read.parquet(f"{src}/a_events.parquet").schema
+        run_streaming_semi_attribution(
+            spark,
+            src,
+            schema,
+            out_path=f"{work}/out",
+            checkpoint_path=f"{work}/ckpt",
+            window_hours=2,
+        )
+        out = materialize(
+            spark.read.parquet(f"{work}/out").select(
+                "user_id",
+                "purchase_id",
+                F.unix_micros("purchase_ts").alias("purchase_us"),
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -191,3 +191,76 @@ def run_streaming_full_outer_attribution(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def attributed_purchases_semi_stream(
+    spark: SparkSession,
+    staged_dir: str,
+    schema,
+    window_hours: int = 2,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """LEFT SEMI variant: each purchase emits AT MOST ONCE, as soon as
+    any qualifying prior click arrives — the dedup-free "attributed
+    purchases" feed (an inner join would emit one row per matching
+    click; semi state discards the purchase after first emission).
+    No heartbeat needed for output completeness: emission happens on
+    match, not on watermark proof — the watermark only bounds state."""
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", delay)
+        )
+
+    purchases = side("purchase", "p")
+    clicks = side("click", "c")
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""p_user = c_user
+                AND c_ts <= p_ts
+                AND c_ts >= p_ts - INTERVAL {window_hours} HOURS"""
+        ),
+        "left_semi",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        F.col("p_id").alias("purchase_id"),
+        F.col("p_ts").alias("purchase_ts"),
+    )
+
+
+def run_streaming_semi_attribution(
+    spark: SparkSession,
+    staged_dir: str,
+    schema,
+    out_path: str,
+    checkpoint_path: str,
+    window_hours: int = 2,
+    state_partitions: int = 2,
+) -> None:
+    """Drain the staged dir through the LEFT SEMI join."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            attributed_purchases_semi_stream(
+                spark, staged_dir, schema, window_hours
+            )
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
