@@ -148,6 +148,10 @@ EXPECT = {
     "trend_slope_by_event_type": ["HashAggregate"],
     "sampled_range_partition_plan": ["HashAggregate",
                                      "BroadcastNestedLoopJoin"],
+    "span_corruption_masks": ["Generate"],
+    "negative_sample_table": ["BroadcastNestedLoopJoin", "Window"],
+    "sft_pair_format": ["Project"],
+    "trend_slope_by_event_type": ["HashAggregate"],
 }
 
 FORBID = {
@@ -327,6 +331,10 @@ FORBID = {
     "rouge_l_decontaminate": ["BatchEvalPython"],
     "trend_slope_by_event_type": ["Join", "BatchEvalPython",
                                   "CartesianProduct"],
+    # Objective prep is pure JVM hash arithmetic — no Python.
+    "span_corruption_masks": ["BatchEvalPython", "ArrowEvalPython",
+                              "Join"],
+    "sft_pair_format": ["BatchEvalPython", "ArrowEvalPython", "Join"],
 }
 
 
