@@ -1117,3 +1117,79 @@ def q_streaming_semi_attribution(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_with_props,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(min(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_min,
+           CAST(max(CAST(json_extract(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_max
+    FROM events WHERE props IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    variant_get extraction — the modern path for schema-on-read
+    payloads (vs json_extract_props' per-field get_json_object
+    string re-parsing: VARIANT parses once and serves every field
+    from the encoded form, the difference that matters when a 100 TB
+    events feed carries wide JSON payloads)."""
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    ev = _events(spark, sf_dir).filter(F.col("props").isNotNull())
+    v = ev.select(
+        "event_type", F.expr("parse_json(props)").alias("v")
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_with_props"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.min("k").cast("long").alias("k_min"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "pyds_object_listing",
+    """
+    SELECT concat('2026/02/01/', lpad(CAST(f AS VARCHAR), 4, '0'),
+                  '.parquet') AS path,
+           CAST(1000 + 37 * f AS BIGINT) AS size_bytes,
+           CAST(f % 24 AS BIGINT) AS hour
+    FROM (SELECT unnest(generate_series(0, 23)) AS f)
+    WHERE f % 7 != 3
+    """,
+)
+def q_pyds_object_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's object-store day listing (S1: YYYY/MM/DD/000*
+    with decoy exclusion) as a REGISTERED Spark 4 Python DataSource
+    (sources/pyds.py) — `spark.read.format("object_listing")`, the
+    extension point for mounting a bucket inventory service as a
+    table, with `partitions()` parallelizing the manifest scan. The
+    listing derives from integer arithmetic over file ordinals, so
+    the oracle rebuilds the identical manifest from
+    generate_series."""
+    from taxi_trips_etl_spark.sources.pyds import register_object_listing
+
+    register_object_listing(spark)
+    return (
+        spark.read.format("object_listing")
+        .option("ds", "2026/02/01")
+        .option("n_files", "24")
+        .option("n_partitions", "4")
+        .load()
+    )

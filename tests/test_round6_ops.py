@@ -571,3 +571,19 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     assert got == want  # doubled day-1/2 counts = resume reprocessed A
     # the offset log shows both lifecycles committed batches
     assert len(os.listdir(f"{work}/ck/offsets")) >= 2
+
+
+def test_pyds_object_listing_partitions_and_decoys(spark):
+    from taxi_trips_etl_spark.sources.pyds import register_object_listing
+
+    register_object_listing(spark)
+    df = (
+        spark.read.format("object_listing")
+        .option("ds", "2026/03/05").option("n_files", "14")
+        .option("n_partitions", "3").load()
+    )
+    rows = df.collect()
+    ordinals = sorted(int(r.path.split("/")[-1].split(".")[0]) for r in rows)
+    assert ordinals == [f for f in range(14) if f % 7 != 3]  # decoys out
+    assert df.rdd.getNumPartitions() >= 3  # manifest scan parallelized
+    assert all(r.path.startswith("2026/03/05/") for r in rows)
