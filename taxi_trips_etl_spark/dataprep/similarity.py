@@ -1253,3 +1253,103 @@ def truncation_recall_oracle_sql(
            CAST(hits AS DOUBLE) / {float(k)} AS recall_at_k
     FROM ({dim_selects})
     """
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    threshold_milli: int = 950,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    dedup that finds near-duplicate *meanings* exact-hash and
+    MinHash miss — cluster the embeddings with k-means, then compare
+    pairs ONLY within a cluster and prune every vector whose cosine
+    to a lower-id cluster-mate reaches the threshold (the paper
+    keeps one representative per semantic neighborhood; lowest id is
+    the engine's deterministic stand-in for its random choice).
+
+    → (vec_id, cluster_id, keeper_id, cos_milli) — one row per
+    PRUNED vector; ``keeper_id`` is the smallest lower-id mate over
+    threshold, ``cos_milli`` the integer round-half-up of 1000× that
+    mate's cosine.
+
+    Scale shape (100 TB): the all-pairs n² that makes naive
+    embedding dedup impossible becomes Σ_c |c|² — the clustering
+    both bounds the candidate set and shards it into independent
+    groups, so each cluster's pair block is ONE Arrow batch scored
+    as a single numpy matmul inside applyInPandas (the
+    hard_negative_topk pattern; no per-pair Python, no JVM fold).
+    k-means itself is iterations× (narrow projection + k·d partial
+    agg). At real scale raise k so the largest cluster fits an
+    executor's Arrow batch — the paper runs k≈50k over 1e9 docs for
+    the same reason. Threshold compares INTEGER cos_milli so the
+    oracle (same integer from DuckDB's fold) lands on the same
+    in/out decision; sub-milli float noise between numpy's matmul
+    accumulation order and a sequential fold is absorbed by the
+    rounding unless the true value sits within ~1e-9 of a .0005
+    boundary.
+    """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
+    from taxi_trips_etl_spark.dataprep.clustering import kmeans_assign
+
+    assigned = kmeans_assign(
+        embeddings, k=k, iterations=iterations, id_col=id_col,
+        vec_col=vec_col,
+    ).select(id_col, "cluster_id")
+    vecs = embeddings.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).join(
+        assigned.select(
+            F.col(id_col).cast("long").alias("vec_id"), "cluster_id"
+        ),
+        "vec_id",
+    )
+
+    def _prune_cluster(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id", kind="mergesort")
+        M = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        n = M.shape[0]
+        if n < 2:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "cluster_id": pd.Series(dtype="int64"),
+                    "keeper_id": pd.Series(dtype="int64"),
+                    "cos_milli": pd.Series(dtype="int64"),
+                }
+            )
+        norms = np.sqrt((M * M).sum(axis=1))
+        S = (M @ M.T) / (norms[:, None] * norms[None, :])
+        milli = np.floor(S * 1000.0 + 0.5).astype(np.int64)
+        ids = pdf["vec_id"].to_numpy()
+        rows = []
+        # Row-major scan: for each vector the FIRST lower-id mate at or
+        # over threshold (ids ascending => argmax finds the smallest).
+        for j in range(1, n):
+            over = milli[:j, j] >= threshold_milli
+            if over.any():
+                i = int(np.argmax(over))
+                rows.append(
+                    (
+                        int(ids[j]),
+                        int(pdf["cluster_id"].iloc[0]),
+                        int(ids[i]),
+                        int(milli[i, j]),
+                    )
+                )
+        return pd.DataFrame(
+            rows, columns=["vec_id", "cluster_id", "keeper_id", "cos_milli"]
+        )
+
+    return vecs.groupBy("cluster_id").applyInPandas(
+        _prune_cluster,
+        "vec_id long, cluster_id long, keeper_id long, cos_milli long",
+    ).orderBy("vec_id")
