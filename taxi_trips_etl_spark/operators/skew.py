@@ -55,3 +55,25 @@ def key_skew_report(df: DataFrame, key_cols: list[str], top: int = 10) -> DataFr
         .orderBy(F.col("n_rows").desc(), *key_cols)
         .limit(top)
     )
+
+
+def two_stage_distinct_count(
+    df: DataFrame, key_cols: list[str], dist_col: str
+) -> DataFrame:
+    """Exact COUNT(DISTINCT) that survives a hot key: stage 1 dedups
+    (key, value) pairs — partitioned by the PAIR, so a key holding
+    half the corpus still spreads across every reducer — and stage 2
+    counts the surviving pairs per key (input already key-distinct,
+    so the second shuffle moves one row per distinct value, not per
+    event). The naive single-pass ``countDistinct`` plans the same
+    two exchanges but is worth pinning as an explicit primitive:
+    at 100 TB the stage-1 partial aggregation (map-side dedup) is
+    what caps the shuffle at distinct-pairs, and this shape
+    generalizes to multi-column distincts and to sketch swap-ins
+    (HLL) when exactness can be traded.
+
+    → key_cols + (n_distinct,)"""
+    pairs = df.select(*key_cols, dist_col).distinct()
+    return pairs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )

@@ -230,3 +230,210 @@ def q_bucketed_colocated_join(
             ).cast("long").alias("revenue_cents"),
         )
     )
+
+
+def _viterbi_oracle(
+    top_multi: int = 40, max_piece: int = 4, max_word: int = 8
+) -> str:
+    """Unrolled Viterbi DP replay (the bpe_learn_merges technique):
+    d_i holds, per word, the best integer-micro-nat score reaching
+    character position i and the piece path that achieves it; each
+    stage is a row_number argmax over the <= max_piece predecessor
+    stages. MATERIALIZED throughout — DuckDB inlines CTEs, and the
+    stage fan-in is exponential without it."""
+    stages = []
+    for i in range(1, max_word + 1):
+        prevs = " UNION ALL ".join(
+            f"SELECT * FROM d{j}" for j in range(max(0, i - max_piece), i)
+        )
+        stages.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT word, word_n, pos, best, segp FROM (
+    SELECT p.word, p.word_n, {i} AS pos, p.best + v.score_micro AS best,
+           CASE WHEN p.segp = '' THEN v.piece
+                ELSE p.segp || ' ' || v.piece END AS segp,
+           row_number() OVER (PARTITION BY p.word
+                              ORDER BY p.best + v.score_micro DESC,
+                                       p.pos ASC) AS rn
+    FROM ({prevs}) p
+    JOIN vocab v ON v.piece = substring(p.word, p.pos + 1, {i} - p.pos)
+    WHERE len(p.word) >= {i}
+  ) WHERE rn = 1
+)""")
+    alld = " UNION ALL ".join(
+        f"SELECT * FROM d{i}" for i in range(1, max_word + 1)
+    )
+    return f"""
+WITH toks AS MATERIALIZED (SELECT {TOKS_SQL} AS t FROM documents),
+words AS MATERIALIZED (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS word_n
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+subs AS MATERIALIZED (
+  SELECT substring(word, s, l) AS piece, CAST(sum(word_n) AS BIGINT) AS c
+  FROM words,
+       UNNEST(generate_series(1, len(word))) AS ss(s),
+       UNNEST(generate_series(1, least({max_piece}, len(word) - s + 1)))
+           AS ll(l)
+  GROUP BY 1
+),
+vraw AS MATERIALIZED (
+  SELECT piece, c FROM subs WHERE len(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM subs WHERE len(piece) >= 2
+    ORDER BY c DESC, piece LIMIT {top_multi})
+),
+vocab AS MATERIALIZED (
+  SELECT piece, c,
+         CAST(floor(1e6 * ln(c / t.t) + 0.5) AS BIGINT) AS score_micro
+  FROM vraw, (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vraw) t
+),
+d0 AS (SELECT word, word_n, 0 AS pos, CAST(0 AS BIGINT) AS best,
+              '' AS segp FROM words),
+{",".join(stages)}
+SELECT word, word_n,
+       CAST(len(string_split(segp, ' ')) AS BIGINT) AS n_pieces,
+       segp AS segmentation, best AS score_micro
+FROM ({alld}) WHERE pos = len(word)
+"""
+
+
+@register("unigram_viterbi_segment", _viterbi_oracle())
+def q_unigram_viterbi_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SentencePiece-style unigram-LM segmentation (Kudo 2018): every
+    distinct corpus word split into the maximum-likelihood piece
+    sequence under the deterministic seed vocabulary (all chars +
+    top-40 substrings by weighted occurrence). Integer micro-nat
+    scores make the Viterbi DP exact; the oracle replays the DP as an
+    unrolled argmax CTE chain (dataprep/unigram_tok.py)."""
+    from taxi_trips_etl_spark.dataprep.unigram_tok import (
+        unigram_viterbi_segment,
+    )
+
+    return unigram_viterbi_segment(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "skewed_distinct_count",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+        AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skewed_distinct_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact distinct-users-per-event-type via the two-stage shape
+    (operators/skew.py:two_stage_distinct_count): stage 1 partitions
+    by the (key, user) PAIR so a hot event_type spreads over every
+    reducer, stage 2 moves one row per distinct pair."""
+    from taxi_trips_etl_spark.operators.skew import (
+        two_stage_distinct_count,
+    )
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    return two_stage_distinct_count(
+        _events(spark, sf_dir), ["event_type"], "user_id"
+    )
+
+
+@register(
+    "partition_pruned_scan",
+    """
+    WITH d AS (SELECT strftime(min(date_trunc('day', ts)), '%Y-%m-%d')
+                   AS day0
+               FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events, d
+    WHERE strftime(date_trunc('day', ts), '%Y-%m-%d') = d.day0
+    GROUP BY event_type
+    """,
+)
+def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning end-to-end: events land
+    partitioned by day (the S9 writer shape), and a day-literal
+    filter on the readback never opens the other days' files — the
+    scan's PartitionFilters do the pruning, no row-level work. At
+    100 TB this is the difference between reading one day and reading
+    three years. The pytest twin asserts the PartitionFilters plan;
+    this entry pins the pruned RESULT against an unpartitioned
+    oracle."""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    work = tempfile.mkdtemp(prefix="part_prune_")
+    try:
+        ev.write.mode("overwrite").partitionBy("day").parquet(
+            f"{work}/events_by_day"
+        )
+        day0 = ev.agg(F.min("day")).collect()[0][0]
+        back = spark.read.parquet(f"{work}/events_by_day").filter(
+            F.col("day") == day0
+        )
+        out = materialize(
+            back.groupBy("event_type").agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).cast("long").alias("value_cents"),
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "compact_small_files_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(32 AS BIGINT) AS n_files_before,
+           CAST(ceil(count(*) / 100.0) AS BIGINT) AS n_files_after
+    FROM documents
+    """,
+)
+def q_compact_small_files_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file compaction audit (sources/writers.py:
+    compact_small_files): a 32-way fragmented copy of documents is
+    rewritten at 100 rows/file; the audit row pins rows preserved,
+    fragment count seen, and the deterministic row-derived file
+    target. The pytest twin counts the parquet files actually
+    written."""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.sources.writers import compact_small_files
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="compact_")
+    try:
+        docs.repartition(32).write.mode("overwrite").parquet(
+            f"{work}/frag"
+        )
+        out = materialize(
+            compact_small_files(
+                spark, f"{work}/frag", f"{work}/compact",
+                rows_per_file=100,
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out

@@ -15,7 +15,7 @@ Reference semantics being re-expressed:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -178,3 +178,40 @@ def erase_keys_partitioned(
         .parquet(path)
     )
     return len(affected)
+
+
+def compact_small_files(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    rows_per_file: int,
+) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived ingest needs: streaming sinks and per-day appends leave
+    thousands of KB-sized parquet files whose per-file open/footer
+    cost dominates scans at 100 TB (and whose task count explodes the
+    scheduler). Rewrites ``in_path`` into ceil(n_rows / rows_per_file)
+    files via repartition.
+
+    The file target is derived from ROW count, not byte size, so the
+    plan is deterministic and engine-checkable; production would set
+    rows_per_file from target_bytes / avg_row_bytes. Returns a 1-row
+    audit frame (n_rows, n_files_before, n_files_after_planned) —
+    n_files_after_planned is also the exact written file count for a
+    non-empty input (repartition(n) emits n non-empty parts when
+    n <= rows).
+    """
+    import math
+
+    df = spark.read.parquet(in_path)
+    n_rows = df.count()
+    n_before = df.select(F.input_file_name()).distinct().count()
+    n_after = max(1, math.ceil(n_rows / rows_per_file))
+    df.repartition(n_after).write.mode("overwrite").parquet(out_path)
+    from taxi_trips_etl_spark.sources.localrel import local_rows
+
+    return local_rows(
+        spark,
+        [(int(n_rows), int(n_before), int(n_after))],
+        "n_rows long, n_files_before long, n_files_after long",
+    )

@@ -151,3 +151,109 @@ def test_bucketed_registry_join_has_no_exchange(spark, sf_dir):
         assert len(df.collect()) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# --- batch 6: Viterbi segmentation, pruning, compaction ---------------------
+
+
+def test_viterbi_prefers_frequent_multichar_pieces(spark):
+    """A substring frequent enough to enter the vocab beats its
+    spelled-out characters: with "abcd" dominating the corpus, the
+    whole word segments as one piece; a word containing a rare
+    character still falls back to singles."""
+    from taxi_trips_etl_spark.dataprep.unigram_tok import (
+        unigram_viterbi_segment,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, "abcd abcd abcd xq", "en", "s", 17) for i in range(5)],
+    )
+    out = {
+        r.word: r for r in unigram_viterbi_segment(
+            docs, top_multi=5, max_piece_len=4
+        ).collect()
+    }
+    assert out["abcd"].n_pieces == 1
+    assert out["abcd"].segmentation == "abcd"
+    assert out["xq"].segmentation == "x q"
+    # Scores are integer micro-nats: log probs are <= 0.
+    assert all(r.score_micro <= 0 for r in out.values())
+
+
+def test_viterbi_segmentation_reassembles_word(spark, sf_dir):
+    from taxi_trips_etl_spark.queries._round6b import (
+        q_unigram_viterbi_segment,
+    )
+
+    for r in q_unigram_viterbi_segment(spark, sf_dir).collect():
+        assert r.segmentation.replace(" ", "") == r.word
+        assert r.n_pieces == len(r.segmentation.split(" "))
+
+
+def test_partitioned_write_prunes_day_partitions(spark, sf_dir, tmp_path):
+    """The day-literal filter must reach the scan as a
+    PartitionFilter (no other days' files opened)."""
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(
+        str(tmp_path / "by_day")
+    )
+    day0 = ev.agg(F.min("day")).collect()[0][0]
+    back = spark.read.parquet(str(tmp_path / "by_day")).filter(
+        F.col("day") == day0
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [isnotnull(day" in plan
+    assert "(day" in plan.split("PartitionFilters", 1)[1][:200]
+    # Row-level correctness: pruned read == unpruned filter.
+    assert back.count() == ev.filter(F.col("day") == day0).count()
+
+
+def test_compact_small_files_writes_planned_count(spark, sf_dir, tmp_path):
+    from taxi_trips_etl_spark.sources.writers import compact_small_files
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(7).write.mode("overwrite").parquet(
+        str(tmp_path / "frag")
+    )
+    audit = compact_small_files(
+        spark, str(tmp_path / "frag"), str(tmp_path / "compact"),
+        rows_per_file=20,
+    ).collect()[0]
+    import glob
+    import math
+
+    files = glob.glob(str(tmp_path / "compact" / "part-*"))
+    assert audit.n_files_before == 7
+    assert audit.n_files_after == math.ceil(audit.n_rows / 20)
+    assert len(files) == audit.n_files_after
+    assert (
+        spark.read.parquet(str(tmp_path / "compact")).count()
+        == audit.n_rows
+    )
+
+
+def test_two_stage_distinct_count_matches_naive(spark, sf_dir):
+    from taxi_trips_etl_spark.operators.skew import (
+        two_stage_distinct_count,
+    )
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    ev = _events(spark, sf_dir)
+    got = {
+        r.event_type: r.n_distinct
+        for r in two_stage_distinct_count(
+            ev, ["event_type"], "user_id"
+        ).collect()
+    }
+    exp = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp
