@@ -152,6 +152,11 @@ EXPECT = {
     "negative_sample_table": ["BroadcastNestedLoopJoin", "Window"],
     "sft_pair_format": ["Project"],
     "trend_slope_by_event_type": ["HashAggregate"],
+    "semdedup_prune": ["FlatMapGroupsInPandas"],
+    "dpo_preference_pairs": ["Window"],
+    "skewed_distinct_count": ["HashAggregate"],
+    "unigram_viterbi_segment": ["MapInPandas", "HashAggregate"],
+    "bucketed_colocated_join": ["Bucketed: true", "HashAggregate"],
 }
 
 FORBID = {
@@ -335,7 +340,25 @@ FORBID = {
     "span_corruption_masks": ["BatchEvalPython", "ArrowEvalPython",
                               "Join"],
     "sft_pair_format": ["BatchEvalPython", "ArrowEvalPython", "Join"],
+    # SemDeDup: pairs exist only inside the per-cluster Arrow group —
+    # never a pair join, never row-at-a-time Python.
+    "semdedup_prune": ["CartesianProduct", "BatchEvalPython",
+                       "BroadcastNestedLoopJoin"],
+    # Pure relational: two windows + a key join, no Python anywhere.
+    "dpo_preference_pairs": ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct"],
+    "skewed_distinct_count": ["BatchEvalPython", "Join",
+                              "CartesianProduct"],
+    # Viterbi DP rides one Arrow mapInPandas over the DISTINCT-word
+    # table; the corpus-sized path (word counts, substring counts)
+    # stays JVM-side.
+    "unigram_viterbi_segment": ["BatchEvalPython", "CartesianProduct"],
 }
+
+# partition_pruned_scan / compact_small_files_audit execute eagerly
+# (temp-dir write + readback); their plan shapes are pinned by
+# tests/test_round6b_ops.py (PartitionFilters, written-file count)
+# instead of this lazy-plan audit.
 
 
 def main() -> None:
