@@ -437,3 +437,65 @@ def q_compact_small_files_audit(
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "schema_evolution_merge",
+    """
+    WITH v1 AS (SELECT doc_id, text, source FROM documents
+                WHERE doc_id % 2 = 0),
+    v2 AS (SELECT doc_id, text, source, lang, n_chars FROM documents
+           WHERE doc_id % 2 = 1)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(lang) AS BIGINT) AS n_with_lang,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS chars_v2_only
+    FROM (SELECT doc_id, text, source, NULL AS lang,
+                 CAST(NULL AS BIGINT) AS n_chars FROM v1
+          UNION ALL
+          SELECT doc_id, text, source, lang, n_chars FROM v2)
+    GROUP BY source
+    """,
+)
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (``mergeSchema``): an old writer's
+    files lack the columns a new writer added — the lake reality every
+    long-lived table hits. Half of documents lands with the v1 schema
+    (doc_id, text, source), half with the v2 schema (+lang, +n_chars)
+    in the SAME directory; the merged read reconciles to the superset
+    schema with NULLs for v1's missing columns, which the per-source
+    aggregate makes observable (n_with_lang counts only v2 rows). At
+    100 TB the alternative — rewriting history to the new schema — is
+    a full-corpus copy; mergeSchema is a footer union. (Production
+    note: enable per-read as here, not globally — footer merging
+    scales with file count.)"""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    docs = _t(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "source"
+        ).write.mode("overwrite").parquet(f"{work}/t/v1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "source", "lang", "n_chars"
+        ).write.mode("overwrite").parquet(f"{work}/t/v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{work}/t/v1", f"{work}/t/v2"
+        )
+        out = materialize(
+            merged.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count("lang").cast("long").alias("n_with_lang"),
+                F.coalesce(F.sum("n_chars"), F.lit(0))
+                .cast("long")
+                .alias("chars_v2_only"),
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
