@@ -499,3 +499,127 @@ def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+@register(
+    "dynamic_partition_pruning_join",
+    """
+    WITH counts AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_days FROM counts),
+    busy AS (
+        SELECT day FROM counts, tot WHERE n * n_days >= total
+    )
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e
+    JOIN busy b
+      ON strftime(date_trunc('day', e.ts), '%Y-%m-%d') = b.day
+    GROUP BY e.event_type
+    """,
+)
+def q_dynamic_partition_pruning_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning: the fact side is day-partitioned,
+    and the pruning days are only known at RUNTIME (the above-average
+    days, n·n_days >= total — an exact-integer predicate both engines
+    replay) — static PartitionFilters can't help, so Catalyst injects
+    the broadcast dim's day set as a dynamicpruning subquery INTO the
+    fact scan and skips every other day's files. (DPP requires a
+    SELECTIVE dim-side Filter — a bare LIMIT/aggregate is rejected by
+    the rule's benefit check, measured here.) The static-literal twin
+    is partition_pruned_scan; the pytest asserts the dynamicpruning
+    expression. At 100 TB this is the star-join pattern: the dim
+    filter decides which fact partitions the scan ever opens."""
+    import shutil
+    import tempfile
+
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    work = tempfile.mkdtemp(prefix="dpp_")
+    try:
+        ev.write.mode("overwrite").partitionBy("day").parquet(
+            f"{work}/events_by_day"
+        )
+        counts = ev.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        # Threshold as collected integer LITERALS: DPP's benefit check
+        # wants a selective literal Filter on the dim side — the
+        # crossJoin-broadcast scalar shape defeats it (measured). A
+        # 2-long driver scalar is the kmeans-centroid-sized exception
+        # to the no-collect rule.
+        total, n_days = counts.agg(
+            F.sum("n").cast("long"), F.count(F.lit(1)).cast("long")
+        ).collect()[0]
+        busy = counts.filter(
+            F.col("n") * F.lit(int(n_days)) >= F.lit(int(total))
+        ).select("day")
+        fact = spark.read.parquet(f"{work}/events_by_day")
+        out = materialize(
+            fact.join(F.broadcast(busy), "day")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                F.sum(
+                    F.round(F.col("value") * 100).cast("long")
+                ).cast("long").alias("value_cents"),
+            ),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+@register(
+    "pandas_api_groupby",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(o_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(o_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(sum(o_custkey) AS BIGINT) AS custkey_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandas API on Spark (pyspark.pandas): the third user surface
+    next to DataFrame and SQL — a pandas groupby/agg that PLANS as
+    the same distributed HashAggregate (no driver materialization;
+    ps frames are lazy Spark plans with an attached index). Integer
+    aggregates only, so no float-summation order enters the hash.
+    The demo matters for migration: pandas ETL scripts run unchanged
+    at cluster scale."""
+    import pyspark.pandas as ps
+
+    pdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+    out = (
+        pdf.groupby("o_orderpriority")
+        .agg(
+            n_orders=("o_orderkey", "count"),
+            min_orderkey=("o_orderkey", "min"),
+            max_orderkey=("o_orderkey", "max"),
+            custkey_sum=("o_custkey", "sum"),
+        )
+        .reset_index()
+    )
+    sdf = out.to_spark()
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("long"),
+        F.col("min_orderkey").cast("long"),
+        F.col("max_orderkey").cast("long"),
+        F.col("custkey_sum").cast("long"),
+    )

@@ -290,3 +290,57 @@ def test_tws_running_totals_matches_batch_groupby(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_dynamic_partition_pruning_injects_subquery(spark, sf_dir, tmp_path):
+    """A runtime-derived dim (above-average days, behind a selective
+    Filter) must inject a dynamicpruning expression into the
+    day-partitioned fact scan — the DPP star-join behavior the
+    registry entry demonstrates."""
+    from taxi_trips_etl_spark.queries._registry import _events
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(
+        str(tmp_path / "e")
+    )
+    counts = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    total, n_days = counts.agg(
+        F.sum("n").cast("long"), F.count(F.lit(1)).cast("long")
+    ).collect()[0]
+    busy = counts.filter(
+        F.col("n") * F.lit(int(n_days)) >= F.lit(int(total))
+    ).select("day")
+    fact = spark.read.parquet(str(tmp_path / "e"))
+    j = fact.join(F.broadcast(busy), "day").groupBy("event_type").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # And result parity with the unpartitioned self-join.
+    exp = (
+        ev.join(F.broadcast(busy), "day").groupBy("event_type").count()
+    )
+    assert sorted(map(tuple, j.collect())) == sorted(
+        map(tuple, exp.collect())
+    )
+
+
+def test_pandas_api_groupby_plans_distributed(spark, sf_dir):
+    """The ps groupby must plan as a Spark HashAggregate (lazy,
+    distributed), not a driver-side pandas materialization."""
+    from taxi_trips_etl_spark.queries._round6b import (
+        q_pandas_api_groupby,
+    )
+
+    df = q_pandas_api_groupby(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    got = {r.o_orderpriority: r.n_orders for r in df.collect()}
+    exp = {
+        r.o_orderpriority: r.n
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
