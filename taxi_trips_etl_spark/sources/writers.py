@@ -69,11 +69,13 @@ def write_partitioned_by_run_date(df: DataFrame, path: str, ds: str) -> None:
     )
 
 
-def compact_small_files(
+def compact_to_target_bytes(
     spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
-    """Small-files compaction: rewrite a parquet table into
+    """In-place small-files compaction: rewrite a parquet table into
     ceil(bytes/target) files. Returns the output file count.
+    (Byte-targeted sibling of :func:`compact_small_files`, which is
+    row-targeted and writes to a separate out_path.)
 
     The 100 TB hygiene op: streaming ingests and per-day appends leave
     thousands of KB-sized files; every downstream scan then pays one

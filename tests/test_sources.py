@@ -143,15 +143,15 @@ def test_events_nanos_reader(spark, sf_dir):
     assert ev.filter(F.col("ts").isNull()).count() == 0
 
 
-def test_compact_small_files_preserves_rows(spark, tmp_path):
-    from taxi_trips_etl_spark.sources.writers import compact_small_files
+def test_compact_to_target_bytes_preserves_rows(spark, tmp_path):
+    from taxi_trips_etl_spark.sources.writers import compact_to_target_bytes
 
     path = str(tmp_path / "frag")
     spark.range(10000).repartition(64).write.parquet(path)
     import glob
 
     assert len(glob.glob(f"{path}/*.parquet")) == 64
-    n_files = compact_small_files(spark, path, target_file_bytes=10**9)
+    n_files = compact_to_target_bytes(spark, path, target_file_bytes=10**9)
     assert n_files == 1
     assert len(glob.glob(f"{path}/*.parquet")) == 1
     assert spark.read.parquet(path).count() == 10000
