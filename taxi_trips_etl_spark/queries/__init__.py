@@ -51,3 +51,4 @@ from taxi_trips_etl_spark.queries._round5d import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round5e import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round6 import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round6b import *  # noqa: F401,F403,E402
+from taxi_trips_etl_spark.queries._round6c import *  # noqa: F401,F403,E402

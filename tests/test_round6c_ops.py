@@ -1,0 +1,189 @@
+"""Round-6 batch 6: invariants the oracle hash can't see — recursion
+equivalence for CUSUM, NTILE-law conformance for the decile formula,
+numpy agreement for OLS and the Markov fixed point, and the counting
+identities of market-basket / record-linkage / Benford."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    import __spark_entry__ as entry
+
+    return entry.queries()[name](spark, SF_DIR).collect()
+
+
+def test_cusum_equals_sequential_recursion(spark):
+    """The prefix-min closed form must equal the textbook recursion
+    S_t = max(0, S_{t-1} + x_t - mu - k) day by day."""
+    rows = sorted(_rows(spark, "cusum_change_days"), key=lambda r: r.day)
+    xs = [r.daily_cents for r in rows]
+    mu = sum(xs) // len(xs)
+    k = mu // 20
+    s = 0
+    for r, x in zip(rows, xs):
+        s = max(0, s + x - mu - k)
+        assert r.cusum_cents == s, r.day
+        assert r.alert == (1 if s > mu else 0)
+
+
+def test_decile_profile_obeys_ntile_law(spark):
+    """Bucket sizes must follow SQL NTILE: first n%10 buckets get
+    ceil(n/10) rows, the rest floor(n/10); coverage is total and
+    value ranges are non-overlapping in decile order."""
+    rows = sorted(
+        _rows(spark, "acctbal_decile_profile"), key=lambda r: r.decile
+    )
+    n = sum(r.n_rows for r in rows)
+    q, rem = divmod(n, 10)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    for r in rows:
+        assert r.n_rows == (q + 1 if r.decile <= rem else q)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_cents <= hi.min_cents
+        assert lo.min_cents <= lo.max_cents
+
+
+def test_ols_matches_numpy_least_squares(spark):
+    """Cramer's rule over exact-integer sums must agree with numpy's
+    lstsq on the same observations."""
+    import duckdb
+
+    obs = duckdb.sql(
+        f"""SELECT CAST(l_quantity AS BIGINT),
+                   CAST(round(l_discount * 100) AS BIGINT),
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchall()
+    arr = np.asarray(obs, dtype=np.float64)
+    x1, x2, y = arr[:, 0], arr[:, 1], arr[:, 2]
+    X = np.column_stack([np.ones_like(x1), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    (row,) = _rows(spark, "ols_normal_equations")
+    assert row.n_rows == len(y)
+    got = np.array([row.b0_micro, row.b1_micro, row.b2_micro]) / 1e6
+    assert np.allclose(got, beta, rtol=1e-6, atol=1e-3)
+
+
+def test_markov_stationary_near_numpy_fixed_point(spark):
+    """4 integer power-iteration steps must land within the floor-leak
+    bound of numpy's float iterate from the same start, and total
+    mass must only leak downward, bounded by states^2 per step."""
+    import duckdb
+
+    rows = _rows(spark, "markov_stationary_micro")
+    got = {r.event_type: r.stationary_micro for r in rows}
+    seq = duckdb.sql(
+        f"""WITH s AS (
+              SELECT event_type AS cur,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+              FROM '{SF_DIR}/events.parquet')
+            SELECT cur, nxt, count(*) FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2"""
+    ).fetchall()
+    states = sorted(got)
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    counts = np.zeros((k, k))
+    for cur, nxt, c in seq:
+        counts[idx[cur], idx[nxt]] = c
+    P = counts / counts.sum(axis=1, keepdims=True)
+    v = np.full(k, 1_000_000 // k, dtype=np.float64)
+    for _ in range(4):
+        v = v @ P
+    leak = 4 * k * k  # per-term floor loses < 1 micro, k^2 terms/step
+    total = sum(got.values())
+    assert 1_000_000 - leak - k <= total <= 1_000_000
+    for s in states:
+        assert abs(got[s] - v[idx[s]]) <= leak + 1, s
+
+
+def test_market_basket_counting_identities(spark):
+    rows = _rows(spark, "market_basket_brand_rules")
+    assert rows, "no rules at min-support"
+    import duckdb
+
+    (n_baskets,) = duckdb.sql(
+        f"""SELECT count(DISTINCT l_orderkey)
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchone()
+    item = dict(
+        duckdb.sql(
+            f"""SELECT p_brand, count(DISTINCT l_orderkey)
+                FROM '{SF_DIR}/lineitem.parquet' l
+                JOIN '{SF_DIR}/part.parquet' p
+                  ON l.l_partkey = p.p_partkey
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    for r in rows:
+        assert r.brand_a < r.brand_b
+        assert r.pair_cnt <= min(item[r.brand_a], item[r.brand_b])
+        assert r.support_milli == math.floor(
+            1000.0 * r.pair_cnt / n_baskets + 0.5
+        )
+        want_lift = math.floor(
+            1000.0
+            * (float(r.pair_cnt) * n_baskets)
+            / (float(item[r.brand_a]) * item[r.brand_b])
+            + 0.5
+        )
+        assert r.lift_milli == want_lift
+
+
+def test_record_linkage_blocks_are_complete(spark):
+    """Within a block every pair is compared: n_pairs == C(n_names,2);
+    matches can't exceed candidates; blocks partition the table."""
+    rows = _rows(spark, "record_linkage_blocked")
+    total_names = 0
+    for r in rows:
+        assert r.n_pairs == r.n_names * (r.n_names - 1) // 2
+        assert 0 <= r.n_matched <= r.n_pairs
+        total_names += r.n_names
+    import duckdb
+
+    (n_cust,) = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/customer.parquet'"
+    ).fetchone()
+    # blocks with a single member emit no pair row; account for them
+    (n_single,) = duckdb.sql(
+        f"""SELECT count(*) FROM (
+              SELECT substr(c_name, 1, 16), count(*) AS n
+              FROM '{SF_DIR}/customer.parquet' GROUP BY 1 HAVING n = 1)"""
+    ).fetchone()
+    assert total_names + n_single == n_cust
+
+
+def test_benford_covers_all_rows(spark):
+    rows = _rows(spark, "benford_first_digit")
+    import duckdb
+
+    (n,) = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()
+    assert sum(r.observed for r in rows) == n
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert r.excess_milli == r.observed_milli - r.expected_milli
+
+
+def test_batch6_plan_shapes(spark):
+    """Positive plan assertions: the decile rank rides the two-pass
+    RangePartitioning scheme (not a global-sort ntile window over the
+    data), and the basket build broadcasts the brand dim."""
+    import __spark_entry__ as entry
+
+    decile = entry.queries()["acctbal_decile_profile"](spark, SF_DIR)
+    dplan = decile._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in dplan.lower()
+
+    mb = entry.queries()["market_basket_brand_rules"](spark, SF_DIR)
+    mplan = mb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in mplan or "BroadcastExchange" in mplan
