@@ -179,43 +179,70 @@ def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     Levenshtein distance ≤ 1 — the classic two-stage record-linkage
     shape. Reported per block: population, candidate pairs, matches.
 
-    Scale shape: blocking replaces the n² all-pairs comparison with
-    Σ block², and the self-join key IS the block key, so Spark
-    co-partitions both sides in one shuffle and every comparison is
-    partition-local. Block sizing is the knob: a prefix this strong
-    keeps blocks O(100) rows at any corpus size. levenshtein() is a
-    JVM built-in — no Python in the pair loop."""
-    blocked = (
+    Scale shape — two independent collapses stack here:
+    (1) exact duplicates are grouped FIRST, so Levenshtein runs over
+    DISTINCT names only and record multiplicity re-enters as pure
+    integer algebra — m_a·m_b candidate pairs per name pair,
+    C(m,2) within a repeated name (distance 0, always matched) —
+    the standard signature-weighting trick, which makes the pair
+    stage immune to duplicate inflation (a 10× corpus of re-ingested
+    copies costs ~10×, not 100×); (2) the surviving distinct-name
+    comparison is blocked, Σ block² replacing n², with the self-join
+    key = the block key so one shuffle co-partitions both sides.
+    levenshtein() is a JVM built-in — no Python in the pair loop.
+    The oracle states the naive spec (all record pairs in block);
+    this plan reproduces its numbers exactly by the expansion
+    identity C(Σm,2) = ΣC(m,2) + Σ_{a<b} m_a·m_b."""
+    grp = (
         _t(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("mult"))
+        .withColumn("block_key", F.substring("c_name", 1, 16))
+    )
+    a = grp.alias("a")
+    b = grp.alias("b")
+    cross = (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.c_name") < F.col("b.c_name")),
+        )
         .select(
-            "c_custkey",
-            "c_name",
-            F.substring("c_name", 1, 16).alias("block_key"),
+            F.col("a.block_key").alias("block_key"),
+            (F.col("a.mult") * F.col("b.mult")).alias("cand"),
+            F.when(
+                F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1,
+                F.col("a.mult") * F.col("b.mult"),
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("block_key")
+        .agg(
+            F.sum("cand").cast("long").alias("cross_cand"),
+            F.sum("hit").cast("long").alias("cross_hit"),
         )
     )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.block_key") == F.col("b.block_key"))
-        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
-    ).select(
-        F.col("a.block_key").alias("block_key"),
-        F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
-        .cast("long")
-        .alias("lev"),
+    within = grp.groupBy("block_key").agg(
+        F.sum("mult").cast("long").alias("n_names"),
+        F.sum(F.expr("mult * (mult - 1) DIV 2")).cast("long").alias(
+            "within_pairs"
+        ),
     )
-    pop = blocked.groupBy("block_key").agg(
-        F.countDistinct("c_custkey").cast("long").alias("n_names")
-    )
-    per_block = pairs.groupBy("block_key").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum(F.when(F.col("lev") <= 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_matched"),
-    )
-    return per_block.join(F.broadcast(pop), "block_key").select(
-        "block_key", "n_names", "n_pairs", "n_matched"
+    return (
+        within.join(cross, "block_key", "left")
+        .na.fill(0, ["cross_cand", "cross_hit"])
+        .filter(F.col("n_names") >= 2)
+        .select(
+            "block_key",
+            "n_names",
+            (
+                F.expr("n_names * (n_names - 1) DIV 2")
+            ).cast("long").alias("n_pairs"),
+            (F.col("within_pairs") + F.col("cross_hit"))
+            .cast("long")
+            .alias("n_matched"),
+        )
     )
 
 
