@@ -43,6 +43,7 @@ def kmeans_assign(
     iterations: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_dists: bool = False,
 ) -> DataFrame:
     """→ (vec_id, cluster_id, sq_dist): Lloyd's with deterministic init.
 
@@ -91,6 +92,7 @@ def kmeans_assign(
             .cast("int")
             .alias("cluster_id"),
             F.array_min(F.col("_d")).alias("sq_dist"),
+            "_d",  # full k-distance vector; pruned unless with_dists
         )
 
     for _ in range(iterations):
@@ -120,7 +122,18 @@ def kmeans_assign(
 
     # Final assignment against the last centroid set — the in-loop
     # `assigned` lags one update when the budget is exhausted.
-    return assign(centroids).select(
+    final = assign(centroids)
+    if with_dists:
+        # Silhouette and other cluster-quality metrics need the full
+        # k-distance vector, not just the argmin; the projection is
+        # already computed, so exposing it costs nothing.
+        return final.select(
+            id_col,
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.round("sq_dist", 6).alias("sq_dist"),
+            F.col("_d").alias("sq_dists"),
+        )
+    return final.select(
         id_col,
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.round("sq_dist", 6).alias("sq_dist"),
