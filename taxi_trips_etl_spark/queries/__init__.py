@@ -54,3 +54,4 @@ from taxi_trips_etl_spark.queries._round6b import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round6c import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round6d import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round6e import *  # noqa: F401,F403,E402
+from taxi_trips_etl_spark.queries._round6f import *  # noqa: F401,F403,E402
