@@ -77,3 +77,29 @@ def test_autocomplete_agrees_with_raw_counts(spark):
     # every realizable prefix appears exactly once
     want = {(p, t[:p]) for t in counts for p in (3, 4) if len(t) >= p}
     assert seen == want
+
+
+def test_arrow_token_stats_pure_arrow_kernel(spark):
+    """The mapInArrow kernel must agree with the JVM expression twin
+    and carry the declared schema."""
+    import __spark_entry__ as entry
+    from pyspark.sql import functions as F
+
+    df = entry.queries()["arrow_token_stats"](spark, SF_DIR)
+    assert dict(df.dtypes) == {
+        "doc_id": "bigint", "n_tokens": "bigint", "n_bytes": "bigint",
+    }
+    got = {r.doc_id: (r.n_tokens, r.n_bytes) for r in df.collect()}
+    from taxi_trips_etl_spark.queries._registry import _t
+
+    jvm = (
+        _t(spark, SF_DIR, "documents")
+        .where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("t"),
+            F.octet_length(F.trim("text")).cast("long").alias("b"),
+        )
+    )
+    want = {r.doc_id: (r.t, r.b) for r in jvm.collect()}
+    assert got == want
