@@ -157,6 +157,29 @@ EXPECT = {
     "skewed_distinct_count": ["HashAggregate"],
     "unigram_viterbi_segment": ["MapInPandas", "HashAggregate"],
     "bucketed_colocated_join": ["Bucketed: true", "HashAggregate"],
+    # Round-6 batches 6-10
+    "market_basket_brand_rules": ["BroadcastHashJoin", "HashAggregate"],
+    "record_linkage_blocked": ["HashAggregate"],
+    "benford_first_digit": ["HashAggregate"],
+    "cusum_change_days": ["HashAggregate", "Window"],
+    "ols_normal_equations": ["HashAggregate"],
+    "markov_stationary_micro": ["HashAggregate"],
+    # two-pass rank: the decile sort must be a parallel range exchange
+    "acctbal_decile_profile": ["rangepartitioning", "Window"],
+    "hybrid_rrf_search": ["TakeOrderedAndProject", "HashAggregate"],
+    "chisq_independence": ["HashAggregate", "Window"],
+    "seasonal_dow_adjustment": ["HashAggregate", "BroadcastHashJoin"],
+    "topn_with_other_rollup": ["BroadcastHashJoin", "Window"],
+    # final assignment is a pure projection over the scan: centroids
+    # are literals, distances one narrow expression — no join at all
+    "kmeans_silhouette": ["Project"],
+    "multitouch_attribution": ["HashAggregate"],
+    "sequence_pattern_funnel": ["HashAggregate"],
+    "revenue_gini": ["rangepartitioning", "HashAggregate"],
+    "phrase_search_positional": ["HashAggregate"],
+    "table_diff_checksums": ["HashAggregate"],
+    "autocomplete_prefixes": ["HashAggregate", "Window"],
+    "arrow_token_stats": ["MapInArrow"],
 }
 
 FORBID = {
@@ -353,12 +376,56 @@ FORBID = {
     # table; the corpus-sized path (word counts, substring counts)
     # stays JVM-side.
     "unigram_viterbi_segment": ["BatchEvalPython", "CartesianProduct"],
+    # Round-6 batches 6-10: all-JVM paths — no Python eval, no
+    # unconstrained cartesian (broadcast cross joins plan as BNLJ and
+    # are allowed where they carry one-row frames).
+    "market_basket_brand_rules": ["BatchEvalPython", "ArrowEvalPython",
+                                  "CartesianProduct"],
+    "record_linkage_blocked": ["BatchEvalPython", "ArrowEvalPython",
+                               "CartesianProduct"],
+    "benford_first_digit": ["BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct"],
+    "cusum_change_days": ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct"],
+    "ols_normal_equations": ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct"],
+    "markov_stationary_micro": ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct"],
+    "acctbal_decile_profile": ["BatchEvalPython", "ArrowEvalPython",
+                               "CartesianProduct"],
+    "hybrid_rrf_search": ["BatchEvalPython", "ArrowEvalPython",
+                          "CartesianProduct"],
+    "chisq_independence": ["BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct"],
+    "seasonal_dow_adjustment": ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct"],
+    "topn_with_other_rollup": ["BatchEvalPython", "ArrowEvalPython",
+                               "CartesianProduct"],
+    "kmeans_silhouette": ["BatchEvalPython", "ArrowEvalPython", "Join"],
+    "multitouch_attribution": ["BatchEvalPython", "ArrowEvalPython",
+                               "CartesianProduct"],
+    "sequence_pattern_funnel": ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct"],
+    "revenue_gini": ["BatchEvalPython", "ArrowEvalPython",
+                     "CartesianProduct"],
+    "phrase_search_positional": ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"],
+    "table_diff_checksums": ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct"],
+    "autocomplete_prefixes": ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"],
+    # arrow_token_stats IS a Python map — that's the point; forbid
+    # only row-at-a-time Python.
+    "arrow_token_stats": ["BatchEvalPython"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
 # (temp-dir write + readback); their plan shapes are pinned by
 # tests/test_round6b_ops.py (PartitionFilters, written-file count)
-# instead of this lazy-plan audit.
+# instead of this lazy-plan audit. mmr_diversify_rerank likewise ends
+# in a driver-assembled local relation (K greedy steps over the 8-row
+# shortlist); its retrieval legs share hybrid_rrf_search's audited
+# shape and its semantics are pinned by the numpy greedy replay test.
 
 
 def main() -> None:
