@@ -85,3 +85,43 @@ def test_funnel_latency_consistent_with_counts(spark):
     for leg in legs.values():
         assert leg.n_users == counts["view>click>purchase"]
         assert 0 < leg.min_us <= leg.avg_us <= leg.max_us
+
+
+def test_referential_integrity_zero_orphans_on_clean_data(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["referential_integrity_audit"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 5
+    (n_li,) = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()
+    for r in rows:
+        assert r.n_orphans == 0, r.fk  # generated star schema is closed
+        if r.fk.startswith("lineitem."):
+            assert r.n_child == n_li
+
+
+def test_join_hotspots_are_true_top_fanouts(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["join_multiplicity_hotspots"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 10
+    counts = dict(duckdb.sql(
+        f"""SELECT l_partkey, count(*) FROM '{SF_DIR}/lineitem.parquet'
+            GROUP BY 1"""
+    ).fetchall())
+    rcounts = dict(duckdb.sql(
+        f"""SELECT l_partkey, count(*) FROM '{SF_DIR}/lineitem.parquet'
+            WHERE l_returnflag = 'R' GROUP BY 1"""
+    ).fetchall())
+    fanouts = sorted(
+        ((counts[k] * n, -k) for k, n in rcounts.items()), reverse=True
+    )[:10]
+    got = [(r.fanout, -r.join_key) for r in rows]
+    assert got == fanouts
+    for r in rows:
+        assert r.fanout == r.n_l * r.n_r
