@@ -180,6 +180,14 @@ EXPECT = {
     "table_diff_checksums": ["HashAggregate"],
     "autocomplete_prefixes": ["HashAggregate", "Window"],
     "arrow_token_stats": ["MapInArrow"],
+    # Round-6 batches 11-12
+    "moments_skew_kurtosis": ["HashAggregate"],
+    "ab_test_proportions": ["HashAggregate"],
+    "region_share_rollup": ["BroadcastHashJoin", "Window"],
+    "funnel_latency_stats": ["HashAggregate"],
+    "referential_integrity_audit": ["BroadcastHashJoin"],
+    "join_multiplicity_hotspots": ["TakeOrderedAndProject",
+                                   "HashAggregate"],
 }
 
 FORBID = {
@@ -417,6 +425,18 @@ FORBID = {
     # arrow_token_stats IS a Python map — that's the point; forbid
     # only row-at-a-time Python.
     "arrow_token_stats": ["BatchEvalPython"],
+    "moments_skew_kurtosis": ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct", "Window"],
+    "ab_test_proportions": ["BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct", "Window"],
+    "region_share_rollup": ["BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct"],
+    "funnel_latency_stats": ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct", "Window"],
+    "referential_integrity_audit": ["BatchEvalPython", "ArrowEvalPython",
+                                    "CartesianProduct"],
+    "join_multiplicity_hotspots": ["BatchEvalPython", "ArrowEvalPython",
+                                   "CartesianProduct", "Window"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
