@@ -188,6 +188,11 @@ EXPECT = {
     "referential_integrity_audit": ["BroadcastHashJoin"],
     "join_multiplicity_hotspots": ["TakeOrderedAndProject",
                                    "HashAggregate"],
+    # Round-6 batch 13 — sequential/robust stats confined to the
+    # post-aggregation daily frame
+    "holt_linear_smoothing": ["FlatMapGroupsInPandas", "HashAggregate"],
+    "theil_sen_slope": ["HashAggregate"],
+    "longest_increase_streaks": ["TakeOrderedAndProject", "Window"],
 }
 
 FORBID = {
@@ -437,6 +442,11 @@ FORBID = {
                                     "CartesianProduct"],
     "join_multiplicity_hotspots": ["BatchEvalPython", "ArrowEvalPython",
                                    "CartesianProduct", "Window"],
+    # holt IS a (post-agg) pandas group — forbid only row-at-a-time
+    "holt_linear_smoothing": ["BatchEvalPython", "CartesianProduct"],
+    "theil_sen_slope": ["BatchEvalPython", "ArrowEvalPython"],
+    "longest_increase_streaks": ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
