@@ -193,6 +193,9 @@ EXPECT = {
     "holt_linear_smoothing": ["FlatMapGroupsInPandas", "HashAggregate"],
     "theil_sen_slope": ["HashAggregate"],
     "longest_increase_streaks": ["TakeOrderedAndProject", "Window"],
+    "prefix_containment_pairs": ["Join"],
+    "market_basket_triples": ["LeftSemi", "BroadcastHashJoin",
+                              "HashAggregate"],
 }
 
 FORBID = {
@@ -447,6 +450,10 @@ FORBID = {
     "theil_sen_slope": ["BatchEvalPython", "ArrowEvalPython"],
     "longest_increase_streaks": ["BatchEvalPython", "ArrowEvalPython",
                                  "CartesianProduct"],
+    "prefix_containment_pairs": ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"],
+    "market_basket_triples": ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
