@@ -196,6 +196,9 @@ EXPECT = {
     "prefix_containment_pairs": ["Join"],
     "market_basket_triples": ["LeftSemi", "BroadcastHashJoin",
                               "HashAggregate"],
+    "changepoint_segmented_ols": ["Window", "TakeOrderedAndProject"],
+    "lorenz_curve_points": ["rangepartitioning", "HashAggregate"],
+    "simpson_paradox_audit": ["HashAggregate"],
 }
 
 FORBID = {
@@ -453,6 +456,12 @@ FORBID = {
     "prefix_containment_pairs": ["BatchEvalPython", "ArrowEvalPython",
                                  "CartesianProduct"],
     "market_basket_triples": ["BatchEvalPython", "ArrowEvalPython",
+                              "CartesianProduct"],
+    "changepoint_segmented_ols": ["BatchEvalPython", "ArrowEvalPython",
+                                  "CartesianProduct"],
+    "lorenz_curve_points": ["BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct"],
+    "simpson_paradox_audit": ["BatchEvalPython", "ArrowEvalPython",
                               "CartesianProduct"],
 }
 
