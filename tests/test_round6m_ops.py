@@ -1,0 +1,80 @@
+"""Round-6 batch 16 invariants: numpy corr agreement, LTV cumulative
+consistency + total conservation, Fano recomputation."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    import __spark_entry__ as entry
+
+    return entry.queries()[name](spark, SF_DIR).collect()
+
+
+def test_corr_by_brand_matches_numpy(spark):
+    rows = _rows(spark, "discount_quantity_corr_by_brand")
+    data = duckdb.sql(
+        f"""SELECT p.p_brand, CAST(round(l.l_discount*100) AS BIGINT),
+                   CAST(l.l_quantity AS BIGINT)
+            FROM '{SF_DIR}/lineitem.parquet' l
+            JOIN '{SF_DIR}/part.parquet' p ON l.l_partkey = p.p_partkey"""
+    ).fetchall()
+    per: dict = {}
+    for b, x, y in data:
+        per.setdefault(b, []).append((x, y))
+    assert len(rows) == len(per)
+    for r in rows:
+        xs, ys = zip(*per[r.p_brand])
+        assert r.n == len(xs)
+        want = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(r.corr_micro / 1e6 - want) < 1e-4, r.p_brand
+
+
+def test_cohort_ltv_cumulative_and_total(spark):
+    rows = _rows(spark, "cohort_ltv_curve")
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.cohort_m, []).append(r)
+    for cohort, rs in per.items():
+        rs.sort(key=lambda r: r.age_months)
+        assert rs[0].age_months == 0  # cohort month is the first order
+        cum = 0
+        for r in rs:
+            cum += r.rev_cents
+            assert r.cum_rev_cents == cum
+    (want_total,) = duckdb.sql(
+        f"""SELECT sum(CAST(round(o_totalprice*100) AS BIGINT))
+            FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchone()
+    assert sum(r.rev_cents for r in rows) == want_total
+
+
+def test_burstiness_matches_python(spark):
+    rows = _rows(spark, "interarrival_burstiness")
+    ev = duckdb.sql(
+        f"""SELECT user_id, event_type, epoch_us(ts) // 1000000, event_id
+            FROM '{SF_DIR}/events.parquet'
+            ORDER BY user_id, event_type, 3, event_id"""
+    ).fetchall()
+    gaps: dict = {}
+    prev: dict = {}
+    for u, t, s, _ in ev:
+        key = (u, t)
+        if key in prev:
+            gaps.setdefault(t, []).append(s - prev[key])
+        prev[key] = s
+    for r in rows:
+        gs = gaps[r.event_type]
+        n, sg = len(gs), sum(gs)
+        sgg = sum(g * g for g in gs)
+        assert r.n == n
+        assert r.mean_gap_s == sg // n
+        want = math.floor(1000.0 * ((n * sgg - sg * sg) / (n * sg)) + 0.5)
+        assert abs(r.fano_milli - want) <= 1
+        assert r.fano_milli > 0

@@ -199,6 +199,10 @@ EXPECT = {
     "changepoint_segmented_ols": ["Window", "TakeOrderedAndProject"],
     "lorenz_curve_points": ["rangepartitioning", "HashAggregate"],
     "simpson_paradox_audit": ["HashAggregate"],
+    "discount_quantity_corr_by_brand": ["BroadcastHashJoin",
+                                        "HashAggregate"],
+    "cohort_ltv_curve": ["HashAggregate", "Window"],
+    "interarrival_burstiness": ["Window", "HashAggregate"],
 }
 
 FORBID = {
@@ -463,6 +467,13 @@ FORBID = {
                             "CartesianProduct"],
     "simpson_paradox_audit": ["BatchEvalPython", "ArrowEvalPython",
                               "CartesianProduct"],
+    "discount_quantity_corr_by_brand": ["BatchEvalPython",
+                                        "ArrowEvalPython",
+                                        "CartesianProduct"],
+    "cohort_ltv_curve": ["BatchEvalPython", "ArrowEvalPython",
+                         "CartesianProduct"],
+    "interarrival_burstiness": ["BatchEvalPython", "ArrowEvalPython",
+                                "CartesianProduct"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
