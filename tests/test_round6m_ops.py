@@ -78,3 +78,46 @@ def test_burstiness_matches_python(spark):
         want = math.floor(1000.0 * ((n * sgg - sg * sg) / (n * sg)) + 0.5)
         assert abs(r.fano_milli - want) <= 1
         assert r.fano_milli > 0
+
+
+def test_hhi_bounds_and_recomputation(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["hhi_market_concentration"](
+        spark, SF_DIR
+    ).collect()
+    rev = duckdb.sql(
+        f"""SELECT s.s_nationkey, p.p_brand,
+                   CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT))
+                        AS BIGINT)
+            FROM '{SF_DIR}/lineitem.parquet' l
+            JOIN '{SF_DIR}/supplier.parquet' s ON l.l_suppkey = s.s_suppkey
+            JOIN '{SF_DIR}/part.parquet' p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    per: dict = {}
+    for nk, _, c in rev:
+        per.setdefault(nk, []).append(c)
+    for r in rows:
+        cs = per[r.nation_key]
+        total = sum(cs)
+        assert r.total_cents == total
+        millis = [math.floor(1000.0 * c / total + 0.5) for c in cs]
+        want = math.floor(sum(m * m for m in millis) / 100.0 + 0.5)
+        assert r.hhi_bp == want
+        # bounds: ~10000/n (equal shares) <= HHI <= 10000 (+milli slack)
+        assert 10000 // r.n_brands - 10 <= r.hhi_bp <= 10010
+
+
+def test_partition_skew_stats_consistent(spark):
+    import __spark_entry__ as entry
+
+    (r,) = entry.queries()["partition_skew_stats"](spark, SF_DIR).collect()
+    (n_orders,) = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()
+    assert r.total_rows == n_orders
+    assert r.min_rows <= r.mean_rows <= r.max_rows
+    assert 1 <= r.n_buckets <= 32
+    # md5 spreads a sequential key well: CV under 50% at any sf
+    assert 0 <= r.cv_milli < 500

@@ -203,6 +203,8 @@ EXPECT = {
                                         "HashAggregate"],
     "cohort_ltv_curve": ["HashAggregate", "Window"],
     "interarrival_burstiness": ["Window", "HashAggregate"],
+    "hhi_market_concentration": ["BroadcastHashJoin", "Window"],
+    "partition_skew_stats": ["HashAggregate"],
 }
 
 FORBID = {
@@ -474,6 +476,10 @@ FORBID = {
                          "CartesianProduct"],
     "interarrival_burstiness": ["BatchEvalPython", "ArrowEvalPython",
                                 "CartesianProduct"],
+    "hhi_market_concentration": ["BatchEvalPython", "ArrowEvalPython",
+                                 "CartesianProduct"],
+    "partition_skew_stats": ["BatchEvalPython", "ArrowEvalPython",
+                             "CartesianProduct"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
