@@ -62,3 +62,51 @@ def assign_global_ids(
         .withColumn(id_col, (F.col("__off") + F.col("__lrk")).cast("long"))
         .drop("__pid", "__lrk", "__off")
     )
+
+
+def assign_prefix_sums(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    sum_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """→ ``df`` + ``sum_col`` = inclusive running sum of ``value_col``
+    by ``order_cols`` — the scalable twin of
+    ``sum(x) OVER (ORDER BY …)``, which Spark plans as a
+    SinglePartition window. Same two-pass scheme as
+    :func:`assign_global_ids`: range-partition on the order key,
+    local running sum, add each partition's exclusive value prefix
+    (broadcast). ``order_cols`` must be a unique key (module
+    docstring)."""
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__lsum", F.sum(value_col).over(w_local)
+    )
+    totals = local.groupBy("__pid").agg(
+        F.sum(value_col).alias("__t")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__pid",
+        F.coalesce(F.sum("__t").over(w_off), F.lit(0)).alias("__voff"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            sum_col, (F.col("__voff") + F.col("__lsum")).cast("long")
+        )
+        .drop("__pid", "__lsum", "__voff")
+    )

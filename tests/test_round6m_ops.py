@@ -121,3 +121,54 @@ def test_partition_skew_stats_consistent(spark):
     assert 1 <= r.n_buckets <= 32
     # md5 spreads a sequential key well: CV under 50% at any sf
     assert 0 <= r.cv_milli < 500
+
+
+def test_rapid_reorder_matches_python(spark):
+    import __spark_entry__ as entry
+
+    rows = entry.queries()["rapid_reorder_audit"](spark, SF_DIR).collect()
+    orders = duckdb.sql(
+        f"""SELECT o_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchall()
+    per: dict = {}
+    for ck, ok, d in orders:
+        per.setdefault(ck, []).append(d.toordinal())
+    want: dict = {}
+    for ck, ds in per.items():
+        gaps = [
+            abs(a - b)
+            for i, a in enumerate(ds)
+            for b in ds[i + 1:]
+            if abs(a - b) <= 7
+        ]
+        if gaps:
+            want[ck] = (len(gaps), min(gaps))
+    got = {r.custkey: (r.n_rapid_pairs, r.min_gap_days) for r in rows}
+    assert got == want
+    assert want
+
+
+def test_abc_classes_partition_and_order(spark):
+    import __spark_entry__ as entry
+
+    rows = {r.abc_class: r for r in entry.queries()[
+        "inventory_abc_classification"](spark, SF_DIR).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    (n_parts, total) = duckdb.sql(
+        f"""SELECT count(DISTINCT l_partkey),
+                   sum(CAST(round(l_extendedprice*100) AS BIGINT))
+            FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchone()
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert sum(r.rev_cents for r in rows.values()) == total
+    # A ends at the 80% cumulative-share boundary (within 1 part's mass)
+    assert rows["A"].rev_cents >= 0.75 * total
+    assert rows["A"].rev_cents <= 0.801 * total + rows["A"].rev_cents / max(
+        rows["A"].n_parts, 1
+    )
+    # classes hold descending revenue ranks => averages decrease
+    # (this synthetic corpus is near-uniform, so A holds ~80% of the
+    # PARTS too — no Pareto-shape assumption belongs here)
+    avg = {k: r.rev_cents / r.n_parts for k, r in rows.items()}
+    assert avg["A"] > avg["B"] > avg["C"]

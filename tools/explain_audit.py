@@ -205,6 +205,9 @@ EXPECT = {
     "interarrival_burstiness": ["Window", "HashAggregate"],
     "hhi_market_concentration": ["BroadcastHashJoin", "Window"],
     "partition_skew_stats": ["HashAggregate"],
+    "rapid_reorder_audit": ["HashAggregate"],
+    "inventory_abc_classification": ["rangepartitioning",
+                                     "HashAggregate"],
 }
 
 FORBID = {
@@ -480,6 +483,10 @@ FORBID = {
                                  "CartesianProduct"],
     "partition_skew_stats": ["BatchEvalPython", "ArrowEvalPython",
                              "CartesianProduct"],
+    "rapid_reorder_audit": ["BatchEvalPython", "ArrowEvalPython",
+                            "CartesianProduct"],
+    "inventory_abc_classification": ["BatchEvalPython", "ArrowEvalPython",
+                                     "CartesianProduct"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
