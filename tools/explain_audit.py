@@ -208,6 +208,8 @@ EXPECT = {
     "rapid_reorder_audit": ["HashAggregate"],
     "inventory_abc_classification": ["rangepartitioning",
                                      "HashAggregate"],
+    "ks_drift_test": ["HashAggregate", "Window"],
+    "mannwhitney_u_test": ["HashAggregate", "Window"],
 }
 
 FORBID = {
@@ -487,6 +489,10 @@ FORBID = {
                             "CartesianProduct"],
     "inventory_abc_classification": ["BatchEvalPython", "ArrowEvalPython",
                                      "CartesianProduct"],
+    "ks_drift_test": ["BatchEvalPython", "ArrowEvalPython",
+                      "CartesianProduct"],
+    "mannwhitney_u_test": ["BatchEvalPython", "ArrowEvalPython",
+                           "CartesianProduct"],
 }
 
 # partition_pruned_scan / compact_small_files_audit execute eagerly
