@@ -134,8 +134,38 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r06.json
-# into this map as (…, 6) so the rotation keeps cycling fairly:
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r07.json
+# into this map as (…, 7) so the rotation keeps cycling fairly.
+# REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
+# double-division bug proved the shared-expression-text blind spot is
+# real — a bug mirrored into both the Spark builder and the oracle SQL
+# passes the hash gate): ship an independent pytest that recomputes the
+# statistic from raw data in plain Python/numpy (see
+# tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R6_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r06.json (48 of 50 sampled; the 2
+    # fails were HUGEINT oracle-typing artifacts, CAST-fixed in round 7
+    # and deliberately NOT marked here so they lead the r7 window)
+    "acctbal_decile_profile", "adaptive_salt_plan", "benford_first_digit",
+    "boilerplate_chunk_removal", "bucketed_colocated_join",
+    "chisq_independence", "compact_small_files_audit", "cusum_change_days",
+    "dedup_weighted_jaccard", "dpo_preference_pairs",
+    "dynamic_partition_pruning_join", "embedding_pca_project",
+    "flagship_most_populars", "hard_negative_mining_ivf", "hybrid_rrf_search",
+    "jsonl_roundtrip_docs", "kmeans_silhouette", "kn_doc_xent_filter",
+    "market_basket_brand_rules", "markov_stationary_micro",
+    "mmr_diversify_rerank", "multitouch_attribution", "negative_sample_table",
+    "ols_normal_equations", "packing_fragmentation_audit", "pandas_api_groupby",
+    "partition_pruned_scan", "pyds_object_listing", "range_partition_plan",
+    "record_linkage_blocked", "revenue_gini", "rouge_l_decontaminate",
+    "schema_evolution_merge", "seasonal_dow_adjustment", "semdedup_prune",
+    "sequence_pattern_funnel", "sft_pair_format", "similarity_pq_topk",
+    "skewed_distinct_count", "span_corruption_masks",
+    "streaming_checkpoint_resume", "streaming_full_outer_attribution",
+    "streaming_late_dupes_dropped", "streaming_semi_attribution",
+    "topn_with_other_rollup", "trend_slope_by_event_type",
+    "unigram_viterbi_segment", "variant_props_stats",
+)
 _R5_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r05.json (all 50 sampled entries)
     "hll_distinct_rollup", "bpe_learn_merges", "tpch_parts_supplier_cnt",
@@ -236,6 +266,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(6, _R6_VERIFIED)
 _mark_verified(5, _R5_VERIFIED)
 _mark_verified(4, _R4_VERIFIED)
 
@@ -246,10 +277,11 @@ _mark_verified(4, _R4_VERIFIED)
 # the hash-green row.  (Round 5 cleared bpe_learn_merges and
 # hll_distinct_rollup: both hash-green in CORRECTNESS_r05.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # round-6 oracle conversions (were rows-only when last checked):
-    "flagship_most_populars",   # VALUES replay of axial hex ids added
-    "similarity_pq_topk",       # ADC-table SQL replay added
-    "embedding_pca_project",    # PC1 power-iteration replay added
+    # (Round 6 cleared flagship_most_populars, similarity_pq_topk and
+    # embedding_pca_project: all hash-green in CORRECTNESS_r06.json.)
+    # Round-7 oracle CAST fixes (HUGEINT → BIGINT; the r6 hash-fails):
+    "tokenizer_fertility_by_source",
+    "sampled_range_partition_plan",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

@@ -165,8 +165,8 @@ def _fertility_oracle() -> str:
     SELECT d.source,
            CAST(sum(p.n_words) AS BIGINT) AS n_words,
            CAST(sum(p.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
-           (2000 * sum(p.n_bpe_tokens) + sum(p.n_words))
-               // (2 * sum(p.n_words)) AS fertility_milli
+           CAST((2000 * sum(p.n_bpe_tokens) + sum(p.n_words))
+               // (2 * sum(p.n_words)) AS BIGINT) AS fertility_milli
     FROM perdoc p JOIN documents d USING (doc_id)
     GROUP BY 1 ORDER BY 1
     """
@@ -746,7 +746,7 @@ def q_rouge_l_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket, CAST(min(k_) AS BIGINT) AS lo,
            CAST(max(k_) AS BIGINT) AS hi,
            CAST(sum(cnt) AS BIGINT) AS n_rows,
-           (2000 * sum(cnt) * 16 + n) // (2 * n) AS skew_milli
+           CAST((2000 * sum(cnt) * 16 + n) // (2 * n) AS BIGINT) AS skew_milli
     FROM assigned CROSS JOIN tot
     GROUP BY bucket, n ORDER BY bucket
     """,
