@@ -292,6 +292,15 @@ def latlng_to_cell(
     (raises ImportError when absent); ``scheme="auto"`` prefers h3 and
     falls back to axial. The default stays "axial" so results never
     silently depend on the environment — parity deployments opt in.
+
+    Fallback status (final): in environments without the ``h3`` wheel
+    and without package installation, axial IS the permanent scheme —
+    H3's base-cell numbering is conventional (122-entry baseCellData +
+    540-entry faceIjkBaseCells), not derivable from geometry, so a
+    reconstruction without the wheel to verify against would be
+    unverifiable. Installing the wheel + ``scheme="auto"`` upgrades to
+    genuine H3 ids with zero code change; the gated known-vector test
+    in tests/test_geo.py proves the ids wherever the wheel exists.
     """
     if scheme not in ("axial", "h3", "auto"):
         raise ValueError(f"unknown hex scheme {scheme!r}")
