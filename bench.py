@@ -4,8 +4,12 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "queries": {name: sec, ...}, "sf": ...}.
 
 Execution is forced through the noop sink (full computation, no
-driver-side collect skew). Each query runs once after a session
-warm-up query (JVM/codegen warm), timed wall-clock.
+driver-side collect skew). Each query is timed wall-clock, best of 2,
+after a per-session warm-up query (JVM/codegen warm). A full-registry
+run fans the registry out over fresh-JVM worker subprocesses (~36
+queries each) so late queries never pay earlier queries' accumulated
+heap — per-query numbers are position-independent and comparable to
+isolated runs (see run_chunked).
 
 Usage: python bench.py [--sf-dir DIR] [--queries a,b,c]
 """
