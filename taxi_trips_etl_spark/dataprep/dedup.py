@@ -791,13 +791,28 @@ def fastss_pairs(
     neighborhoods intersect — the brute-force all-pairs oracle proves
     it. max_dist ∈ {1, 2} (deeper neighborhoods explode
     combinatorially; 1-2 is the record-linkage range).
+
+    The blocking join runs on ``xxhash64(variant)``, not the variant
+    string: the checkpointed candidate relation is two longs per row
+    instead of (id, name, variant-string) — ~5× less block storage and
+    a long-key shuffle — and a 64-bit hash collision can only ADD a
+    candidate pair, which the exact ``levenshtein`` verify then
+    rejects, so the result set is unchanged (recall is preserved
+    because equal variants always hash equal). Names rejoin only for
+    the DISTINCT candidate id pairs (bucket-collision duplicates are
+    gone by then), keyed on ``id_col``, which must be unique per row —
+    duplicate ids are dropped deterministically (min name wins) to
+    keep the pair key meaningful.
     """
     if max_dist not in (1, 2):
         raise NotImplementedError("fastss_pairs implements max_dist in {1, 2}")
+    # Expressions are built against the canonical alias `name` (the
+    # projection below renames name_col), so arbitrary input column
+    # names never leak into the generated SQL.
     del1 = (
-        f"transform(sequence(0, length({name_col})), "
-        f"i -> concat(substring({name_col}, 1, i), "
-        f"substring({name_col}, i + 2, length({name_col}))))"
+        "transform(sequence(0, length(name)), "
+        "i -> concat(substring(name, 1, i), "
+        "substring(name, i + 2, length(name))))"
     )
     if max_dist == 1:
         variant_expr = del1
@@ -805,39 +820,52 @@ def fastss_pairs(
         # i < j 0-based deletion positions; guard len < 2 (descending
         # sequence() pitfall), dedup inside the array before explode.
         del2 = (
-            f"case when length({name_col}) < 2 then array() else "
-            f"flatten(transform(sequence(0, length({name_col}) - 2), "
-            f"i -> transform(sequence(i + 1, length({name_col}) - 1), "
-            f"j -> concat(substring({name_col}, 1, i), "
-            f"substring({name_col}, i + 2, j - i - 1), "
-            f"substring({name_col}, j + 2, length({name_col}))))))"
+            "case when length(name) < 2 then array() else "
+            "flatten(transform(sequence(0, length(name) - 2), "
+            "i -> transform(sequence(i + 1, length(name) - 1), "
+            "j -> concat(substring(name, 1, i), "
+            "substring(name, i + 2, j - i - 1), "
+            "substring(name, j + 2, length(name))))))"
             " end"
         )
         variant_expr = f"array_distinct(concat({del1}, {del2}))"
-    variants = df.select(
-        F.col(id_col).alias("rid"),
-        F.col(name_col).alias("name"),
+    names = (
+        df.groupBy(F.col(id_col).alias("rid"))
+        .agg(F.min(name_col).alias("name"))
+    )
+    variants = names.select(
+        "rid",
         F.explode(F.expr(variant_expr)).alias("variant"),
-    ).distinct()
+    ).select("rid", F.xxhash64("variant").alias("vh"))
     # Self-join: no ReusedExchange (see module docstring) — checkpoint.
     variants = variants.transform(materialize, eager=False)
     a, b = variants.alias("a"), variants.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.variant") == F.col("b.variant"))
+            (F.col("a.vh") == F.col("b.vh"))
             & (F.col("a.rid") < F.col("b.rid")),
         )
         .select(
             F.col("a.rid").alias("id_a"),
-            F.col("a.name").alias("name_a"),
             F.col("b.rid").alias("id_b"),
-            F.col("b.name").alias("name_b"),
         )
         .distinct()
     )
     return (
-        cand.withColumn(
+        cand.join(
+            names.select(
+                F.col("rid").alias("id_a"), F.col("name").alias("name_a")
+            ),
+            "id_a",
+        )
+        .join(
+            names.select(
+                F.col("rid").alias("id_b"), F.col("name").alias("name_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
             "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
         )
         .filter(F.col("edit_dist") <= max_dist)
