@@ -326,7 +326,7 @@ def ngram_jaccard_pairs(
     codegen and costs 12-19s.)
 
     1. prefix filter (exact-preserving): order each doc's grams by a
-       global canonical order (md5 — uniform, engine-agnostic) and
+       global canonical order (the gram's 64-bit hash — uniform) and
        index only the first n − ⌈t·n⌉ + 1. Two sets with J ≥ t MUST
        share a gram inside those prefixes, so the prefix join finds
        every qualifying pair; indexed postings shrink to ~(1−t) of the
@@ -350,26 +350,43 @@ def ngram_jaccard_pairs(
     output is bit-identical to the uncapped run.
 
     Short docs (< n tokens) produce no postings and drop out naturally.
+
+    All joins run on ``gh = xxhash64(gram)``, never the shingle string:
+    the posting relation is two longs per row (vs a ~20-byte string key
+    through three shuffles and a checkpoint), and the hash doubles as
+    the canonical prefix order (uniform, engine-agnostic — the order
+    only decides WHICH grams sit in the prefix, never the output). A
+    64-bit collision between two different grams of a candidate pair
+    could overcount that pair's intersection by 1 — probability ~2⁻⁶⁴
+    per cross-gram, and the driver's value-hash gate would catch it;
+    measured green against the brute-force list_intersect oracle.
     """
-    posting = tokens_table(docs, text).select(
-        "doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
+    posting = (
+        tokens_table(docs, text)
+        .select(
+            "doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
+        )
+        # hash in a projection ABOVE the Generate (a generator can't be
+        # nested in an expression); the gram string lives only inside
+        # this codegen stage and never reaches a shuffle.
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
     # |grams| per doc via a count window over the posting (grams are
     # distinct per doc by construction).
     sized = posting.withColumn(
         "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    w_rk = Window.partitionBy("doc_id").orderBy(F.md5("gram"))
+    w_rk = Window.partitionBy("doc_id").orderBy("gh")
     prefix = (
         sized.withColumn("rk", F.row_number().over(w_rk))
         .filter(
             F.col("rk")
             <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
         )
-        .select("doc_id", "n_grams", "gram")
+        .select("doc_id", "n_grams", "gh")
     )
     if max_posting_size is not None:
-        w_gram = Window.partitionBy("gram")
+        w_gram = Window.partitionBy("gh")
         prefix = (
             prefix.withColumn("_psz", F.count(F.lit(1)).over(w_gram))
             .filter(F.col("_psz") <= max_posting_size)
@@ -383,7 +400,7 @@ def ngram_jaccard_pairs(
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
+            (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (
                 F.least(F.col("a.n_grams"), F.col("b.n_grams"))
@@ -397,14 +414,14 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     pa = sized.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gram"
+        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gh"
     )
     pb = sized.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gram"
+        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gh"
     )
     inter = (
         cand.join(pa, "doc_id_a")
-        .join(pb, ["doc_id_b", "gram"])
+        .join(pb, ["doc_id_b", "gh"])
         .groupBy("doc_id_a", "doc_id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -441,13 +458,23 @@ def ngram_containment_pairs(
     all qualifying pairs (whichever side is smaller, its prefix side of
     the join fires).
 
-    Scale shape: prefix ⋈ posting on gram (hot grams capped exactly as
-    in the Jaccard op — candidate generation only, verification stays
-    exact), pair canonicalize + distinct, then the same three counting
-    joins. Never an all-pairs product.
+    Scale shape: prefix ⋈ posting on gram hash (hot grams capped
+    exactly as in the Jaccard op — candidate generation only,
+    verification stays exact), pair canonicalize + distinct, then the
+    same three counting joins. Never an all-pairs product. Grams ride
+    as ``xxhash64`` longs with the hash as canonical prefix order —
+    same construction and collision argument as
+    :func:`ngram_jaccard_pairs`.
     """
-    posting = tokens_table(docs, text).select(
-        "doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
+    posting = (
+        tokens_table(docs, text)
+        .select(
+            "doc_id", F.explode(word_ngrams(F.col("toks"), n)).alias("gram")
+        )
+        # hash in a projection ABOVE the Generate (a generator can't be
+        # nested in an expression); the gram string lives only inside
+        # this codegen stage and never reaches a shuffle.
+        .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
     # |grams| per doc via a count window over the posting (grams are
     # distinct per doc by construction). Deliberately NOT computed as
@@ -459,17 +486,17 @@ def ngram_containment_pairs(
     sized = posting.withColumn(
         "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
-    w_rk = Window.partitionBy("doc_id").orderBy(F.md5("gram"))
+    w_rk = Window.partitionBy("doc_id").orderBy("gh")
     prefix = (
         sized.withColumn("rk", F.row_number().over(w_rk))
         .filter(
             F.col("rk")
             <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
         )
-        .select("doc_id", "gram")
+        .select("doc_id", "gh")
     )
     if max_posting_size is not None:
-        w_gram = Window.partitionBy("gram")
+        w_gram = Window.partitionBy("gh")
         prefix = (
             prefix.withColumn("_psz", F.count(F.lit(1)).over(w_gram))
             .filter(F.col("_psz") <= max_posting_size)
@@ -482,8 +509,8 @@ def ngram_containment_pairs(
     cand = (
         prefix.alias("a")
         .join(
-            sized.select("doc_id", "gram").alias("b"),
-            (F.col("a.gram") == F.col("b.gram"))
+            sized.select("doc_id", "gh").alias("b"),
+            (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .select(
@@ -495,14 +522,14 @@ def ngram_containment_pairs(
         .distinct()
     )
     pa = sized.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gram"
+        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gh"
     )
     pb = sized.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gram"
+        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gh"
     )
     inter = (
         cand.join(pa, "doc_id_a")
-        .join(pb, ["doc_id_b", "gram"])
+        .join(pb, ["doc_id_b", "gh"])
         .groupBy("doc_id_a", "doc_id_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
