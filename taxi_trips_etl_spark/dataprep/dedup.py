@@ -280,7 +280,14 @@ def simhash_near_duplicates(
     # the banded fingerprints so the self-join computes simhash ONCE.
     banded = banded.transform(materialize, eager=False)
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    # Hamming-verify INSIDE the join, before the pair distinct: a
+    # failing band collision dies in the join stage instead of riding
+    # a 4-column row through the distinct exchange — the distinct then
+    # dedups only qualifying (a, b) pairs that collided in >1 band.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -290,16 +297,10 @@ def simhash_near_duplicates(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_id_a", "doc_id_b", "hamming")
+        .distinct()
     )
 
 

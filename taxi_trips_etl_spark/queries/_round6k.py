@@ -130,6 +130,8 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joins are what keep level 3 feasible — candidates never
     exceed frequent-pair fanout; all joins key on the basket
     (co-partitioned) or on brand pairs (broadcast-size here)."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
@@ -139,6 +141,10 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_brand").alias("brand"),
         )
         .distinct()
+        # five self-join sides below (a, b, c plus the freq_pairs pass)
+        # — without lineage truncation each side re-runs the broadcast
+        # join + distinct (no ReusedExchange across self-joins).
+        .transform(materialize, eager=False)
     )
     n_baskets_df = baskets.select(
         F.countDistinct("basket").cast("long").alias("n_baskets")
