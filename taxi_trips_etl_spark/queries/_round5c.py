@@ -773,7 +773,11 @@ def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_pairs(docs, threshold=0.7).select(
         "doc_id_a", "doc_id_b"
     )
-    bands = lsh_bands(minhash_signature(docs))
+    # checkpoint before the self-join — both sides would otherwise
+    # recompute the 16-min md5 signature aggregation (no ReusedExchange)
+    bands = lsh_bands(minhash_signature(docs)).transform(
+        materialize, eager=False
+    )
     cand = (
         bands.alias("x")
         .join(
