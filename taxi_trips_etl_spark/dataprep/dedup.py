@@ -454,10 +454,11 @@ def ngram_containment_pairs(
     still has an exact prefix guarantee, just asymmetric: if C ≥ t then
     the smaller set (m grams) shares ≥ ⌈t·m⌉ grams with the other doc,
     so at least one shared gram lies within the smaller doc's first
-    m − ⌈t·m⌉ + 1 grams under the canonical md5 order. Joining every
-    doc's prefix against every doc's FULL posting list therefore finds
-    all qualifying pairs (whichever side is smaller, its prefix side of
-    the join fires).
+    m − ⌈t·m⌉ + 1 grams under the canonical order. Joining the SMALLER
+    side's prefix against the other doc's FULL posting list therefore
+    finds all qualifying pairs — the join carries an n_a ≤ n_b guard
+    (ties fire both directions; distinct dedups), which roughly halves
+    the candidate set versus indexing both sides' prefixes.
 
     Scale shape: prefix ⋈ posting on gram hash (hot grams capped
     exactly as in the Jaccard op — candidate generation only,
@@ -494,7 +495,7 @@ def ngram_containment_pairs(
             F.col("rk")
             <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
         )
-        .select("doc_id", "gh")
+        .select("doc_id", "n_grams", "gh")
     )
     if max_posting_size is not None:
         w_gram = Window.partitionBy("gh")
@@ -510,9 +511,12 @@ def ngram_containment_pairs(
     cand = (
         prefix.alias("a")
         .join(
-            sized.select("doc_id", "gh").alias("b"),
+            sized.select("doc_id", "n_grams", "gh").alias("b"),
             (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            # only the smaller side's prefix must fire (see docstring);
+            # ties fire both ways and collapse in the distinct
+            & (F.col("a.n_grams") <= F.col("b.n_grams")),
         )
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),
