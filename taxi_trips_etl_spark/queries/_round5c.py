@@ -792,28 +792,38 @@ def q_minhash_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    truth = materialize(truth, eager=True)
-    cand = materialize(cand, eager=True)
-    hit = cand.join(truth, ["doc_id_a", "doc_id_b"])
-    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
-    n_hit = hit.agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
-        .select(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            F.round(
-                F.col("n_hit").cast("double")
-                / F.col("n_true").cast("double"),
-                4,
-            ).alias("recall"),
-            F.round(
-                F.col("n_hit").cast("double")
-                / F.col("n_cand").cast("double"),
-                4,
-            ).alias("precision"),
+    # ONE full-outer join + ONE aggregate replaces the old
+    # three-separate-counts + intersect shape (5 jobs -> 1): each
+    # pair row carries membership flags and the counts fall out of
+    # three conditional sums over the same stream.
+    tagged = (
+        truth.withColumn("in_truth", F.lit(1))
+        .join(
+            cand.withColumn("in_cand", F.lit(1)),
+            ["doc_id_a", "doc_id_b"],
+            "full",
         )
+        .select(
+            F.coalesce(F.col("in_truth"), F.lit(0)).alias("in_truth"),
+            F.coalesce(F.col("in_cand"), F.lit(0)).alias("in_cand"),
+        )
+    )
+    return tagged.agg(
+        F.sum("in_truth").cast("long").alias("n_true"),
+        F.sum("in_cand").cast("long").alias("n_cand"),
+        F.sum(F.col("in_truth") * F.col("in_cand"))
+        .cast("long")
+        .alias("n_hit"),
+    ).select(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+            4,
+        ).alias("recall"),
+        F.round(
+            F.col("n_hit").cast("double") / F.col("n_cand").cast("double"),
+            4,
+        ).alias("precision"),
     )
