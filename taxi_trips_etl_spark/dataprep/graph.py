@@ -225,9 +225,12 @@ def kcore(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # LAZY checkpoints throughout: the fixpoint count's own action
+    # materializes each round's edge set, so a round costs one job,
+    # not a checkpoint job plus a count job.
     live = canon.unionByName(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).transform(materialize, eager=True)
+    ).transform(materialize, eager=False)
     n_prev = live.count()
     for _ in range(rounds):
         if n_prev == 0:
@@ -238,7 +241,7 @@ def kcore(
             live.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
             .select("a", "b")
-            .transform(materialize, eager=True)
+            .transform(materialize, eager=False)
         )
         n_now = live.count()
         if n_now == n_prev:
