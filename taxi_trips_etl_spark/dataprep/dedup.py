@@ -825,16 +825,35 @@ def fastss_pairs(
     combinatorially; 1-2 is the record-linkage range).
 
     The blocking join runs on ``xxhash64(variant)``, not the variant
-    string: the checkpointed candidate relation is two longs per row
-    instead of (id, name, variant-string) — ~5× less block storage and
-    a long-key shuffle — and a 64-bit hash collision can only ADD a
-    candidate pair, which the exact ``levenshtein`` verify then
-    rejects, so the result set is unchanged (recall is preserved
-    because equal variants always hash equal). Names rejoin only for
-    the DISTINCT candidate id pairs (bucket-collision duplicates are
-    gone by then), keyed on ``id_col``, which must be unique per row —
-    duplicate ids are dropped deterministically (min name wins) to
-    keep the pair key meaningful.
+    string: the variant column never leaves its codegen stage, so the
+    checkpointed relation shrinks by the ~len(name)-byte variant per
+    row and the join key is a long — and a 64-bit hash collision can
+    only ADD a candidate pair, which the exact ``levenshtein`` verify
+    then rejects, so the result set is unchanged (recall is preserved
+    because equal variants always hash equal).
+
+    Three placement rules, all measured on the 10× sweep (whose
+    key-shifted near-twin names make the TRUE pair set grow
+    quadratically — 157k pairs at sf0.1 → 15.9M at 10×, so this is
+    the stress case for every stage past the blocking join):
+
+    - names ride INLINE through the blocking join; joining them back
+      onto the distinct pair set instead costs two extra
+      pair-set-sized shuffles exactly where the plan is most loaded
+      (108s vs 76s at 10×);
+    - the pair DISTINCT runs BEFORE the levenshtein verify: bucket
+      collisions are ~2× duplicated, so deduping first halves the
+      verify volume, and skipping the distinct (verify-then-dedup)
+      re-evaluates levenshtein inside both the join condition and the
+      projection (114s at 10×);
+    - the variant relation is repartitioned to default parallelism
+      before its checkpoint — AQE coalesces the tiny upstream
+      aggregate to ONE partition, which would serialize the entire
+      pair stage onto one core (measured 3× at sf0.1).
+
+    ``id_col`` must be unique per row — duplicate ids are dropped
+    deterministically (min name wins) to keep the pair key
+    meaningful.
     """
     if max_dist not in (1, 2):
         raise NotImplementedError("fastss_pairs implements max_dist in {1, 2}")
@@ -865,10 +884,16 @@ def fastss_pairs(
         df.groupBy(F.col(id_col).alias("rid"))
         .agg(F.min(name_col).alias("name"))
     )
-    variants = names.select(
-        "rid",
-        F.explode(F.expr(variant_expr)).alias("variant"),
-    ).select("rid", F.xxhash64("variant").alias("vh"))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    variants = (
+        names.select(
+            "rid",
+            "name",
+            F.explode(F.expr(variant_expr)).alias("variant"),
+        )
+        .select("rid", "name", F.xxhash64("variant").alias("vh"))
+        .repartition(par)
+    )
     # Self-join: no ReusedExchange (see module docstring) — checkpoint.
     variants = variants.transform(materialize, eager=False)
     a, b = variants.alias("a"), variants.alias("b")
@@ -880,24 +905,14 @@ def fastss_pairs(
         )
         .select(
             F.col("a.rid").alias("id_a"),
+            F.col("a.name").alias("name_a"),
             F.col("b.rid").alias("id_b"),
+            F.col("b.name").alias("name_b"),
         )
         .distinct()
     )
     return (
-        cand.join(
-            names.select(
-                F.col("rid").alias("id_a"), F.col("name").alias("name_a")
-            ),
-            "id_a",
-        )
-        .join(
-            names.select(
-                F.col("rid").alias("id_b"), F.col("name").alias("name_b")
-            ),
-            "id_b",
-        )
-        .withColumn(
+        cand.withColumn(
             "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
         )
         .filter(F.col("edit_dist") <= max_dist)
