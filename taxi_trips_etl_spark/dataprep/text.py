@@ -291,14 +291,21 @@ def ngram_decontaminate(
     scale; fanout is bounded by shared-gram multiplicity, and the
     distinct collapses multi-gram hits. Raise ``n`` to tighten (13 is
     the common contamination shingle for web-scale corpora; 5 suits
-    the short synthetic docs here).
+    the short synthetic docs here). The join key is ``xxhash64`` of
+    the shingle (8 fixed bytes through the exchange instead of the
+    n-token string; a 2⁻⁶⁴ collision could flag one extra doc, which
+    the raw-text oracles would catch).
     """
     from taxi_trips_etl_spark.dataprep.dedup import tokens_table, word_ngrams
 
     def grams(df: DataFrame, id_alias: str) -> DataFrame:
-        return tokens_table(df, text).select(
-            F.col("doc_id").alias(id_alias),
-            F.explode(word_ngrams(F.col("toks"), n)).alias("gram"),
+        return (
+            tokens_table(df, text)
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.explode(word_ngrams(F.col("toks"), n)).alias("gram"),
+            )
+            .select(id_alias, F.xxhash64("gram").alias("gram"))
         )
 
     corpus_g = grams(corpus, "doc_id")
