@@ -218,3 +218,19 @@ def test_quantize_constant_dimension_maps_to_zero(spark):
     }
     assert rows[(1, 0)] == 0 and rows[(2, 0)] == 0  # constant dim
     assert rows[(1, 1)] == -128 and rows[(2, 1)] == 127  # full range
+
+
+def test_fastss_duplicate_ids_drop_deterministically(spark):
+    """The hashed-variant rewrite keys pairs on id alone, so duplicate
+    input ids must collapse (min name wins) rather than fan out."""
+    rows = [
+        (1, "kitten"),
+        (1, "zebra"),   # duplicate id: dropped (min name 'kitten' wins)
+        (2, "mitten"),
+    ]
+    df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in fastss_pairs(df, max_dist=1).collect()
+    }
+    assert got == {(1, 2): 1}

@@ -296,3 +296,35 @@ def test_shortest_paths_prefers_cheap_detour(spark):
         for r in shortest_paths(edges, source_node=1, rounds=10).collect()
     }
     assert got == {(1, 0), (2, 2), (3, 5), (4, 6)}
+
+
+def test_bfs_and_sssp_shuffle_frontier_path_matches_broadcast(spark):
+    """broadcast_frontier=False (the setting for graphs whose reached
+    set outgrows one executor) must relax to the identical labels —
+    the hint changes the join strategy, never the fixpoint."""
+    from taxi_trips_etl_spark.dataprep.graph import bfs_hops, shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 5), (5, 3), (4, 1), (9, 10)],
+        "src long, dst long",
+    )
+    for kw in ({"broadcast_frontier": True}, {"broadcast_frontier": False}):
+        got = {
+            (r["node"], r["hops"])
+            for r in bfs_hops(edges, source_node=1, rounds=10, **kw).collect()
+        }
+        assert got == {(1, 0), (2, 1), (5, 1), (3, 2), (4, 3)}, kw
+
+    w_edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (1, 3, 100), (3, 4, 1)],
+        "src long, dst long, w long",
+    )
+    want = {(1, 0), (2, 5), (3, 10), (4, 11)}
+    for kw in ({"broadcast_frontier": True}, {"broadcast_frontier": False}):
+        got = {
+            (r["node"], r["dist"])
+            for r in shortest_paths(
+                w_edges, source_node=1, rounds=10, **kw
+            ).collect()
+        }
+        assert got == want, kw
