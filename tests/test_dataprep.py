@@ -679,3 +679,54 @@ def test_semantic_decontaminate_tie_prefers_lower_eval_id(spark):
     assert len(rows) == 1
     assert rows[0]["matched_eval_id"] == 3  # both cos=1.0 → lower id
     assert rows[0]["max_cosine"] == 1.0
+
+
+def test_ngram_miners_equal_bruteforce_on_random_corpus(spark):
+    """Exactness of the hashed-key PPJoin plans on a seeded random
+    corpus over a tiny vocabulary (maximal shingle collisions): both
+    miners must equal the all-pairs ground truth computed in Python —
+    the prefix filter prunes candidates, never results, and the
+    xxhash64 keys behave as if they were the gram strings."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = []
+    for i in range(40):
+        n_tok = rng.randint(3, 12)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n_tok)))
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    def grams(t):
+        toks = t.split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+
+    want_j, want_c = {}, {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            inter = len(ga & gb)
+            jac = inter / len(ga | gb)
+            con = inter / min(len(ga), len(gb))
+            if round(jac, 6) >= 0.5:
+                want_j[(i, j)] = round(jac, 6)
+            if round(con, 6) >= 0.6:
+                want_c[(i, j)] = round(con, 6)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_j = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    got_c = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in dedup.ngram_containment_pairs(df, threshold=0.6).collect()
+    }
+    assert got_j == want_j and len(want_j) > 0
+    assert got_c == want_c and len(want_c) > 0
