@@ -193,11 +193,16 @@ def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the naive spec (all record pairs in block);
     this plan reproduces its numbers exactly by the expansion
     identity C(Σm,2) = ΣC(m,2) + Σ_{a<b} m_a·m_b."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     grp = (
         _t(spark, sf_dir, "customer")
         .groupBy("c_name")
         .agg(F.count(F.lit(1)).cast("long").alias("mult"))
         .withColumn("block_key", F.substring("c_name", 1, 16))
+        # three consumers (both self-join sides + the within rollup)
+        # would each re-run the scan + groupBy (no ReusedExchange)
+        .transform(materialize, eager=False)
     )
     a = grp.alias("a")
     b = grp.alias("b")
