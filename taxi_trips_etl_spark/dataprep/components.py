@@ -212,7 +212,11 @@ def connected_components_star(
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .transform(materialize, eager=True)
+            # eager=False: the signature collect right below is the
+            # action that fills the checkpoint — one job per round,
+            # not a checkpoint job plus the signature job (same
+            # measured pattern as kcore/bfs/sssp).
+            .transform(materialize, eager=False)
         )
         edges = small
         new_sig = signature(edges)
