@@ -94,7 +94,10 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .transform(materialize, eager=True)
+            # eager=False: the changed-count below is the action that
+            # fills the checkpoint — one job per round, not two (same
+            # measured pattern as kcore/bfs/sssp/star).
+            .transform(materialize, eager=False)
         )
         changed = cand.filter(F.col("label") != F.col("old_label")).count()
         labels = cand.select("node", "label")
