@@ -134,14 +134,39 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r07.json
-# into this map as (…, 7) so the rotation keeps cycling fairly.
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r08.json
+# into this map as (…, 8) so the rotation keeps cycling fairly.
 # REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
 # double-division bug proved the shared-expression-text blind spot is
 # real — a bug mirrored into both the Spark builder and the oracle SQL
 # passes the hash gate): ship an independent pytest that recomputes the
 # statistic from raw data in plain Python/numpy (see
 # tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R7_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r07.json (all 50 sampled entries;
+    # includes the two round-6 HUGEINT hash-fails, now CAST-fixed green)
+    "ab_test_proportions", "arrow_token_stats", "autocomplete_prefixes",
+    "changepoint_segmented_ols", "charclass_profile_by_source",
+    "chunk_documents", "cohort_ltv_curve", "corpus_prepare_pipeline",
+    "cross_shard_dedup_audit", "deterministic_sample",
+    "discount_quantity_corr_by_brand", "funnel_latency_stats",
+    "graph_degree_assortativity", "heaps_vocab_growth",
+    "hhi_market_concentration", "hilbert_layout_audit",
+    "holt_linear_smoothing", "interarrival_burstiness",
+    "inventory_abc_classification", "join_multiplicity_hotspots",
+    "ks_drift_test", "longest_increase_streaks", "lorenz_curve_points",
+    "mannwhitney_u_test", "market_basket_triples", "moments_skew_kurtosis",
+    "ngram_novelty_decay", "partition_skew_stats", "phrase_search_positional",
+    "prefix_containment_pairs", "quantile_bin_features",
+    "rapid_reorder_audit", "referential_integrity_audit",
+    "region_share_rollup", "rendezvous_shard_assignment",
+    "sampled_range_partition_plan", "simpson_paradox_audit",
+    "subsample_ci_revenue", "table_diff_checksums", "target_encode_loo",
+    "text_clean", "text_fingerprints", "text_language_id",
+    "text_quality_scores", "text_token_stats", "theil_sen_slope",
+    "tokenizer_fertility_by_source", "train_test_split",
+    "winsorize_by_group", "zipf_rank_frequency_fit",
+)
 _R6_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r06.json (48 of 50 sampled; the 2
     # fails were HUGEINT oracle-typing artifacts, CAST-fixed in round 7
@@ -266,22 +291,37 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(7, _R7_VERIFIED)
 _mark_verified(6, _R6_VERIFIED)
 _mark_verified(5, _R5_VERIFIED)
 _mark_verified(4, _R4_VERIFIED)
 
-# Names whose ORACLE was added/changed after their last driver check:
-# the driver's green rows for them were rows-only (or against the old
-# oracle), so the hash claim is unverified — reset them to the front
-# of the rotation. Remove from this set once a CORRECTNESS file shows
-# the hash-green row.  (Round 5 cleared bpe_learn_merges and
-# hll_distinct_rollup: both hash-green in CORRECTNESS_r05.json.)
+# Names whose IMPLEMENTATION (or oracle) changed after their last driver
+# check: their green rows predate the change, so the hash claim is
+# stale — reset them to the front of the rotation. Remove from this set
+# once a CORRECTNESS file shows the post-change hash-green row.
+# (Round 7 cleared tokenizer_fertility_by_source and
+# sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # (Round 6 cleared flagship_most_populars, similarity_pq_topk and
-    # embedding_pca_project: all hash-green in CORRECTNESS_r06.json.)
-    # Round-7 oracle CAST fixes (HUGEINT → BIGINT; the r6 hash-fails):
-    "tokenizer_fertility_by_source",
-    "sampled_range_partition_plan",
+    # Round-7 perf rewrites (xxhash64 join keys, lazy checkpoints,
+    # broadcast frontiers, smaller-side prefix indexing) landed AFTER
+    # these entries' last driver window; the builder's own
+    # tools/validate_oracles.py re-ran all 303 green post-rewrite, but
+    # the judge wants driver-green rows (VERDICT r7 "What's wrong" #1).
+    "fuzzy_match_fastss",
+    "fuzzy_match_fastss2",
+    "dedup_ngram_jaccard",
+    "ngram_containment_pairs",
+    "dup_ngram_coverage",
+    "corpus_decontaminate",
+    "dedup_simhash_pairs",
+    "graph_bfs_hops",
+    "graph_shortest_paths",
+    "graph_kcore",
+    "dedup_components",
+    "dedup_canonicalize",
+    "record_linkage_blocked",
+    "minhash_lsh_recall",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
