@@ -67,12 +67,17 @@ def main() -> None:
     # Warm-up: JVM JIT + parquet footer caches, not part of the score.
     force(spark.read.parquet(f"{args.sf_dir}/lineitem.parquet").limit(1000))
 
-    # Best-of-2 per query: this box is a shared VM with noisy
-    # neighbors — identical runs vary up to 3× on the heavier queries.
-    # The min of two executions is the standard way to measure the
-    # plan, not the neighbor's GC pause. Sub-second queries skip the
-    # second run (noise there is bounded by the 1s they already
-    # measured), keeping total harness time ~1.3× a single pass.
+    # Best-of-3 per query: this box is a shared VM with noisy
+    # neighbors — identical runs vary up to 3× on the heavier queries
+    # (round 7: builder 319.3s vs driver 373.9s on identical code, 17%
+    # pure environment noise that nearly produced false regression
+    # findings two rounds running). The min of three executions is the
+    # standard way to measure the plan, not the neighbor's GC pause,
+    # and the recorded per-query SPREAD (max−min over the samples)
+    # makes the noise visible in the artifact instead of smelling like
+    # a regression. Sub-second queries skip the re-runs (noise there is
+    # bounded by the 1s they already measured), keeping total harness
+    # time ~1.6× a single pass.
     # Session hygiene between queries: a 170+-query single-JVM run
     # otherwise ACCUMULATES state — localCheckpoint blocks from the
     # self-join/iterative ops (freed only when the Python refs are
@@ -93,19 +98,27 @@ def main() -> None:
         spark.catalog.clearCache()
         gc.collect()
 
-    timings: dict[str, float] = {}
-    for attempt in range(2):
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for attempt in range(3):
         for name, fn in qs.items():
-            if attempt == 1 and timings[name] < 1.0:
+            if attempt >= 1 and min(samples[name]) < 1.0:
                 continue
             t0 = time.monotonic()
             force(fn(spark, args.sf_dir))
-            sec = round(time.monotonic() - t0, 3)
-            if attempt == 0 or sec < timings[name]:
-                timings[name] = sec
+            samples[name].append(round(time.monotonic() - t0, 3))
             scrub()
 
-    emit(timings, args.sf_dir, full_run=False)
+    timings = {n: min(s) for n, s in samples.items()}
+    # Spread over WARM samples only (drop sample 0): the first execution
+    # pays codegen/footer-cache warm-up, which is startup cost, not
+    # environment noise — including it would overstate the variance the
+    # field exists to quantify.
+    spreads = {
+        n: round(max(s[1:]) - min(s[1:]), 3)
+        for n, s in samples.items()
+        if len(s) > 2
+    }
+    emit(timings, spreads, args.sf_dir, full_run=False)
 
 
 def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
@@ -113,42 +126,84 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
     import subprocess
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for lo in range(0, len(names), chunk):
         part = names[lo : lo + chunk]
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--sf-dir",
-                sf_dir,
-                "--queries",
-                ",".join(part),
-            ],
-            capture_output=True,
-            text=True,
-        )
-        line = next(
-            (ln for ln in proc.stdout.splitlines() if ln.startswith("{")), None
-        )
-        if proc.returncode != 0 or line is None:
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--sf-dir",
+                    sf_dir,
+                    "--queries",
+                    ",".join(part),
+                ],
+                capture_output=True,
+                text=True,
+                # One hung query must not stall the whole bench: a 36-query
+                # chunk at sf0.1 runs in ~60s; 30 min is pathology, not load.
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired as exc:
+            raise RuntimeError(
+                f"bench worker timed out (1800s) on chunk {lo}..{lo + len(part)}: "
+                f"{part}"
+            ) from exc
+        # The payload is marked (full_map) and printed before the compact
+        # trailer; scan in reverse and json-parse rather than trusting
+        # "first line starting with '{'" — Spark/py4j can emit JSON-ish
+        # noise on stdout that would poison the merge.
+        payload = None
+        for ln in reversed(proc.stdout.splitlines()):
+            try:
+                cand = json.loads(ln)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and cand.get("full_map") and "queries" in cand:
+                payload = cand
+                break
+        if proc.returncode != 0 or payload is None:
             sys.stderr.write(proc.stderr[-4000:])
             raise RuntimeError(
                 f"bench worker failed for chunk {lo}..{lo + len(part)}"
             )
-        timings.update(json.loads(line)["queries"])
+        timings.update(payload["queries"])
+        spreads.update(payload.get("spread", {}))
     timings = {n: timings[n] for n in names}
-    emit(timings, sf_dir, full_run=True)
+    emit(timings, spreads, sf_dir, full_run=True)
 
 
-def emit(timings: dict[str, float], sf_dir: str, full_run: bool) -> None:
+def emit(
+    timings: dict[str, float],
+    spreads: dict[str, float],
+    sf_dir: str,
+    full_run: bool,
+) -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Environment-noise summary (VERDICT r7 #3): per-query spread =
+    # max−min over the best-of-3 samples (re-run queries only); the
+    # relative spread quantiles say how trustworthy a round-over-round
+    # per-query diff is before anyone calls it a regression.
+    rel = sorted(
+        spreads[n] / timings[n] for n in spreads if timings[n] > 0
+    )
+    variance = {
+        "n_multi_sampled": len(rel),
+        "median_rel_spread": round(rel[len(rel) // 2], 3) if rel else None,
+        "p90_rel_spread": round(rel[int(len(rel) * 0.9)], 3) if rel else None,
+        "max_rel_spread": round(rel[-1], 3) if rel else None,
+    }
     payload = {
-        "metric": "total wall-clock, all registered queries, best of 2 runs (noop sink)",
+        "metric": "total wall-clock, all registered queries, best of 3 runs (noop sink)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
+        "variance": variance,
         "sf": sf,
+        "full_map": True,
     }
     print(json.dumps(payload))
     # The driver records only the TAIL of stdout; with 175+ queries the
@@ -161,9 +216,12 @@ def emit(timings: dict[str, float], sf_dir: str, full_run: bool) -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:25]
     )
-    print(json.dumps({**payload, "queries": slowest,
-                      "queries_total": len(timings),
-                      "queries_shown": "slowest 25; full map in bench_summary.json"}))
+    compact = {**payload, "queries": slowest,
+               "spread": {n: spreads[n] for n in slowest if n in spreads},
+               "queries_total": len(timings),
+               "queries_shown": "slowest 25; full map in bench_summary.json"}
+    del compact["full_map"]  # reverse-scan marker belongs to the full line only
+    print(json.dumps(compact))
     # Compact, always-parseable artifact for round-over-round diffs —
     # the driver's stdout capture can truncate the line above. Subset
     # runs (--queries) are ad-hoc measurements; only a full-registry run
