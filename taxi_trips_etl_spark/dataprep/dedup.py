@@ -318,26 +318,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (the verifier operator).
 
-    PPJoin-shaped and array-free: everything runs on a narrow POSTING
-    relation (doc_id, gram) — gram arrays are never materialized.
-    (Measured: a bare ``explode(word_ngrams(...))`` streams through
-    whole-stage codegen in ~2.5s at sf0.1, while any plan that
-    materializes or pre-filters the array column — cache, checkpoint,
-    parquet stage, or a size() filter under the Generate — drops off
-    codegen and costs 12-19s.)
+    PPJoin-shaped. The GRAM-STRING array is never materialized —
+    shingles stream straight through ``explode(word_ngrams(...))``
+    inside whole-stage codegen and are hashed to longs in the same
+    stage (measured: any plan that materializes or pre-filters the
+    string array — cache, checkpoint, parquet stage, or a size()
+    filter under the Generate — drops off codegen and costs 12-19s vs
+    ~2.5s at sf0.1). What IS materialized is the per-doc sorted array
+    of 64-bit gram HASHES (8 bytes/gram, bounded by doc length): one
+    doc-keyed aggregation that doubles as the canonical prefix order
+    and the verification operand.
 
     1. prefix filter (exact-preserving): order each doc's grams by a
        global canonical order (the gram's 64-bit hash — uniform) and
-       index only the first n − ⌈t·n⌉ + 1. Two sets with J ≥ t MUST
-       share a gram inside those prefixes, so the prefix join finds
-       every qualifying pair; indexed postings shrink to ~(1−t) of the
-       corpus and join fanout to ~(1−t)².
+       index only the first n − ⌈t·n⌉ + 1 (a slice of the sorted
+       array). Two sets with J ≥ t MUST share a gram inside those
+       prefixes, so the prefix join finds every qualifying pair;
+       indexed postings shrink to ~(1−t) of the corpus and join fanout
+       to ~(1−t)².
     2. size-ratio prefilter rides in the join (J ≥ t ⇒ min/max ≥ t).
-    3. exact verify by COUNTING joins: |A∩B| = shared-gram count per
-       candidate pair; |A∪B| = na + nb − |A∩B|. Three hash joins and a
-       pair-keyed aggregate, all narrow rows — the shape that survives
-       corpus-scale near-dup mining. Hot grams are the skew hazard:
-       AQE skew-join first, then ``max_posting_size``.
+    3. exact verify per candidate pair: |A∩B| = size(array_intersect)
+       on the two sorted hash arrays — two |cand|-row hash joins and a
+       codegen set intersection; |A∪B| = na + nb − |A∩B|. (Round-8
+       rewrite: the previous exploded counting-join verify shuffled
+       |cand| × n_grams narrow rows and was the bench's top entry.)
+       Hot grams are the skew hazard: AQE skew-join first, then
+       ``max_posting_size``.
 
     ``max_posting_size`` is the hot-gram guard: a boilerplate shingle
     shared by m docs' PREFIXES creates an O(m²) join fanout on that one
@@ -372,31 +378,17 @@ def ngram_jaccard_pairs(
         # this codegen stage and never reaches a shuffle.
         .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
-    # |grams| per doc via a count window over the posting (grams are
-    # distinct per doc by construction).
-    sized = posting.withColumn(
-        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    )
-    w_rk = Window.partitionBy("doc_id").orderBy("gh")
-    prefix = (
-        sized.withColumn("rk", F.row_number().over(w_rk))
-        .filter(
-            F.col("rk")
-            <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
-        )
-        .select("doc_id", "n_grams", "gh")
-    )
-    if max_posting_size is not None:
-        w_gram = Window.partitionBy("gh")
-        prefix = (
-            prefix.withColumn("_psz", F.count(F.lit(1)).over(w_gram))
-            .filter(F.col("_psz") <= max_posting_size)
-            .drop("_psz")
-        )
-    # Checkpoint the posting lists: the candidate self-join would
-    # otherwise recompute tokenize->shingle->prefix-filter on both sides
-    # (no ReusedExchange for self-joins).
-    prefix = prefix.transform(materialize, eager=False)
+    # ONE doc-keyed aggregation replaces both windows (count +
+    # row_number): tokens_table pre-partitions by doc_id, so the
+    # groupBy is exchange-free, the sorted hash array IS the canonical
+    # prefix order, and the prefix is a slice() instead of a ranked
+    # filter. The array also powers verification below — |A∩B| via
+    # codegen array_intersect on two ~n_grams-long long-arrays per
+    # candidate pair, replacing the exploded counting joins that
+    # shuffled |cand| × n_grams narrow rows (round-8 rewrite: the old
+    # shape was the top bench entry at 5.2s; this one measures ~3s).
+    arrays = _gram_arrays(posting).transform(materialize, eager=False)
+    prefix = _prefix_posting(arrays, threshold, max_posting_size)
     cand = (
         prefix.alias("a")
         .join(
@@ -414,20 +406,9 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    pa = sized.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gh"
-    )
-    pb = sized.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gh"
-    )
-    inter = (
-        cand.join(pa, "doc_id_a")
-        .join(pb, ["doc_id_b", "gh"])
-        .groupBy("doc_id_a", "doc_id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return (
-        inter.select(
+        _verified_intersections(cand, arrays)
+        .select(
             "doc_id_a",
             "doc_id_b",
             F.round(
@@ -435,6 +416,72 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _gram_arrays(posting: DataFrame) -> DataFrame:
+    """(doc_id, ghs: sorted array<long>, n_grams) from a (doc_id, gh)
+    posting whose grams are distinct per doc. The per-doc array is
+    bounded by document length (the same rows existed exploded), so
+    row width stays executor-safe at any corpus scale."""
+    return posting.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gh")).alias("ghs"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )
+
+
+def _prefix_posting(
+    arrays: DataFrame, threshold: float, max_posting_size: int | None
+) -> DataFrame:
+    """PPJoin prefix posting (doc_id, n_grams, gh): the first
+    n − ⌈t·n⌉ + 1 grams of each doc under the canonical (hash) order,
+    with the optional hot-gram cap (candidate generation only —
+    verification stays exact, see caller docstrings)."""
+    plen = (
+        F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
+    ).cast("int")
+    prefix = arrays.select(
+        "doc_id",
+        "n_grams",
+        F.explode(F.slice("ghs", F.lit(1), plen)).alias("gh"),
+    )
+    if max_posting_size is not None:
+        w_gram = Window.partitionBy("gh")
+        prefix = (
+            prefix.withColumn("_psz", F.count(F.lit(1)).over(w_gram))
+            .filter(F.col("_psz") <= max_posting_size)
+            .drop("_psz")
+        )
+    return prefix
+
+
+def _verified_intersections(cand: DataFrame, arrays: DataFrame) -> DataFrame:
+    """(doc_id_a, doc_id_b, na, nb, n_inter) for candidate pairs:
+    exact |A∩B| via array_intersect on the per-doc sorted hash arrays —
+    two |cand|-row hash joins and a codegen set intersection, never an
+    exploded |cand| × n_grams shuffle."""
+    va = arrays.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("ghs").alias("ghs_a"),
+        F.col("n_grams").alias("na"),
+    )
+    vb = arrays.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("ghs").alias("ghs_b"),
+        F.col("n_grams").alias("nb"),
+    )
+    return (
+        cand.join(va, "doc_id_a")
+        .join(vb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "na",
+            "nb",
+            F.size(F.array_intersect("ghs_a", "ghs_b"))
+            .cast("long")
+            .alias("n_inter"),
+        )
     )
 
 
@@ -478,40 +525,21 @@ def ngram_containment_pairs(
         # this codegen stage and never reaches a shuffle.
         .select("doc_id", F.xxhash64("gram").alias("gh"))
     )
-    # |grams| per doc via a count window over the posting (grams are
-    # distinct per doc by construction). Deliberately NOT computed as
-    # size() on the pre-explode array: referencing the gram array from
-    # both size() and the Generate makes CollapseProject inline — and
-    # so EVALUATE — the whole shingle-builder expression twice per row
-    # (measured 7× slower at sf0.1); through the Generate it builds
-    # exactly once.
-    sized = posting.withColumn(
-        "n_grams", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    # Same round-8 array shape as :func:`ngram_jaccard_pairs`: one
+    # doc-keyed aggregation (exchange-free above tokens_table's
+    # repartition) builds the sorted hash array used for BOTH the
+    # prefix slice and the array_intersect verification. The full
+    # posting side of the asymmetric candidate join is re-exploded
+    # from the checkpointed arrays — no second lineage to truncate.
+    arrays = _gram_arrays(posting).transform(materialize, eager=False)
+    prefix = _prefix_posting(arrays, threshold, max_posting_size)
+    full = arrays.select(
+        "doc_id", "n_grams", F.explode("ghs").alias("gh")
     )
-    w_rk = Window.partitionBy("doc_id").orderBy("gh")
-    prefix = (
-        sized.withColumn("rk", F.row_number().over(w_rk))
-        .filter(
-            F.col("rk")
-            <= F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
-        )
-        .select("doc_id", "n_grams", "gh")
-    )
-    if max_posting_size is not None:
-        w_gram = Window.partitionBy("gh")
-        prefix = (
-            prefix.withColumn("_psz", F.count(F.lit(1)).over(w_gram))
-            .filter(F.col("_psz") <= max_posting_size)
-            .drop("_psz")
-        )
-    # Both relations feed self-join-shaped plans — truncate lineage so
-    # tokenize->shingle doesn't recompute per side (no ReusedExchange).
-    sized = sized.transform(materialize, eager=False)
-    prefix = prefix.transform(materialize, eager=False)
     cand = (
         prefix.alias("a")
         .join(
-            sized.select("doc_id", "n_grams", "gh").alias("b"),
+            full.alias("b"),
             (F.col("a.gh") == F.col("b.gh"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             # only the smaller side's prefix must fire (see docstring);
@@ -526,20 +554,9 @@ def ngram_containment_pairs(
         )
         .distinct()
     )
-    pa = sized.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("n_grams").alias("na"), "gh"
-    )
-    pb = sized.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("n_grams").alias("nb"), "gh"
-    )
-    inter = (
-        cand.join(pa, "doc_id_a")
-        .join(pb, ["doc_id_b", "gh"])
-        .groupBy("doc_id_a", "doc_id_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     return (
-        inter.select(
+        _verified_intersections(cand, arrays)
+        .select(
             "doc_id_a",
             "doc_id_b",
             F.round(
