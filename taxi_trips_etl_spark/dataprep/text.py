@@ -710,22 +710,23 @@ def dup_ngram_coverage(
     distinct-per-doc explode caps a single doc's contribution at its
     gram count.
     """
-    toks = tokens_col(text)
+    from taxi_trips_etl_spark.dataprep.dedup import (
+        tokens_table,
+        word_ngrams,
+    )
+
+    # Build shingles over tokens_table's exchange-barriered token
+    # array (round 8): the previous inline tokens_col slice inside the
+    # transform lambda re-evaluated the regex split per reference —
+    # the exact CollapseProject trap tokens_table exists to prevent.
+    # Hash above the Generate so gram strings never leave the stage.
     grams = (
-        docs.filter(F.size(toks) >= n)
+        tokens_table(docs, text)
         .select(
             "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(toks) - n),
-                        lambda i: F.xxhash64(
-                            F.concat_ws(" ", F.slice(toks, i + 1, n))
-                        ),
-                    )
-                )
-            ).alias("gram"),
+            F.explode(word_ngrams(F.col("toks"), n)).alias("gram"),
         )
+        .select("doc_id", F.xxhash64("gram").alias("gram"))
     )
     n_docs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     return (
