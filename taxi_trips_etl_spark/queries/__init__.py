@@ -66,3 +66,4 @@ from taxi_trips_etl_spark.queries._round6n import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round6o import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round6p import *  # noqa: F401,F403,E402
 from taxi_trips_etl_spark.queries._round7 import *  # noqa: F401,F403,E402
+from taxi_trips_etl_spark.queries._round8 import *  # noqa: F401,F403,E402

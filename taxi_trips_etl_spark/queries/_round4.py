@@ -616,6 +616,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     round."""
     from taxi_trips_etl_spark.dataprep.graph import pagerank_auto
 
+    return pagerank_auto(supplier_transition_edges(spark, sf_dir), iters=10)
+
+
+def supplier_transition_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed supplier-transition edges: per customer, consecutive
+    orders' representative (min) suppliers. Shared by graph_pagerank
+    and its forced-distributed bench twin."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     reps = (
@@ -624,13 +631,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_suppkey").alias("rep"))
     )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    edges = (
+    return (
         reps.select("rep", F.lag("rep").over(w).alias("prev"))
         .filter(F.col("prev").isNotNull() & (F.col("prev") != F.col("rep")))
         .select(F.col("prev").alias("src"), F.col("rep").alias("dst"))
         .distinct()
     )
-    return pagerank_auto(edges, iters=10)
 
 
 def _bpe_learn_oracle(n_merges: int = 8) -> str:
