@@ -807,18 +807,20 @@ def q_window_distribution_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("supp_count"))
     )
+    # quartile breakpoints ride as a 1-row broadcast, not a driver
+    # collect — no extra job, and the plan stays fully declarative
     b = s.selectExpr(
         "percentile_disc(0.25) WITHIN GROUP (ORDER BY supp_count) AS b25",
         "percentile_disc(0.50) WITHIN GROUP (ORDER BY supp_count) AS b50",
         "percentile_disc(0.75) WITHIN GROUP (ORDER BY supp_count) AS b75",
-    ).collect()[0]
+    )
     quartile = (
         F.lit(1)
-        + F.when(F.col("supp_count") > b["b25"], 1).otherwise(0)
-        + F.when(F.col("supp_count") > b["b50"], 1).otherwise(0)
-        + F.when(F.col("supp_count") > b["b75"], 1).otherwise(0)
+        + F.when(F.col("supp_count") > F.col("b25"), 1).otherwise(0)
+        + F.when(F.col("supp_count") > F.col("b50"), 1).otherwise(0)
+        + F.when(F.col("supp_count") > F.col("b75"), 1).otherwise(0)
     )
-    return s.select(
+    return s.crossJoin(F.broadcast(b)).select(
         "l_suppkey",
         "supp_count",
         quartile.cast("long").alias("value_quartile"),

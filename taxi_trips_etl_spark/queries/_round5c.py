@@ -188,6 +188,9 @@ def q_streaming_outer_attribution(
     # single-batch drain, and the SEMANTICS under test (watermarked
     # outer emission) are span-independent. A live deployment is
     # bounded by rate x (delay + window), not feed length.
+    # deliberate 1-value collect: the cutoff is ALSO a driver-side
+    # literal (it parameterizes the staged heartbeat timestamp below),
+    # so it cannot ride as a broadcast column
     cutoff = ev_all.agg(
         (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("c")
     ).collect()[0]["c"]
@@ -299,6 +302,9 @@ def q_incremental_rollup_merge(
         F.col("ts").cast("date").alias("day"),
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # deliberate 1-value collect: the split date feeds TWO filter
+    # branches — as a crossJoin-broadcast each branch would recompute
+    # the min-day aggregate, i.e. one extra full scan vs one collect
     split = ev.agg(
         F.date_add(F.min("day"), 20).alias("s")
     ).collect()[0]["s"]
@@ -368,6 +374,9 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("prev").alias("src"), F.col("rep").alias("dst"))
         .distinct()
     )
+    # deliberate 1-value collect: source_node is a Python int in the
+    # operator's API (it parameterizes the frontier seed), not a plan
+    # column — a bounded scalar probe, not a data-sized collect
     source = edges.agg(
         F.min(F.least("src", "dst")).alias("s")
     ).collect()[0]["s"]
@@ -565,6 +574,9 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
     )
+    # deliberate 1-value collect: source_node is a Python int in the
+    # operator's API (it parameterizes the frontier seed), not a plan
+    # column — a bounded scalar probe, not a data-sized collect
     source = edges.agg(
         F.min(F.least("src", "dst")).alias("s")
     ).collect()[0]["s"]

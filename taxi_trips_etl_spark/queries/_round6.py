@@ -392,6 +392,9 @@ def q_streaming_late_dupes_dropped(
     ev_all = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    # deliberate 1-value collect: day0 is a Python argument to the
+    # replay stager (it names staged files and literal timestamps),
+    # not a plan column
     day0 = ev_all.agg(
         F.date_trunc("day", F.min("ts")).alias("d")
     ).collect()[0]["d"]
@@ -545,11 +548,14 @@ def q_trend_slope_by_event_type(
     from taxi_trips_etl_spark.queries._registry import _events
 
     ev = _events(spark, sf_dir)
-    d0 = ev.agg(F.min(F.to_date("ts")).alias("d")).collect()[0]["d"]
+    # feed-epoch rides as a 1-row broadcast (dedup.py chunk-dedup
+    # pattern), not a driver collect — one fewer job per run.
+    d0 = ev.agg(F.min(F.to_date("ts")).alias("d0"))
     daily = (
-        ev.groupBy(
+        ev.crossJoin(F.broadcast(d0))
+        .groupBy(
             "event_type",
-            F.datediff(F.to_date("ts"), F.lit(d0)).cast("long").alias("x"),
+            F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("x"),
         )
         .agg(
             F.sum(F.round(F.col("value") * 100).cast("long"))
@@ -624,6 +630,9 @@ def q_streaming_full_outer_attribution(
     ev_all = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    # deliberate 1-value collect: the cutoff is ALSO a driver-side
+    # literal (it parameterizes the staged heartbeat timestamp below),
+    # so it cannot ride as a broadcast column
     cutoff = ev_all.agg(
         (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("c")
     ).collect()[0]["c"]
@@ -999,6 +1008,9 @@ def q_streaming_checkpoint_resume(
     ev = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    # deliberate 1-value collect: mid splits the feed into TWO staged
+    # replay files written by separate jobs — as a broadcast each
+    # branch would recompute the min-ts aggregate
     mid = ev.agg(
         (F.min("ts") + F.expr("INTERVAL 15 DAYS")).alias("m")
     ).collect()[0]["m"]
@@ -1085,10 +1097,15 @@ def q_streaming_semi_attribution(
     ev_all = _events(spark, sf_dir).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    # replay cutoff rides as a 1-row broadcast, not a driver collect
     cutoff = ev_all.agg(
-        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("c")
-    ).collect()[0]["c"]
-    ev = ev_all.filter(F.col("ts") < F.lit(cutoff))
+        (F.min("ts") + F.expr("INTERVAL 3 DAYS")).alias("_cutoff")
+    )
+    ev = (
+        ev_all.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("ts") < F.col("_cutoff"))
+        .drop("_cutoff")
+    )
     work = tempfile.mkdtemp(prefix="semi_attr_q_")
     try:
         src = f"{work}/src"

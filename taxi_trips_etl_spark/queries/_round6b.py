@@ -379,6 +379,9 @@ def q_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.write.mode("overwrite").partitionBy("day").parquet(
             f"{work}/events_by_day"
         )
+        # deliberate 1-value collect: STATIC partition pruning — the
+        # point of this entry — needs a literal partition filter; a
+        # broadcast-column filter would be DPP, a different plan
         day0 = ev.agg(F.min("day")).collect()[0][0]
         back = spark.read.parquet(f"{work}/events_by_day").filter(
             F.col("day") == day0

@@ -149,9 +149,11 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_baskets_df = baskets.select(
         F.countDistinct("basket").cast("long").alias("n_baskets")
     )
-    n_baskets = n_baskets_df.collect()[0][0]
+    # support threshold rides as a 1-row broadcast (dedup.py
+    # chunk-dedup pattern) instead of a driver collect — one fewer
+    # job, and the plan stays fully declarative.
     min_cnt_expr = (
-        f"CAST(floor(1000.0 * cnt / {n_baskets} + 0.5) AS BIGINT)"
+        "CAST(floor(1000.0 * cnt / n_baskets + 0.5) AS BIGINT)"
         f" >= {_TRIPLE_MIN_MILLI}"
     )
     a = baskets.alias("a")
@@ -166,6 +168,7 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.brand").alias("pa"), F.col("b.brand").alias("pb")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n_baskets_df))
         .where(F.expr(min_cnt_expr))
         .select("pa", "pb")
     )
