@@ -868,9 +868,13 @@ def fastss_pairs(
       aggregate to ONE partition, which would serialize the entire
       pair stage onto one core (measured 3× at sf0.1).
 
-    ``id_col`` must be unique per row — duplicate ids are dropped
-    deterministically (min name wins) to keep the pair key
-    meaningful.
+    ``id_col`` must be unique per row — the pair key is the id alone,
+    so a duplicated id would silently change semantics (whose name is
+    compared?). Enforced at execution: any duplicate id raises inside
+    the aggregation projection (a ``when``-guarded ``raise_error`` on
+    the name column — unprunable because the name is consumed
+    downstream, and free because the count rides the groupBy the plan
+    already runs).
     """
     if max_dist not in (1, 2):
         raise NotImplementedError("fastss_pairs implements max_dist in {1, 2}")
@@ -899,7 +903,26 @@ def fastss_pairs(
         variant_expr = f"array_distinct(concat({del1}, {del2}))"
     names = (
         df.groupBy(F.col(id_col).alias("rid"))
-        .agg(F.min(name_col).alias("name"))
+        .agg(
+            F.min(name_col).alias("_name"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "rid",
+            F.when(F.col("_n") == 1, F.col("_name"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "fastss_pairs: id_col must be unique per row; "
+                            "duplicate id "
+                        ),
+                        F.col("rid").cast("string"),
+                    )
+                )
+            )
+            .alias("name"),
+        )
     )
     par = df.sparkSession.sparkContext.defaultParallelism
     variants = (

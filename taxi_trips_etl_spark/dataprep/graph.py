@@ -258,7 +258,8 @@ def bfs_hops(
     rounds: int = 10,
     src: str = "src",
     dst: str = "dst",
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
+    frontier_broadcast_cap: int = 4_000_000,
 ) -> DataFrame:
     """Bounded-round BFS from ``source_node`` over the directed edge
     list → (node, hops) for every node reachable within ``rounds``
@@ -274,12 +275,16 @@ def bfs_hops(
     side is reached-nodes-sized — broadcast while the frontier is
     small) + one min-groupBy; lineage truncates per round. This is
     the relaxation skeleton: swap hops+1 for a weight sum and min for
-    the same min and it is Bellman-Ford. ``broadcast_frontier``
-    (default on) makes the "broadcast while small" claim real: the
-    checkpointed dist side is a LogicalRDD without size stats, so
-    without the hint the planner shuffle-joins — re-exchanging the
-    edge relation every round. Pass ``False`` when the reached set
-    can outgrow executor memory.
+    the same min and it is Bellman-Ford. ``broadcast_frontier`` makes
+    the "broadcast while small" claim real: the checkpointed dist side
+    is a LogicalRDD without size stats, so without the hint the
+    planner shuffle-joins — re-exchanging the edge relation every
+    round. Default ``None`` = AUTO: broadcast only while the reached
+    set (counted each fixpoint check anyway) stays under
+    ``frontier_broadcast_cap`` rows (4M × ~16 B ≈ 64 MiB), then fall
+    back to shuffle joins — so the default cannot OOM executors when
+    the reachable graph turns out web-scale. ``True``/``False``
+    force the choice for callers that know their graph.
     """
     # Materialize the edge relation ONCE: without this every round's
     # checkpoint job re-runs the whole upstream edge construction
@@ -296,8 +301,8 @@ def bfs_hops(
         )
         .transform(materialize, eager=True)
     )
-    def relax(d: DataFrame) -> DataFrame:
-        side = F.broadcast(d) if broadcast_frontier else d
+    def relax(d: DataFrame, small: bool) -> DataFrame:
+        side = F.broadcast(d) if small else d
         return (
             e.join(side, e["src"] == side["node"])
             .select(
@@ -319,10 +324,18 @@ def bfs_hops(
     n_prev, sum_prev = 1, 0
     done = 0
     while done < rounds:
+        # auto mode: the previous fixpoint check's reached-node count
+        # decides this batch's join strategy — broadcast while small,
+        # shuffle once the frontier could outgrow executor memory
+        small = (
+            broadcast_frontier
+            if broadcast_frontier is not None
+            else n_prev <= frontier_broadcast_cap
+        )
         step = min(2, rounds - done)
         relaxed = dist
         for _ in range(step):
-            relaxed = relax(relaxed)
+            relaxed = relax(relaxed, small)
         relaxed = relaxed.transform(materialize, eager=False)
         done += step
         agg = relaxed.agg(
@@ -342,7 +355,8 @@ def shortest_paths(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
-    broadcast_frontier: bool = True,
+    broadcast_frontier: bool | None = None,
+    frontier_broadcast_cap: int = 4_000_000,
 ) -> DataFrame:
     """Bounded-round Bellman-Ford from ``source_node`` over a directed
     weighted edge list (integer weights ≥ 0) → (node, dist) for nodes
@@ -353,15 +367,16 @@ def shortest_paths(
     shortest distance over paths of ≤ r edges — the standard
     Bellman-Ford partial guarantee the oracle replays exactly.
 
-    ``broadcast_frontier`` (default on) hints the dist side of each
-    relaxation join as broadcast: the checkpointed frontier is a
-    LogicalRDD with no reliable size stats, so the planner would
-    otherwise pick a shuffle join and re-exchange the (much larger)
-    edge relation EVERY round. The frontier is bounded by the reached
-    node set — broadcastable for the dimension-graph workloads this
-    serves; pass ``False`` for graphs whose reachable set can't fit
-    one executor (the relaxation then degrades to shuffle joins but
-    stays correct).
+    ``broadcast_frontier`` hints the dist side of each relaxation
+    join as broadcast: the checkpointed frontier is a LogicalRDD with
+    no reliable size stats, so the planner would otherwise pick a
+    shuffle join and re-exchange the (much larger) edge relation
+    EVERY round. Default ``None`` = AUTO, exactly as in
+    :func:`bfs_hops`: broadcast only while the reached-node count
+    (collected at each fixpoint check anyway) stays under
+    ``frontier_broadcast_cap``; beyond it the relaxation degrades to
+    shuffle joins but stays correct — the safe default for graphs
+    whose reachable set can't fit one executor.
     """
     e = (
         edges.select(
@@ -379,8 +394,8 @@ def shortest_paths(
         )
         .transform(materialize, eager=True)
     )
-    def relax(d: DataFrame) -> DataFrame:
-        side = F.broadcast(d) if broadcast_frontier else d
+    def relax(d: DataFrame, small: bool) -> DataFrame:
+        side = F.broadcast(d) if small else d
         return (
             e.join(side, e["src"] == side["node"])
             .select(
@@ -398,10 +413,15 @@ def shortest_paths(
     n_prev, sum_prev = 1, 0
     done = 0
     while done < rounds:
+        small = (
+            broadcast_frontier
+            if broadcast_frontier is not None
+            else n_prev <= frontier_broadcast_cap
+        )
         step = min(2, rounds - done)
         relaxed = dist
         for _ in range(step):
-            relaxed = relax(relaxed)
+            relaxed = relax(relaxed, small)
         relaxed = relaxed.transform(materialize, eager=False)
         done += step
         agg = relaxed.agg(

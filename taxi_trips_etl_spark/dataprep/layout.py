@@ -199,7 +199,9 @@ def adaptive_salt_plan(
     )
 
 
-def hilbert_index(df: DataFrame, xcol: str, ycol: str, bits: int = 8):
+def hilbert_index(
+    df: DataFrame, xcol: str, ycol: str, bits: int = 8, out_col: str = "hd"
+):
     """Hilbert-curve distance column for 2D data layout.
 
     Z-order (``zorder_key_customers``) interleaves bits; the Hilbert
@@ -229,9 +231,20 @@ def hilbert_index(df: DataFrame, xcol: str, ycol: str, bits: int = 8):
     per segment and the plan stays linear in ``bits``. The exchanges
     move only the dimension-sized pair relation.
 
-    Returns ``df`` with an added long column ``hd``.
+    Returns ``df`` with an added long column ``out_col`` (default
+    ``hd``). The walk uses working columns ``_hx``/``_hy``/``_hd``;
+    inputs that already carry any of those names (or ``out_col``)
+    would be silently clobbered, so they raise instead.
     """
     keep = [c for c in df.columns]
+    reserved = {"_hx", "_hy", "_hd", out_col}
+    clash = sorted(reserved & set(keep))
+    if clash:
+        raise ValueError(
+            f"hilbert_index: input columns {clash} collide with the "
+            f"working/output columns; rename them or pass a different "
+            f"out_col"
+        )
     out = df.select(
         *keep,
         F.col(xcol).cast("int").alias("_hx"),
@@ -262,4 +275,4 @@ def hilbert_index(df: DataFrame, xcol: str, ycol: str, bits: int = 8):
             out = out.repartition(
                 df.sparkSession.sparkContext.defaultParallelism, *keep
             )
-    return out.select(*keep, F.col("_hd").alias("hd"))
+    return out.select(*keep, F.col("_hd").alias(out_col))

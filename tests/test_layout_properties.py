@@ -35,3 +35,22 @@ def test_zorder_sql_matches_reference_and_is_injective(pairs):
         assert z == _ref(x, y)
         zs.add(z)
     assert len(zs) == len(pairs)  # injective on distinct pairs
+
+
+def test_hilbert_index_rejects_reserved_column_collisions(spark):
+    """hilbert_index's working columns (_hx/_hy/_hd) and its output
+    column must not silently clobber same-named input columns —
+    collisions raise (round-8 fix per round-7 advice)."""
+    import pytest
+
+    from taxi_trips_etl_spark.dataprep.layout import hilbert_index
+
+    df = spark.createDataFrame([(1, 2, 9)], "x int, y int, hd int")
+    with pytest.raises(ValueError, match="collide"):
+        hilbert_index(df, "x", "y", bits=2)
+    # a different out_col clears the output clash
+    out = hilbert_index(df, "x", "y", bits=2, out_col="hkey")
+    assert set(out.columns) == {"x", "y", "hd", "hkey"}
+    df2 = spark.createDataFrame([(1, 2, 9)], "x int, y int, _hx int")
+    with pytest.raises(ValueError, match="collide"):
+        hilbert_index(df2, "x", "y", bits=2)

@@ -220,17 +220,27 @@ def test_quantize_constant_dimension_maps_to_zero(spark):
     assert rows[(1, 1)] == -128 and rows[(2, 1)] == 127  # full range
 
 
-def test_fastss_duplicate_ids_drop_deterministically(spark):
-    """The hashed-variant rewrite keys pairs on id alone, so duplicate
-    input ids must collapse (min name wins) rather than fan out."""
+def test_fastss_duplicate_ids_raise(spark):
+    """The pair key is the id alone, so a duplicated input id would
+    silently change which name each pair compares — the operator must
+    ERROR on contract violation, not pick a winner (round-8 change
+    from the old min-name collapse, per round-7 advice)."""
+    import pytest
+
     rows = [
         (1, "kitten"),
-        (1, "zebra"),   # duplicate id: dropped (min name 'kitten' wins)
+        (1, "zebra"),   # duplicate id: must raise at execution
         (2, "mitten"),
     ]
     df = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    with pytest.raises(Exception, match="unique per row"):
+        fastss_pairs(df, max_dist=1).collect()
+    # unique ids keep working
+    ok = spark.createDataFrame(
+        [(1, "kitten"), (2, "mitten")], "c_custkey long, c_name string"
+    )
     got = {
         (r["id_a"], r["id_b"]): r["edit_dist"]
-        for r in fastss_pairs(df, max_dist=1).collect()
+        for r in fastss_pairs(ok, max_dist=1).collect()
     }
     assert got == {(1, 2): 1}
