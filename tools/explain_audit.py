@@ -145,13 +145,16 @@ EXPECT = {
     "hard_negative_mining_ivf": ["FlatMapCoGroupsInPandas", "Window"],
     "dedup_weighted_jaccard": ["HashAggregate"],
     "rouge_l_decontaminate": ["MapInPandas"],
-    "trend_slope_by_event_type": ["HashAggregate"],
+    # round 8: the feed-epoch scalar rides a 1-row broadcast crossJoin
+    # (VERDICT r7 #6) — the BNLJ of a 1-row relation is the pattern,
+    # not a regression
+    "trend_slope_by_event_type": ["HashAggregate",
+                                  "BroadcastNestedLoopJoin"],
     "sampled_range_partition_plan": ["HashAggregate",
                                      "BroadcastNestedLoopJoin"],
     "span_corruption_masks": ["Generate"],
     "negative_sample_table": ["BroadcastNestedLoopJoin", "Window"],
     "sft_pair_format": ["Project"],
-    "trend_slope_by_event_type": ["HashAggregate"],
     "semdedup_prune": ["FlatMapGroupsInPandas"],
     "dpo_preference_pairs": ["Window"],
     "skewed_distinct_count": ["HashAggregate"],
@@ -387,8 +390,10 @@ FORBID = {
     # The quadratic DP touches only the bounded pair set (MapInPandas
     # over ~12 rows); the corpus path stays JVM-side.
     "rouge_l_decontaminate": ["BatchEvalPython"],
-    "trend_slope_by_event_type": ["Join", "BatchEvalPython",
-                                  "CartesianProduct"],
+    # the only join allowed is the 1-row broadcast epoch (BNLJ); a
+    # hash/sort-merge join or a true cartesian would be a regression
+    "trend_slope_by_event_type": ["BatchEvalPython", "CartesianProduct",
+                                  "SortMergeJoin", "BroadcastHashJoin"],
     # Objective prep is pure JVM hash arithmetic — no Python.
     "span_corruption_masks": ["BatchEvalPython", "ArrowEvalPython",
                               "Join"],
