@@ -4,8 +4,9 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit":
 "sec", "queries": {name: sec, ...}, "sf": ...}.
 
 Execution is forced through the noop sink (full computation, no
-driver-side collect skew). Each query is timed wall-clock, best of 2,
-after a per-session warm-up query (JVM/codegen warm). A full-registry
+driver-side collect skew). Each query is timed wall-clock, best of 3
+(sub-second queries skip re-runs; warm-sample spread recorded), after
+a per-session warm-up query (JVM/codegen warm). A full-registry
 run fans the registry out over fresh-JVM worker subprocesses (~36
 queries each) so late queries never pay earlier queries' accumulated
 heap — per-query numbers are position-independent and comparable to
@@ -141,14 +142,20 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
                 ],
                 capture_output=True,
                 text=True,
-                # One hung query must not stall the whole bench: a 36-query
-                # chunk at sf0.1 runs in ~60s; 30 min is pathology, not load.
-                timeout=1800,
+                # One hung query must not stall the whole bench: a
+                # 36-query chunk at sf0.1 runs in ~60s, so the default
+                # hour is pathology, not load. Larger sf dirs scale past
+                # it (SCALE.md: the FastSS pair alone is ~460s best-of-3
+                # at sf1) — override via SPARK_GRAFT_BENCH_CHUNK_TIMEOUT.
+                timeout=int(
+                    os.environ.get("SPARK_GRAFT_BENCH_CHUNK_TIMEOUT", 3600)
+                ),
             )
         except subprocess.TimeoutExpired as exc:
             raise RuntimeError(
-                f"bench worker timed out (1800s) on chunk {lo}..{lo + len(part)}: "
-                f"{part}"
+                f"bench worker timed out on chunk {lo}..{lo + len(part)}: "
+                f"{part} (raise SPARK_GRAFT_BENCH_CHUNK_TIMEOUT for large "
+                f"sf dirs)"
             ) from exc
         # The payload is marked (full_map) and printed before the compact
         # trailer; scan in reverse and json-parse rather than trusting

@@ -389,6 +389,12 @@ def ngram_jaccard_pairs(
     # shape was the top bench entry at 5.2s; this one measures ~3s).
     arrays = _gram_arrays(posting).transform(materialize, eager=False)
     prefix = _prefix_posting(arrays, threshold, max_posting_size)
+    if max_posting_size is not None:
+        # the hot-gram cap adds a gh-count window — checkpoint so the
+        # self-join's two sides share ONE capped-prefix computation
+        # (uncapped, the prefix is a cheap slice over the arrays
+        # checkpoint and needs no materialization of its own)
+        prefix = prefix.transform(materialize, eager=False)
     cand = (
         prefix.alias("a")
         .join(

@@ -299,12 +299,16 @@ def bfs_hops(
     the "broadcast while small" claim real: the checkpointed dist side
     is a LogicalRDD without size stats, so without the hint the
     planner shuffle-joins — re-exchanging the edge relation every
-    round. Default ``None`` = AUTO: broadcast only while the reached
-    set (counted each fixpoint check anyway) stays under
-    ``frontier_broadcast_cap`` rows (4M × ~16 B ≈ 64 MiB), then fall
-    back to shuffle joins — so the default cannot OOM executors when
-    the reachable graph turns out web-scale. ``True``/``False``
-    force the choice for callers that know their graph.
+    round. Default ``None`` = AUTO: the first relax of each 2-round
+    batch broadcasts only while its EXACT input count (collected at
+    each fixpoint check anyway) is under ``frontier_broadcast_cap``
+    rows (4M × ~16 B ≈ 64 MiB); the batch's second relax — whose input
+    grew by an unknown fanout — gets no hint and rides AQE's runtime
+    shuffle-size decision instead. So the auto default never
+    broadcasts an uncounted or over-cap frontier and cannot OOM
+    executors when the reachable graph turns out web-scale.
+    ``True``/``False`` force the choice for callers that know their
+    graph.
     """
     # Materialize the edge relation ONCE: without this every round's
     # checkpoint job re-runs the whole upstream edge construction
@@ -344,17 +348,22 @@ def bfs_hops(
     n_prev, sum_prev = 1, 0
     done = 0
     while done < rounds:
-        # auto mode: the previous fixpoint check's reached-node count
-        # decides this batch's join strategy — broadcast while small,
-        # shuffle once the frontier could outgrow executor memory
-        small = (
-            broadcast_frontier
-            if broadcast_frontier is not None
-            else n_prev <= frontier_broadcast_cap
-        )
         step = min(2, rounds - done)
         relaxed = dist
-        for _ in range(step):
+        for i in range(step):
+            # auto mode: the FIRST relax of the batch broadcasts iff
+            # the counted reached-set (its exact input) is under the
+            # cap; the second relax's input is uncounted (it grew by
+            # an unknown fanout inside this batch), so it gets NO
+            # hint — its dist side ends in a shuffle whose size AQE
+            # measures at runtime, downgrading to a broadcast join
+            # when it is in fact small. No static guess ever
+            # broadcasts an unbounded frontier.
+            small = (
+                broadcast_frontier
+                if broadcast_frontier is not None
+                else i == 0 and n_prev <= frontier_broadcast_cap
+            )
             relaxed = relax(relaxed, small)
         relaxed = relaxed.transform(materialize, eager=False)
         done += step
@@ -392,11 +401,11 @@ def shortest_paths(
     no reliable size stats, so the planner would otherwise pick a
     shuffle join and re-exchange the (much larger) edge relation
     EVERY round. Default ``None`` = AUTO, exactly as in
-    :func:`bfs_hops`: broadcast only while the reached-node count
-    (collected at each fixpoint check anyway) stays under
-    ``frontier_broadcast_cap``; beyond it the relaxation degrades to
-    shuffle joins but stays correct — the safe default for graphs
-    whose reachable set can't fit one executor.
+    :func:`bfs_hops`: the batch's first relax broadcasts only while
+    its exact counted input is under ``frontier_broadcast_cap``, the
+    uncounted second relax rides AQE's runtime shuffle-size decision —
+    the safe default for graphs whose reachable set can't fit one
+    executor (relaxations degrade to shuffle joins but stay correct).
     """
     e = (
         edges.select(
@@ -433,14 +442,16 @@ def shortest_paths(
     n_prev, sum_prev = 1, 0
     done = 0
     while done < rounds:
-        small = (
-            broadcast_frontier
-            if broadcast_frontier is not None
-            else n_prev <= frontier_broadcast_cap
-        )
         step = min(2, rounds - done)
         relaxed = dist
-        for _ in range(step):
+        for i in range(step):
+            # same auto gate as bfs_hops: exact count for the first
+            # relax, AQE runtime sizing (no hint) for the second
+            small = (
+                broadcast_frontier
+                if broadcast_frontier is not None
+                else i == 0 and n_prev <= frontier_broadcast_cap
+            )
             relaxed = relax(relaxed, small)
         relaxed = relaxed.transform(materialize, eager=False)
         done += step

@@ -322,6 +322,18 @@ _REVERIFY: frozenset[str] = frozenset({
     "dedup_canonicalize",
     "record_linkage_blocked",
     "minhash_lsh_recall",
+    # Round-8 rewrites: every entry whose EXECUTED PLAN changed this
+    # round and whose latest green row predates the change —
+    # array-intersect n-gram verification consumers not already listed
+    # (rouge_l via lcs→ngram_jaccard_pairs; corpus_prepare_pipeline via
+    # prepare_corpus→ngram_jaccard_pairs; v2/v3 ride ngram_decontaminate,
+    # which did NOT change) and the collect→broadcast scalar rewrites.
+    "rouge_l_decontaminate",
+    "corpus_prepare_pipeline",
+    "trend_slope_by_event_type",
+    "market_basket_triples",
+    "streaming_semi_attribution",
+    "window_distribution_approx",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
