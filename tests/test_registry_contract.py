@@ -49,3 +49,20 @@ def test_every_oracle_schema_matches_spark(spark, sf_dir, ddb):
                 f"{name}: spark={spark_cols} oracle={oracle_cols}"
             )
     assert not mismatches, "\n".join(mismatches)
+
+
+def test_rotation_bookkeeping_names_exist():
+    """A typo in _REVERIFY or a _R{N}_VERIFIED tuple silently breaks
+    the rotation (the name would sort nothing / mark nothing) — every
+    bookkeeping name must be a registered query."""
+    from taxi_trips_etl_spark.queries._registry import (
+        _QUERIES,
+        _REVERIFY,
+        _VERIFIED_ROUNDS,
+    )
+
+    registered = set(_QUERIES)
+    ghosts = sorted(
+        (set(_REVERIFY) | set(_VERIFIED_ROUNDS)) - registered
+    )
+    assert not ghosts, f"rotation bookkeeping names not registered: {ghosts}"
