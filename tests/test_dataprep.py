@@ -730,3 +730,30 @@ def test_ngram_miners_equal_bruteforce_on_random_corpus(spark):
     }
     assert got_j == want_j and len(want_j) > 0
     assert got_c == want_c and len(want_c) > 0
+
+
+def test_ngram_miners_threshold_one_prefix_edge(spark):
+    """threshold=1.0 shrinks the PPJoin prefix to exactly ONE gram
+    (n − ⌈t·n⌉ + 1 = 1) — the boundary of the round-8 sorted-array
+    slice. Identical gram sets must still pair; any proper subset or
+    overlap below 1.0 must not (jaccard); containment=1.0 must still
+    catch a short doc quoted inside a longer one."""
+    from taxi_trips_etl_spark.dataprep import dedup
+
+    rows = [
+        (0, "aa bb cc dd"),          # grams: {aa bb cc, bb cc dd}
+        (1, "aa bb cc dd"),          # identical → J=1, C=1
+        (2, "aa bb cc"),             # subset (1 gram) → J=0.5, C=1
+        (3, "xx yy zz ww"),          # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jac = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=1.0).collect()
+    }
+    assert jac == {(0, 1): 1.0}
+    con = {
+        (r.doc_id_a, r.doc_id_b): r.containment
+        for r in dedup.ngram_containment_pairs(df, threshold=1.0).collect()
+    }
+    assert con == {(0, 1): 1.0, (0, 2): 1.0, (1, 2): 1.0}
