@@ -395,6 +395,19 @@ def ngram_jaccard_pairs(
         # (uncapped, the prefix is a cheap slice over the arrays
         # checkpoint and needs no materialization of its own)
         prefix = prefix.transform(materialize, eager=False)
+    # positional filter (round 8): J ≥ t needs overlap ≥
+    # t·(na+nb)/(1+t); a matching gram deep in BOTH prefixes cannot
+    # reach it (ubound = 1 + min suffix length), so the row dies in
+    # the join instead of dragging two gram arrays through the verify
+    # joins. The 1e-9 slack only LOOSENS the bound against float
+    # round-up, so exactness is untouched (the verify filter is the
+    # arbiter). Measured: 173k → far fewer candidates at t=0.7 on the
+    # adversarial 30-word-vocab corpus.
+    alpha = F.ceil(
+        (F.col("a.n_grams") + F.col("b.n_grams"))
+        * (threshold / (1.0 + threshold))
+        - 1e-9
+    )
     cand = (
         prefix.alias("a")
         .join(
@@ -404,6 +417,15 @@ def ngram_jaccard_pairs(
             & (
                 F.least(F.col("a.n_grams"), F.col("b.n_grams"))
                 >= F.greatest(F.col("a.n_grams"), F.col("b.n_grams")) * threshold
+            )
+            & (
+                _positional_ubound(
+                    F.col("a.pos"),
+                    F.col("b.pos"),
+                    F.col("a.n_grams"),
+                    F.col("b.n_grams"),
+                )
+                >= alpha
             ),
         )
         .select(
@@ -439,9 +461,11 @@ def _gram_arrays(posting: DataFrame) -> DataFrame:
 def _prefix_posting(
     arrays: DataFrame, threshold: float, max_posting_size: int | None
 ) -> DataFrame:
-    """PPJoin prefix posting (doc_id, n_grams, gh): the first
+    """PPJoin prefix posting (doc_id, n_grams, pos, gh): the first
     n − ⌈t·n⌉ + 1 grams of each doc under the canonical (hash) order,
-    with the optional hot-gram cap (candidate generation only —
+    with 0-based ``pos`` (the gram's rank in the doc's full sorted
+    gram array — the slice IS its head, so slice index = global rank)
+    and the optional hot-gram cap (candidate generation only —
     verification stays exact, see caller docstrings)."""
     plen = (
         F.col("n_grams") - F.ceil(F.col("n_grams") * threshold) + 1
@@ -449,7 +473,7 @@ def _prefix_posting(
     prefix = arrays.select(
         "doc_id",
         "n_grams",
-        F.explode(F.slice("ghs", F.lit(1), plen)).alias("gh"),
+        F.posexplode(F.slice("ghs", F.lit(1), plen)).alias("pos", "gh"),
     )
     if max_posting_size is not None:
         w_gram = Window.partitionBy("gh")
@@ -459,6 +483,19 @@ def _prefix_posting(
             .drop("_psz")
         )
     return prefix
+
+
+def _positional_ubound(pa, pb, na, nb) -> "F.Column":
+    """PPJoin positional upper bound on |A∩B| given a matching gram at
+    0-based ranks (pa, pb) of the two docs' canonical orders:
+    overlap ≤ 1 + min(na − pa − 1, nb − pb − 1). Sound as a per-row
+    candidate filter because for a qualifying pair the FIRST common
+    gram (minimum rank pair) has everything before it on each side
+    outside the intersection, so that generating row's bound is ≥ the
+    true overlap and survives any overlap-minimum test (Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08)."""
+    return 1 + F.least(na - pa - 1, nb - pb - 1)
 
 
 def _verified_intersections(cand: DataFrame, arrays: DataFrame) -> DataFrame:
@@ -540,8 +577,15 @@ def ngram_containment_pairs(
     arrays = _gram_arrays(posting).transform(materialize, eager=False)
     prefix = _prefix_posting(arrays, threshold, max_posting_size)
     full = arrays.select(
-        "doc_id", "n_grams", F.explode("ghs").alias("gh")
+        "doc_id",
+        "n_grams",
+        F.posexplode("ghs").alias("pos", "gh"),
     )
+    # positional filter (round 8, same first-common-gram soundness
+    # argument as in ngram_jaccard_pairs): C ≥ t needs overlap ≥
+    # t·min(na, nb) = t·na under the join's na ≤ nb guard; 1e-9 slack
+    # only loosens against float round-up.
+    alpha = F.ceil(F.col("a.n_grams") * F.lit(threshold) - 1e-9)
     cand = (
         prefix.alias("a")
         .join(
@@ -550,7 +594,16 @@ def ngram_containment_pairs(
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             # only the smaller side's prefix must fire (see docstring);
             # ties fire both ways and collapse in the distinct
-            & (F.col("a.n_grams") <= F.col("b.n_grams")),
+            & (F.col("a.n_grams") <= F.col("b.n_grams"))
+            & (
+                _positional_ubound(
+                    F.col("a.pos"),
+                    F.col("b.pos"),
+                    F.col("a.n_grams"),
+                    F.col("b.n_grams"),
+                )
+                >= alpha
+            ),
         )
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),

@@ -757,3 +757,53 @@ def test_ngram_miners_threshold_one_prefix_edge(spark):
         for r in dedup.ngram_containment_pairs(df, threshold=1.0).collect()
     }
     assert con == {(0, 1): 1.0, (0, 2): 1.0, (1, 2): 1.0}
+
+
+def test_ngram_miners_positional_filter_sound_across_thresholds(spark):
+    """The round-8 PPJoin positional filter prunes candidate rows by
+    1 + min suffix length ≥ α — an off-by-one in α or pos would
+    silently DROP true pairs, so pin exact brute-force equality at
+    thresholds spanning loose to strict (α from tiny to ≈ n_grams)."""
+    import random
+
+    from taxi_trips_etl_spark.dataprep import dedup
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 14))))
+        for i in range(35)
+    ]
+    # exact twins keep even t=0.9 non-vacuous
+    rows += [(100, rows[0][1]), (101, rows[1][1])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        want_j, want_c = {}, {}
+        for i, ta in rows:
+            for j, tb in rows:
+                if i >= j:
+                    continue
+                ga, gb = grams(ta), grams(tb)
+                if not ga or not gb:
+                    continue
+                inter = len(ga & gb)
+                if round(inter / len(ga | gb), 6) >= t:
+                    want_j[(i, j)] = round(inter / len(ga | gb), 6)
+                if round(inter / min(len(ga), len(gb)), 6) >= t:
+                    want_c[(i, j)] = round(inter / min(len(ga), len(gb)), 6)
+        got_j = {
+            (r.doc_id_a, r.doc_id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        got_c = {
+            (r.doc_id_a, r.doc_id_b): r.containment
+            for r in dedup.ngram_containment_pairs(df, threshold=t).collect()
+        }
+        assert got_j == want_j, f"jaccard mismatch at t={t}"
+        assert got_c == want_c, f"containment mismatch at t={t}"
+        assert want_j and want_c, f"vacuous at t={t}"
