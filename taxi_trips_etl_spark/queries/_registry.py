@@ -134,14 +134,37 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r08.json
-# into this map as (…, 8) so the rotation keeps cycling fairly.
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r09.json
+# into this map as (…, 9) so the rotation keeps cycling fairly.
 # REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
 # double-division bug proved the shared-expression-text blind spot is
 # real — a bug mirrored into both the Spark builder and the oracle SQL
 # passes the hash gate): ship an independent pytest that recomputes the
 # statistic from raw data in plain Python/numpy (see
 # tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R8_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r08.json (all 50 sampled entries,
+    # zero err — includes every round-7/8 perf-rewrite _REVERIFY name
+    # and the three forced-distributed twins added in round 8)
+    "ann_recall_at_k", "asof_join_purchases", "bpe_learn_merges_distributed",
+    "build_vocab", "corpus_decontaminate", "corpus_prepare_pipeline",
+    "dedup_canonicalize", "dedup_components", "dedup_components_star",
+    "dedup_minhash_incremental", "dedup_ngram_jaccard", "dedup_simhash_pairs",
+    "domain_mixture_sample", "dup_ngram_coverage",
+    "embedding_centroid_by_source", "embedding_near_dup",
+    "flagship_known_zones", "fuzzy_match_fastss", "fuzzy_match_fastss2",
+    "graph_bfs_hops", "graph_kcore", "graph_pagerank_distributed",
+    "graph_shortest_paths", "hex_neighbor_smoothing", "json_extract_props",
+    "market_basket_triples", "minhash_lsh_recall", "multimodal_meta",
+    "ngram_containment_pairs", "pack_sequences", "pivot_event_types",
+    "profile_columns", "range_join_windows", "record_linkage_blocked",
+    "rouge_l_decontaminate", "semantic_search_docs", "sessionize_events",
+    "similarity_ivf_topk", "similarity_lsh_multiprobe", "sql_ordinal_sort",
+    "stratified_sample", "streaming_daypart_rollup",
+    "streaming_semi_attribution", "string_functions", "text_lexical_diversity",
+    "text_pii_scrub", "text_repetition_scores", "text_tfidf_top_terms",
+    "trend_slope_by_event_type", "window_distribution_approx",
+)
 _R7_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r07.json (all 50 sampled entries;
     # includes the two round-6 HUGEINT hash-fails, now CAST-fixed green)
@@ -291,6 +314,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(8, _R8_VERIFIED)
 _mark_verified(7, _R7_VERIFIED)
 _mark_verified(6, _R6_VERIFIED)
 _mark_verified(5, _R5_VERIFIED)
@@ -303,37 +327,14 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # Round-7 perf rewrites (xxhash64 join keys, lazy checkpoints,
-    # broadcast frontiers, smaller-side prefix indexing) landed AFTER
-    # these entries' last driver window; the builder's own
-    # tools/validate_oracles.py re-ran all 303 green post-rewrite, but
-    # the judge wants driver-green rows (VERDICT r7 "What's wrong" #1).
-    "fuzzy_match_fastss",
-    "fuzzy_match_fastss2",
-    "dedup_ngram_jaccard",
-    "ngram_containment_pairs",
-    "dup_ngram_coverage",
-    "corpus_decontaminate",
-    "dedup_simhash_pairs",
-    "graph_bfs_hops",
-    "graph_shortest_paths",
-    "graph_kcore",
-    "dedup_components",
-    "dedup_canonicalize",
-    "record_linkage_blocked",
-    "minhash_lsh_recall",
-    # Round-8 rewrites: every entry whose EXECUTED PLAN changed this
-    # round and whose latest green row predates the change —
-    # array-intersect n-gram verification consumers not already listed
-    # (rouge_l via lcs→ngram_jaccard_pairs; corpus_prepare_pipeline via
-    # prepare_corpus→ngram_jaccard_pairs; v2/v3 ride ngram_decontaminate,
-    # which did NOT change) and the collect→broadcast scalar rewrites.
-    "rouge_l_decontaminate",
-    "corpus_prepare_pipeline",
-    "trend_slope_by_event_type",
-    "market_basket_triples",
-    "streaming_semi_attribution",
-    "window_distribution_approx",
+    # (All 20 round-7/8 rewrite names were driver-re-verified hash-green
+    # in CORRECTNESS_r08.json and folded into _R8_VERIFIED above.)
+    # Round-9 behavior changes whose latest green row predates the
+    # change:
+    #  - dedup_components_star: convergence signature now checked every
+    #    2 star rounds instead of every round (components.py) — the
+    #    executed job sequence changed, result provably identical.
+    "dedup_components_star",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
