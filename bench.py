@@ -31,6 +31,20 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _chunk_timeout() -> int:
+    """SPARK_GRAFT_BENCH_CHUNK_TIMEOUT, validated: a malformed value
+    ('1h', '') must fail with a message naming the env var, not an
+    opaque ValueError mid-bench (ADVICE r8)."""
+    raw = os.environ.get("SPARK_GRAFT_BENCH_CHUNK_TIMEOUT", "3600")
+    try:
+        return int(raw)
+    except ValueError:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_CHUNK_TIMEOUT must be an integer number "
+            f"of seconds, got {raw!r}"
+        ) from None
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -147,9 +161,7 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
                 # hour is pathology, not load. Larger sf dirs scale past
                 # it (SCALE.md: the FastSS pair alone is ~460s best-of-3
                 # at sf1) — override via SPARK_GRAFT_BENCH_CHUNK_TIMEOUT.
-                timeout=int(
-                    os.environ.get("SPARK_GRAFT_BENCH_CHUNK_TIMEOUT", 3600)
-                ),
+                timeout=_chunk_timeout(),
             )
         except subprocess.TimeoutExpired as exc:
             raise RuntimeError(

@@ -309,12 +309,58 @@ def simhash_near_duplicates(
 # ---------------------------------------------------------------------------
 
 
+def _cap_pairs(
+    result: DataFrame, cand: DataFrame, max_pairs: int, op: str
+) -> DataFrame:
+    """Loud-fail output guard for the exact pair miners.
+
+    Exact similarity joins are lower-bounded by their OUTPUT size, and
+    adversarial corpora make that output quadratic (SCALE.md's FastSS
+    key-shift rig: 157k pairs at sf0.1 → 15.9M at 10×, exponent ~1.6).
+    At 100 TB a pathological corpus would fill the shuffle/output disks
+    silently before any stage fails. This guard converts that into a
+    clean, early error: gate ``result`` on ``count(cand) ≤ max_pairs``
+    — the candidate count upper-bounds the verified output and is
+    checked BEFORE the verify/write work runs.
+
+    Plan shape: a 1-row aggregate whose projection ``raise_error``s
+    past the cap, broadcast-joined onto ``result`` with the guard
+    column consumed IN THE JOIN CONDITION — column pruning therefore
+    cannot elide the raising projection (the prunable-guard hazard the
+    round-8 duplicate-id check carries, see ADVICE r8). No
+    driver-side collect; same 1-row-broadcast scalar pattern as
+    ``trend_slope_by_event_type``.
+    """
+    guard = cand.agg(F.count(F.lit(1)).alias("_n_cand")).select(
+        F.when(F.col("_n_cand") <= F.lit(max_pairs), F.col("_n_cand"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op}: candidate pair count "),
+                    F.col("_n_cand").cast("string"),
+                    F.lit(
+                        f" exceeds max_pairs={max_pairs} — output is "
+                        "quadratic on this corpus; raise max_pairs, "
+                        "tighten the threshold, or pre-collapse exact "
+                        "duplicates first"
+                    ),
+                )
+            )
+        )
+        .alias("_cap_n")
+    )
+    return result.join(
+        F.broadcast(guard), F.col("_cap_n").isNotNull(), "inner"
+    ).drop("_cap_n")
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text: str = "text",
     n: int = 3,
     threshold: float = 0.8,
     max_posting_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (the verifier operator).
 
@@ -354,7 +400,20 @@ def ngram_jaccard_pairs(
     Pairs whose only shared prefix gram is a dropped hot gram are
     near-exact boilerplate duplicates — :func:`exact_duplicates`
     territory. On corpora where no prefix gram exceeds the cap the
-    output is bit-identical to the uncapped run.
+    output is bit-identical to the uncapped run. The positional filter
+    is DISABLED under the cap: its soundness argument needs the first
+    common gram's candidate row to exist, and the cap may drop exactly
+    that row — keeping the conjunct would prune additional qualifying
+    pairs beyond the documented only-shared-gram-was-hot loss (ADVICE
+    r8), so capped mode trades the positional pruning away to keep the
+    cap's recall contract exact.
+
+    ``max_pairs`` is the loud-fail output guard (:func:`_cap_pairs`):
+    when set, the run errors cleanly if the candidate pair count
+    crosses the cap instead of silently writing a quadratic result;
+    the guarded output is bit-identical to the unguarded run whenever
+    it survives. Default ``None`` keeps the plan byte-identical to
+    pre-guard builds.
 
     Short docs (< n tokens) produce no postings and drop out naturally.
 
@@ -403,38 +462,47 @@ def ngram_jaccard_pairs(
     # round-up, so exactness is untouched (the verify filter is the
     # arbiter). Measured: 173k → far fewer candidates at t=0.7 on the
     # adversarial 30-word-vocab corpus.
-    alpha = F.ceil(
-        (F.col("a.n_grams") + F.col("b.n_grams"))
-        * (threshold / (1.0 + threshold))
-        - 1e-9
+    cond = (
+        (F.col("a.gh") == F.col("b.gh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.n_grams"), F.col("b.n_grams"))
+            >= F.greatest(F.col("a.n_grams"), F.col("b.n_grams")) * threshold
+        )
     )
+    if max_posting_size is None:
+        # positional conjunct only when UNcapped — under the cap the
+        # first-common-gram row this bound's soundness relies on may be
+        # the dropped hot-gram row (see docstring / ADVICE r8).
+        alpha = F.ceil(
+            (F.col("a.n_grams") + F.col("b.n_grams"))
+            * (threshold / (1.0 + threshold))
+            - 1e-9
+        )
+        cond = cond & (
+            _positional_ubound(
+                F.col("a.pos"),
+                F.col("b.pos"),
+                F.col("a.n_grams"),
+                F.col("b.n_grams"),
+            )
+            >= alpha
+        )
     cand = (
         prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (
-                F.least(F.col("a.n_grams"), F.col("b.n_grams"))
-                >= F.greatest(F.col("a.n_grams"), F.col("b.n_grams")) * threshold
-            )
-            & (
-                _positional_ubound(
-                    F.col("a.pos"),
-                    F.col("b.pos"),
-                    F.col("a.n_grams"),
-                    F.col("b.n_grams"),
-                )
-                >= alpha
-            ),
-        )
+        .join(prefix.alias("b"), cond)
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
         .distinct()
     )
-    return (
+    if max_pairs is not None:
+        # checkpoint so the guard's count and the verify joins read ONE
+        # materialized candidate set instead of re-running the prefix
+        # self-join twice.
+        cand = cand.transform(materialize, eager=False)
+    out = (
         _verified_intersections(cand, arrays)
         .select(
             "doc_id_a",
@@ -445,6 +513,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    if max_pairs is not None:
+        out = _cap_pairs(out, cand, max_pairs, "ngram_jaccard_pairs")
+    return out
 
 
 def _gram_arrays(posting: DataFrame) -> DataFrame:
@@ -534,6 +605,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.6,
     max_posting_size: int | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram CONTAINMENT pairs: |A∩B| / min(|A|, |B|) ≥ t.
 
@@ -556,7 +628,11 @@ def ngram_containment_pairs(
     same three counting joins. Never an all-pairs product. Grams ride
     as ``xxhash64`` longs with the hash as canonical prefix order —
     same construction and collision argument as
-    :func:`ngram_jaccard_pairs`.
+    :func:`ngram_jaccard_pairs`. As there, the positional filter is
+    disabled when ``max_posting_size`` is set (the cap can drop the
+    first-common-gram row its soundness needs — ADVICE r8), and
+    ``max_pairs`` adds the :func:`_cap_pairs` loud-fail output guard
+    (default ``None`` = plan unchanged).
     """
     posting = (
         tokens_table(docs, text)
@@ -585,26 +661,28 @@ def ngram_containment_pairs(
     # argument as in ngram_jaccard_pairs): C ≥ t needs overlap ≥
     # t·min(na, nb) = t·na under the join's na ≤ nb guard; 1e-9 slack
     # only loosens against float round-up.
-    alpha = F.ceil(F.col("a.n_grams") * F.lit(threshold) - 1e-9)
+    cond = (
+        (F.col("a.gh") == F.col("b.gh"))
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        # only the smaller side's prefix must fire (see docstring);
+        # ties fire both ways and collapse in the distinct
+        & (F.col("a.n_grams") <= F.col("b.n_grams"))
+    )
+    if max_posting_size is None:
+        # positional conjunct only when UNcapped (see docstring).
+        alpha = F.ceil(F.col("a.n_grams") * F.lit(threshold) - 1e-9)
+        cond = cond & (
+            _positional_ubound(
+                F.col("a.pos"),
+                F.col("b.pos"),
+                F.col("a.n_grams"),
+                F.col("b.n_grams"),
+            )
+            >= alpha
+        )
     cand = (
         prefix.alias("a")
-        .join(
-            full.alias("b"),
-            (F.col("a.gh") == F.col("b.gh"))
-            & (F.col("a.doc_id") != F.col("b.doc_id"))
-            # only the smaller side's prefix must fire (see docstring);
-            # ties fire both ways and collapse in the distinct
-            & (F.col("a.n_grams") <= F.col("b.n_grams"))
-            & (
-                _positional_ubound(
-                    F.col("a.pos"),
-                    F.col("b.pos"),
-                    F.col("a.n_grams"),
-                    F.col("b.n_grams"),
-                )
-                >= alpha
-            ),
-        )
+        .join(full.alias("b"), cond)
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias(
@@ -613,7 +691,9 @@ def ngram_containment_pairs(
         )
         .distinct()
     )
-    return (
+    if max_pairs is not None:
+        cand = cand.transform(materialize, eager=False)
+    out = (
         _verified_intersections(cand, arrays)
         .select(
             "doc_id_a",
@@ -624,6 +704,9 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+    if max_pairs is not None:
+        out = _cap_pairs(out, cand, max_pairs, "ngram_containment_pairs")
+    return out
 
 
 def minhash_lsh_incremental(
@@ -878,6 +961,7 @@ def fastss_pairs(
     id_col: str = "c_custkey",
     name_col: str = "c_name",
     max_dist: int = 1,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Exact edit-distance-1 pair join via symmetric-deletion blocking
     (FastSS / SymSpell family): each string emits its 1-deletion
@@ -934,6 +1018,15 @@ def fastss_pairs(
     the name column — unprunable because the name is consumed
     downstream, and free because the count rides the groupBy the plan
     already runs).
+
+    ``max_pairs`` is the loud-fail output guard (:func:`_cap_pairs`):
+    the 10× sweep's key-shifted corpus proves this miner's output is
+    quadratic on adversarial data (exponents 1.59/1.40 — an OUTPUT
+    lower bound, not a plan defect), so at 100 TB an uncapped run can
+    fill disk silently. When set, the run errors cleanly once the
+    deduped candidate count crosses the cap; surviving output is
+    bit-identical to the unguarded run. Default ``None`` keeps the
+    plan byte-identical to pre-guard builds.
     """
     if max_dist not in (1, 2):
         raise NotImplementedError("fastss_pairs implements max_dist in {1, 2}")
@@ -1010,13 +1103,21 @@ def fastss_pairs(
         )
         .distinct()
     )
-    return (
+    if max_pairs is not None:
+        # checkpoint so the guard's count and the levenshtein verify
+        # read ONE materialized candidate set (the blocking self-join
+        # is the expensive stage; don't run it twice).
+        cand = cand.transform(materialize, eager=False)
+    out = (
         cand.withColumn(
             "edit_dist", F.levenshtein("name_a", "name_b").cast("long")
         )
         .filter(F.col("edit_dist") <= max_dist)
         .select("id_a", "id_b", "edit_dist")
     )
+    if max_pairs is not None:
+        out = _cap_pairs(out, cand, max_pairs, "fastss_pairs")
+    return out
 
 
 def chunk_dedup(
