@@ -335,6 +335,20 @@ _REVERIFY: frozenset[str] = frozenset({
     #    2 star rounds instead of every round (components.py) — the
     #    executed job sequence changed, result provably identical.
     "dedup_components_star",
+    #  - streaming trigger-cycle merges (VERDICT r8 #5): late_data's
+    #    replay+heartbeat co-ride batch 3, the two outer-attribution
+    #    drains co-deliver feed+heartbeat in one staged file — outputs
+    #    measured bit-identical at sf0.1, but the executed drains
+    #    changed, so the old green rows are stale.
+    "streaming_late_dupes_dropped",
+    "streaming_outer_attribution",
+    "streaming_full_outer_attribution",
+    #  - state-partition pins (drain-width, not semantics): dedup state
+    #    at 8 instead of the session's 32; click join state at 2.
+    #    (streaming_click_attribution was already leading the window
+    #    as an r2-stale name; listed for the discipline's record.)
+    "streaming_dedup_watermark",
+    "streaming_click_attribution",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

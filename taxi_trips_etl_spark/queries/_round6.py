@@ -370,9 +370,12 @@ def q_streaming_late_dupes_dropped(
 ) -> DataFrame:
     """Watermark LATENESS pinned end-to-end (streaming/late_data.py):
     batch 3 re-delivers every day-1 row two batches after its window
-    expired, so the engine must DROP all of them — append-mode output
-    equals the plain batch per-day count (the oracle). A single
-    accepted late duplicate double-counts day 1 and breaks the hash.
+    expired (the flush heartbeat co-rides that batch — round 9 merged
+    the final two trigger cycles; the drop decision uses batch 2's
+    watermark either way), so the engine must DROP all of them —
+    append-mode output equals the plain batch per-day count (the
+    oracle). A single accepted late duplicate double-counts day 1 and
+    breaks the hash.
     The staging deliberately encodes Spark's one-batch watermark lag
     (late-event filtering uses batch N−1's watermark, eviction uses
     batch N's — a replay in the IMMEDIATELY following batch is still
@@ -614,9 +617,12 @@ def q_streaming_full_outer_attribution(
     join-family matrix — inner (click attribution), LEFT OUTER
     (unattributed purchases), and now both negative emissions at once
     (purchases with no prior click AND clicks with no following
-    purchase, each proven by the watermark). Same heartbeat-drained
-    staging as the LEFT OUTER entry; the heartbeat pair matches
-    itself and is dropped by the user_id >= 0 read filter."""
+    purchase, each proven by the watermark). Same co-delivered
+    feed+heartbeat staging as the LEFT OUTER entry (round 9: one
+    staged file, one trigger cycle; the no-data micro-batch still
+    carries the watermark-proof flush across a batch boundary); the
+    heartbeat pair matches itself and is dropped by the
+    user_id >= 0 read filter."""
     import os
     import shutil
     import tempfile
@@ -650,7 +656,6 @@ def q_streaming_full_outer_attribution(
             )
             shutil.move(f"{tmp}/{part}", f"{src}/{name}.parquet")
 
-        stage(ev, "a_events")
         hb_ts = cutoff.strftime("%Y-%m-%d %H:%M:%S")
         heartbeat = spark.sql(
             f"""
@@ -663,9 +668,8 @@ def q_streaming_full_outer_attribution(
             FROM VALUES ('click'), ('purchase') AS t(event_type)
             """
         )
-        stage(heartbeat, "b_heartbeat")
-        now = os.stat(f"{src}/a_events.parquet").st_mtime
-        os.utime(f"{src}/b_heartbeat.parquet", (now + 60, now + 60))
+        # single staged file: feed + heartbeat co-delivered (docstring)
+        stage(ev.unionByName(heartbeat), "a_events")
         schema = spark.read.parquet(f"{src}/a_events.parquet").schema
         run_streaming_full_outer_attribution(
             spark,

@@ -35,6 +35,7 @@ def run_streaming_dedup_watermark(
     checkpoint_path: str,
     keys: list[str] | None = None,
     delay: str = "3650 days",
+    state_partitions: int = 8,
 ) -> None:
     """Drain ``source_path`` (AvailableNow, one file per micro-batch)
     dropping re-delivered events by ``keys`` within ``delay``, appending
@@ -44,7 +45,19 @@ def run_streaming_dedup_watermark(
     full re-delivery of the feed (the oracle scenario) is entirely
     deduplicated; a real deployment sets it to the transport's maximum
     redelivery lag (minutes), which is what bounds the state store.
+
+    ``state_partitions`` pins the dedup state store width for the
+    drain (round 9): dropDuplicates state commits cost n_partitions ×
+    n_batches regardless of row count, and this drain is exactly 2
+    batches — unpinned, the state ran at the batch engine's 32
+    shuffle partitions and the commits dominated (measured 1.8s → 1.1s
+    at sf0.1, identical output). Size to expected keys-in-state, same
+    rule as streaming/state.py.
     """
+    from taxi_trips_etl_spark.streaming.state import (
+        state_partitions as _pin,
+    )
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -55,12 +68,13 @@ def run_streaming_dedup_watermark(
         .withWatermark("ts", delay)
         .dropDuplicatesWithinWatermark(keys or ["event_id"])
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pin(spark, state_partitions):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -358,9 +358,10 @@ def test_hard_negative_ivf_subset_of_exact_candidates(spark):
 
 
 def test_stage_late_replay_layout(spark, tmp_path):
-    """Four files, mtime-ordered: on-time days 1-2, day 3, the day-1
-    re-delivery, the heartbeat — the one-batch watermark-lag staging
-    (see streaming/late_data.py module docstring)."""
+    """Three files, mtime-ordered: on-time days 1-2, day 3, then the
+    day-1 re-delivery co-delivered with the heartbeat — the one-batch
+    watermark-lag staging (see streaming/late_data.py module
+    docstring; round 9 merged the final two trigger cycles)."""
     import os
 
     from taxi_trips_etl_spark.streaming.late_data import stage_late_replay
@@ -393,16 +394,16 @@ def test_stage_late_replay_layout(spark, tmp_path):
     assert files == [
         "a_ontime.parquet",
         "b_day3.parquet",
-        "c_late_replay.parquet",
-        "d_heartbeat.parquet",
+        "c_late_and_heartbeat.parquet",
     ]
     assert spark.read.parquet(f"{src}/a_ontime.parquet").count() == 8
     assert spark.read.parquet(f"{src}/b_day3.parquet").count() == 4
-    late = spark.read.parquet(f"{src}/c_late_replay.parquet")
+    final = spark.read.parquet(f"{src}/c_late_and_heartbeat.parquet")
+    late = final.filter(F.col("user_id") >= 0)
     assert late.count() == 4  # exactly the day-1 rows, re-delivered
     assert late.agg(F.max("ts")).collect()[0][0] < day0 + datetime.timedelta(days=1)
-    hb = spark.read.parquet(f"{src}/d_heartbeat.parquet").collect()
-    assert len(hb) == 1 and hb[0].user_id == -1
+    hb = final.filter(F.col("user_id") == -1).collect()
+    assert len(hb) == 1  # the far-future heartbeat rides the same batch
 
 
 def test_weighted_jaccard_separates_tf_profiles(spark):
