@@ -1015,9 +1015,11 @@ def fastss_pairs(
     so a duplicated id would silently change semantics (whose name is
     compared?). Enforced at execution: any duplicate id raises inside
     the aggregation projection (a ``when``-guarded ``raise_error`` on
-    the name column — unprunable because the name is consumed
-    downstream, and free because the count rides the groupBy the plan
-    already runs).
+    the id column ITSELF — the id feeds the join condition and the
+    pair key, so no downstream projection pruning can elide the check
+    (ADVICE r8: the previous name-column guard depended on the name
+    being consumed), and it is free because the count rides the
+    groupBy the plan already runs).
 
     ``max_pairs`` is the loud-fail output guard (:func:`_cap_pairs`):
     the 10× sweep's key-shifted corpus proves this miner's output is
@@ -1060,8 +1062,7 @@ def fastss_pairs(
             F.count(F.lit(1)).alias("_n"),
         )
         .select(
-            "rid",
-            F.when(F.col("_n") == 1, F.col("_name"))
+            F.when(F.col("_n") == 1, F.col("rid"))
             .otherwise(
                 F.raise_error(
                     F.concat(
@@ -1073,7 +1074,8 @@ def fastss_pairs(
                     )
                 )
             )
-            .alias("name"),
+            .alias("rid"),
+            F.col("_name").alias("name"),
         )
     )
     par = df.sparkSession.sparkContext.defaultParallelism

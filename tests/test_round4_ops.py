@@ -235,6 +235,11 @@ def test_fastss_duplicate_ids_raise(spark):
     df = spark.createDataFrame(rows, "c_custkey long, c_name string")
     with pytest.raises(Exception, match="unique per row"):
         fastss_pairs(df, max_dist=1).collect()
+    # The guard rides the id column itself (round-9, ADVICE r8), so a
+    # caller that prunes every name projection still hits it — column
+    # pruning cannot elide the pair key.
+    with pytest.raises(Exception, match="unique per row"):
+        fastss_pairs(df, max_dist=1).select("id_a").collect()
     # unique ids keep working
     ok = spark.createDataFrame(
         [(1, "kitten"), (2, "mitten")], "c_custkey long, c_name string"
