@@ -349,6 +349,13 @@ _REVERIFY: frozenset[str] = frozenset({
     #    as an r2-stale name; listed for the discipline's record.)
     "streaming_dedup_watermark",
     "streaming_click_attribution",
+    #  - fastss duplicate-id guard moved from the name column onto the
+    #    id/pair key (ADVICE r8: name-column guard was prunable) —
+    #    output provably identical (guard only relocates between
+    #    projections; validated against the sf0.01 oracles in-session),
+    #    but the executed projection changed.
+    "fuzzy_match_fastss",
+    "fuzzy_match_fastss2",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
