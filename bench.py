@@ -37,12 +37,15 @@ def _chunk_timeout() -> int:
     opaque ValueError mid-bench (ADVICE r8)."""
     raw = os.environ.get("SPARK_GRAFT_BENCH_CHUNK_TIMEOUT", "3600")
     try:
-        return int(raw)
+        val = int(raw)
     except ValueError:
+        val = 0  # fall through to the shared message below
+    if val <= 0:
         raise SystemExit(
-            f"SPARK_GRAFT_BENCH_CHUNK_TIMEOUT must be an integer number "
-            f"of seconds, got {raw!r}"
-        ) from None
+            f"SPARK_GRAFT_BENCH_CHUNK_TIMEOUT must be a positive integer "
+            f"number of seconds, got {raw!r}"
+        )
+    return val
 
 
 def main() -> None:

@@ -231,9 +231,9 @@ def connected_components_star(
             .transform(materialize, eager=False)
         )
         edges = small
-        # driver-sync every 2 full rounds (see docstring): odd-index
-        # rounds run ZERO actions — their lazy checkpoints are filled
-        # by the next even round's signature job.
+        # driver-sync every 2 full rounds (see docstring): EVEN-index
+        # rounds (0, 2, …) run ZERO actions — their lazy checkpoints
+        # are filled by the next odd-index round's signature job.
         if rnd % 2 == 1 or rnd == max_rounds - 1:
             new_sig = signature(edges)
             if new_sig == sig:
