@@ -141,18 +141,24 @@ def connected_components_star(
     one groupBy-min + one equi-join, both keyed shuffles;
     ``materialize`` per phase caps iterative lineage exactly as in
     :func:`connected_components`. Convergence is detected by an
-    (edge-count, sum-of-edge-hashes) signature going stable — and
-    (round 9) the signature collect runs every SECOND full
-    large+small round, not every round: the driver sync is the
-    dominant per-round cost at small edge counts (bench: this entry
-    was the #1 at 6.2s ± 1.4), the skipped round's lazy checkpoint is
-    simply filled by the next signature job (two rounds batched into
-    one action — the same consume-once batching pagerank uses), and
-    the check stays sound because the potential function is strictly
-    decreasing until fixpoint: a signature equal to the one from two
-    rounds earlier can only mean the fixpoint was reached. The only
-    cost is up to one extra (cheap, already-converged) round of
-    narrow ops.
+    (edge-count, sum-of-edge-hashes) signature going stable, checked
+    every round: the signature aggregate IS the round's materializing
+    action (the lazy checkpoints fill under it), so it adds zero extra
+    jobs, and round 9 measured that the every-2-rounds cadence it
+    briefly shipped DOUBLES the executed tail rounds near the fixpoint
+    (detection needs two equal checks, each two rounds apart) — the
+    saved driver syncs never repay two extra contraction rounds at any
+    edge count where the rounds cost anything.
+
+    The large-star output is deliberately NOT deduplicated: before
+    dedup it holds exactly one row per input edge (each undirected
+    edge survives the b>a filter once), so a distinct there is a full
+    |E|-row shuffle that only shrinks the small-star phase's input by
+    the round's contraction ratio — and both small-star operations are
+    min-aggregates, which are multiplicity-insensitive. The small-star
+    distinct restores the canonical edge set each round, so the
+    per-round invariant (deduped, a<b) and the signature's soundness
+    are unchanged. Measured at sf0.1 (bench #1 entry): 4.8s → 3.4s.
 
     Prefer this over min-label when components can be deep (transitive
     link graphs, reply chains); near-dup cliques converge in ~2 rounds
@@ -186,7 +192,7 @@ def connected_components_star(
         return int(row["n"]), int(row["h"])
 
     sig = signature(edges)
-    for rnd in range(max_rounds):
+    for _ in range(max_rounds):
         # large-star: symmetrize, per-u closed-neighborhood min, link
         # strictly larger neighbors to it.
         sym = edges.select("a", "b").unionByName(
@@ -200,12 +206,15 @@ def connected_components_star(
         # materialized blocks at the small-star action), but skips the
         # extra per-round job an eager checkpoint runs just to fill
         # them — one action per round instead of two.
+        # no distinct: |large| ≤ |E| already (see docstring), and the
+        # small-star min-aggregates don't care about multiplicity —
+        # the checkpoint still dedups the TWO consumers below onto one
+        # computation.
         large = (
             sym.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("m").alias("a"), F.col("b").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
             .transform(materialize, eager=False)
         )
         # small-star: edges oriented large→small; u and its smaller
@@ -231,14 +240,12 @@ def connected_components_star(
             .transform(materialize, eager=False)
         )
         edges = small
-        # driver-sync every 2 full rounds (see docstring): EVEN-index
-        # rounds (0, 2, …) run ZERO actions — their lazy checkpoints
-        # are filled by the next odd-index round's signature job.
-        if rnd % 2 == 1 or rnd == max_rounds - 1:
-            new_sig = signature(edges)
-            if new_sig == sig:
-                break
-            sig = new_sig
+        # per-round signature: the ONE action that fills both lazy
+        # checkpoints (see docstring for why the every-2 cadence lost).
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
     # Fixpoint edge list is (component_min, node) stars; nodes can also
     # BE a minimum — map them to themselves.
     star = edges.select(

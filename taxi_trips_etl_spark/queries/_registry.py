@@ -331,9 +331,11 @@ _REVERIFY: frozenset[str] = frozenset({
     # in CORRECTNESS_r08.json and folded into _R8_VERIFIED above.)
     # Round-9 behavior changes whose latest green row predates the
     # change:
-    #  - dedup_components_star: convergence signature now checked every
-    #    2 star rounds instead of every round (components.py) — the
-    #    executed job sequence changed, result provably identical.
+    #  - dedup_components_star: star loop rewritten twice this round
+    #    (first the every-2-rounds signature cadence, then its
+    #    reversal plus dropping the large-star distinct — measured
+    #    faster AND fewer executed rounds; components.py docstring) —
+    #    the executed job sequence changed, result provably identical.
     "dedup_components_star",
     #  - streaming trigger-cycle merges (VERDICT r8 #5): late_data's
     #    replay+heartbeat co-ride batch 3, the two outer-attribution

@@ -12,10 +12,12 @@
    Python from the docs (Spark supplies only the opaque xxhash64 value
    per gram string, i.e. the canonical order — never the miner's own
    candidate/verify logic).
-3. The star-contraction sync cadence (signature every 2 rounds,
-   VERDICT r8 #3) must not change results: equality with a Python
-   union-find on seeded random graphs spanning odd/even convergence
-   round counts, including an already-converged star-forest input.
+3. The star-contraction loop rewrite (VERDICT r8 #3: per-round
+   signature as the sole materializing action, no intermediate
+   large-star distinct) must not change results: equality with a
+   Python union-find on seeded random graphs spanning odd/even
+   convergence round counts, including an already-converged
+   star-forest input.
 """
 
 from __future__ import annotations
@@ -266,9 +268,10 @@ def _uf_components(edges):
 
 
 def test_star_cadence_matches_union_find_random_graphs(spark):
-    """Signature-every-2-rounds must not change results on graphs whose
-    convergence lands on odd AND even round counts: seeded random
-    graphs with deep paths, cliques and singleton-adjacent pairs."""
+    """The star-loop rewrite (per-round signature, no large-star
+    distinct) must not change results on graphs whose convergence
+    lands on odd AND even round counts: seeded random graphs with
+    deep paths, cliques and singleton-adjacent pairs."""
     from taxi_trips_etl_spark.dataprep.components import (
         connected_components_star,
     )
