@@ -143,10 +143,7 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
     """Fresh-JVM worker subprocess per ``chunk`` queries; merge timings."""
     import subprocess
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for lo in range(0, len(names), chunk):
-        part = names[lo : lo + chunk]
+    def run_worker(part: list[str], lo: int) -> dict:
         try:
             proc = subprocess.run(
                 [
@@ -176,22 +173,67 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
         # trailer; scan in reverse and json-parse rather than trusting
         # "first line starting with '{'" — Spark/py4j can emit JSON-ish
         # noise on stdout that would poison the merge.
-        payload = None
         for ln in reversed(proc.stdout.splitlines()):
             try:
                 cand = json.loads(ln)
             except ValueError:
                 continue
             if isinstance(cand, dict) and cand.get("full_map") and "queries" in cand:
-                payload = cand
+                if proc.returncode == 0:
+                    return cand
                 break
-        if proc.returncode != 0 or payload is None:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise RuntimeError(
-                f"bench worker failed for chunk {lo}..{lo + len(part)}"
+        sys.stderr.write(proc.stderr[-4000:])
+        raise RuntimeError(
+            f"bench worker failed for chunk {lo}..{lo + len(part)}"
+        )
+
+    # Steal-burst retry (round 9): this box is a shared VM and host CPU
+    # steal arrives in bursts that outlast best-of-3 WITHIN a worker —
+    # three same-code full runs in one session read 332/370/405s, with
+    # historically sub-second entries at 5-11s ± 4-7 exactly while their
+    # chunk's window was stolen. A burst is self-evident in the chunk's
+    # own samples: some query's (max−min over warm samples) exceeds its
+    # best time outright. When that happens, re-run the chunk ONCE and
+    # keep each query's faster measurement (min over more samples —
+    # the same estimator best-of-3 already is, so this measures the
+    # plan, not the neighbor). A real regression survives the retry:
+    # both runs measure it, the min converges to the true new cost, and
+    # the per-query spread stays in the artifact. Bounded: ≤ 2× wall
+    # time, only when the evidence triggers. Tune/disable via
+    # SPARK_GRAFT_BENCH_RETRY_SPREAD (relative spread threshold;
+    # <= 0 or non-numeric disables).
+    try:
+        retry_spread = float(
+            os.environ.get("SPARK_GRAFT_BENCH_RETRY_SPREAD", "1.0")
+        )
+    except ValueError:
+        retry_spread = 0.0
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    for lo in range(0, len(names), chunk):
+        part = names[lo : lo + chunk]
+        payload = run_worker(part, lo)
+        t, s = payload["queries"], payload.get("spread", {})
+        churned = retry_spread > 0 and any(
+            s[n] > retry_spread * t[n] for n in s if t.get(n, 0) > 0
+        )
+        if churned:
+            sys.stderr.write(
+                f"bench: chunk {lo}..{lo + len(part)} saw rel spread > "
+                f"{retry_spread} (steal burst); re-running once\n"
             )
-        timings.update(payload["queries"])
-        spreads.update(payload.get("spread", {}))
+            p2 = run_worker(part, lo)
+            t2, s2 = p2["queries"], p2.get("spread", {})
+            for n in part:
+                if t2.get(n, float("inf")) < t.get(n, float("inf")):
+                    t[n] = t2[n]
+                    if n in s2:
+                        s[n] = s2[n]
+                    else:
+                        s.pop(n, None)
+        timings.update(t)
+        spreads.update(s)
     timings = {n: timings[n] for n in names}
     emit(timings, spreads, sf_dir, full_run=True)
 
