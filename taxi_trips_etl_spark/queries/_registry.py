@@ -134,14 +134,38 @@ _ORACLES: dict[str, str] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r09.json
-# into this map as (…, 9) so the rotation keeps cycling fairly.
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r10.json
+# into this map as (…, 10) so the rotation keeps cycling fairly.
 # REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
 # double-division bug proved the shared-expression-text blind spot is
 # real — a bug mirrored into both the Spark builder and the oracle SQL
 # passes the hash gate): ship an independent pytest that recomputes the
 # statistic from raw data in plain Python/numpy (see
 # tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R9_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r09.json (all 50 sampled entries,
+    # zero err — includes every round-9 _REVERIFY name: the star-loop
+    # rewrite, the 6 merged/pinned streaming drains and both fastss
+    # guard relocations all came back hash-green)
+    "anomaly_zscore_days", "array_functions", "broadcast_left_join",
+    "c4_quality_filter", "collect_set_agg", "composite_key_join",
+    "corpus_prepare_v2", "correlated_scalar_subquery", "cube_agg",
+    "daily_metrics", "date_functions", "daypart_case", "dedup_components_star",
+    "dedup_stats_by_source", "embedding_random_projection",
+    "explode_top_tokens", "filter_clause_agg", "fuzzy_match_fastss",
+    "fuzzy_match_fastss2", "grouping_sets_agg", "hopping_window_counts",
+    "latest_by_key", "most_populars_flat", "multimodal_features",
+    "normalize_filter", "null_safe_join", "percentiles_exact",
+    "recursive_cte_date_spine", "rollup_agg", "semi_anti_join", "set_ops",
+    "streaming_click_attribution", "streaming_dedup_watermark",
+    "streaming_full_outer_attribution", "streaming_late_dupes_dropped",
+    "streaming_outer_attribution", "streaming_sessionize_stateful",
+    "tokenize_with_vocab", "topk_per_group", "tpch_pricing_summary",
+    "tpch_shipping_priority", "udtf_split_sentences", "validate_constraints",
+    "window_dedup_rank", "window_distribution", "window_first_last",
+    "window_moving_sum", "winnowing_fingerprints", "winnowing_near_dup_pairs",
+    "zorder_key_customers",
+)
 _R8_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r08.json (all 50 sampled entries,
     # zero err — includes every round-7/8 perf-rewrite _REVERIFY name
@@ -314,6 +338,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(9, _R9_VERIFIED)
 _mark_verified(8, _R8_VERIFIED)
 _mark_verified(7, _R7_VERIFIED)
 _mark_verified(6, _R6_VERIFIED)
@@ -327,37 +352,10 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # (All 20 round-7/8 rewrite names were driver-re-verified hash-green
-    # in CORRECTNESS_r08.json and folded into _R8_VERIFIED above.)
-    # Round-9 behavior changes whose latest green row predates the
-    # change:
-    #  - dedup_components_star: star loop rewritten twice this round
-    #    (first the every-2-rounds signature cadence, then its
-    #    reversal plus dropping the large-star distinct — measured
-    #    faster AND fewer executed rounds; components.py docstring) —
-    #    the executed job sequence changed, result provably identical.
-    "dedup_components_star",
-    #  - streaming trigger-cycle merges (VERDICT r8 #5): late_data's
-    #    replay+heartbeat co-ride batch 3, the two outer-attribution
-    #    drains co-deliver feed+heartbeat in one staged file — outputs
-    #    measured bit-identical at sf0.1, but the executed drains
-    #    changed, so the old green rows are stale.
-    "streaming_late_dupes_dropped",
-    "streaming_outer_attribution",
-    "streaming_full_outer_attribution",
-    #  - state-partition pins (drain-width, not semantics): dedup state
-    #    at 8 instead of the session's 32; click join state at 2.
-    #    (streaming_click_attribution was already leading the window
-    #    as an r2-stale name; listed for the discipline's record.)
-    "streaming_dedup_watermark",
-    "streaming_click_attribution",
-    #  - fastss duplicate-id guard moved from the name column onto the
-    #    id/pair key (ADVICE r8: name-column guard was prunable) —
-    #    output provably identical (guard only relocates between
-    #    projections; validated against the sf0.01 oracles in-session),
-    #    but the executed projection changed.
-    "fuzzy_match_fastss",
-    "fuzzy_match_fastss2",
+    # (All 8 round-9 rewrite names — star loop, 6 merged/pinned
+    # streaming drains, both fastss guard relocations — were
+    # driver-re-verified hash-green in CORRECTNESS_r09.json and folded
+    # into _R9_VERIFIED above. Nothing currently stale.)
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
