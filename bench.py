@@ -198,16 +198,20 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
     # the same estimator best-of-3 already is, so this measures the
     # plan, not the neighbor). A real regression survives the retry:
     # both runs measure it, the min converges to the true new cost, and
-    # the per-query spread stays in the artifact. Bounded: ≤ 2× wall
-    # time, only when the evidence triggers. Tune/disable via
+    # the per-query spread stays in the artifact (max over both runs'
+    # spreads, so the observed burst variance is never hidden). Bounded:
+    # ≤ 2× wall time, only when the evidence triggers. Tune/disable via
     # SPARK_GRAFT_BENCH_RETRY_SPREAD (relative spread threshold;
-    # <= 0 or non-numeric disables).
+    # <= 0 disables; non-numeric is a hard error, same policy as
+    # SPARK_GRAFT_BENCH_CHUNK_TIMEOUT — ADVICE r9).
+    raw_retry = os.environ.get("SPARK_GRAFT_BENCH_RETRY_SPREAD", "1.0")
     try:
-        retry_spread = float(
-            os.environ.get("SPARK_GRAFT_BENCH_RETRY_SPREAD", "1.0")
-        )
+        retry_spread = float(raw_retry)
     except ValueError:
-        retry_spread = 0.0
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_RETRY_SPREAD must be a number (relative "
+            f"spread threshold; <= 0 disables the retry), got {raw_retry!r}"
+        ) from None
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
@@ -228,10 +232,12 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
             for n in part:
                 if t2.get(n, float("inf")) < t.get(n, float("inf")):
                     t[n] = t2[n]
-                    if n in s2:
-                        s[n] = s2[n]
-                    else:
-                        s.pop(n, None)
+                # Spread: max over both runs' observations (ADVICE r9 —
+                # keeping only the winner's spread, or popping it when
+                # the faster re-run sampled sub-second, would hide the
+                # burst variance this field exists to surface).
+                if n in s2:
+                    s[n] = max(s.get(n, 0.0), s2[n])
         timings.update(t)
         spreads.update(s)
     timings = {n: timings[n] for n in names}

@@ -235,9 +235,12 @@ def test_fastss_duplicate_ids_raise(spark):
     df = spark.createDataFrame(rows, "c_custkey long, c_name string")
     with pytest.raises(Exception, match="unique per row"):
         fastss_pairs(df, max_dist=1).collect()
-    # The guard rides the id column itself (round-9, ADVICE r8), so a
-    # caller that prunes every name projection still hits it — column
-    # pruning cannot elide the pair key.
+    # The guard rides the id column itself (round-9, ADVICE r8).
+    # Documentation-of-intent check, not a pruning proof (ADVICE r9):
+    # the levenshtein filter inside fastss_pairs consumes the name
+    # columns regardless of the caller's projection, so no external
+    # plan can make Catalyst prune them — this assertion only records
+    # that an ids-only downstream projection still hits the guard.
     with pytest.raises(Exception, match="unique per row"):
         fastss_pairs(df, max_dist=1).select("id_a").collect()
     # unique ids keep working
