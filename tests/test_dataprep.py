@@ -178,8 +178,9 @@ def test_multimodal_meta_and_decode_stub(spark):
 
     assert meta[0].sha256 == hashlib.sha256(b"hello world").hexdigest()
 
-    # Decode without a decoder must refuse loudly (stubbed codec path)…
-    with pytest.raises(Exception, match="NotImplementedError|imaging library"):
+    # Default decoder (round 10: real PPM/PGM/BMP codec) must refuse a
+    # non-image payload loudly inside the kernel, not fabricate dims…
+    with pytest.raises(Exception, match="unsupported image format"):
         multimodal.decode_image(media).collect()
     # …and the deterministic fake exercises the real mapInPandas plumbing.
     decoded = multimodal.decode_image(
@@ -337,11 +338,15 @@ def test_extract_features_histogram_and_resize(spark):
     assert feats[1].c6 == 4 and sum(feats[1][f"c{i}"] for i in range(16)) == 4
     assert feats[2].c2 == 1
 
-    with pytest.raises(NotImplementedError):
+    # Default decoder refuses non-image payloads inside the kernel
+    # (round 10: the real codec replaced the driver-side stub gate).
+    with pytest.raises(Exception, match="unsupported image format"):
         resize_image(media).collect()
+    # Metadata-only decoders (no "pixels" key) keep the historical
+    # deterministic fake path: cycled payload bytes, channels = 1.
     rs = {r.media_id: r for r in
           resize_image(media, 8, 4, decoder=fake_image_decoder).collect()}
-    assert rs[1].width == 8 and rs[1].height == 4
+    assert rs[1].width == 8 and rs[1].height == 4 and rs[1].channels == 1
     assert len(rs[1].resized_payload) == 32
     assert bytes(rs[1].resized_payload[:4]) == b"aaab"  # cycled source
     assert len(rs[2].resized_payload) == 32
