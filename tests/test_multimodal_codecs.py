@@ -185,3 +185,23 @@ def test_metadata_gate_prunes_before_decode(spark):
     )
     got = decode_image(supported).collect()
     assert [(r.media_id, r.width, r.height) for r in got] == [(1, 2, 2)]
+
+
+def test_codecs_match_pil_when_available():
+    """Env-gated cross-engine check (same pattern as the geo test's h3
+    seam): when Pillow is installed, our pure-Python decoders must agree
+    with PIL bit-for-bit on the same PPM/BMP bytes. Skips in this
+    container (no imaging libs); activates wherever the production
+    PIL swap-in would run."""
+    try:
+        from PIL import Image
+    except ImportError:
+        pytest.skip("Pillow not in environment (documented swap seam)")
+    import io
+
+    px = _gradient(5, 7, 3)
+    for raw in (encode_ppm(px), encode_bmp(px)):
+        ours = decode_image_bytes(raw)
+        theirs = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
+        assert (ours["width"], ours["height"]) == (7, 5)
+        assert np.array_equal(ours["pixels"], theirs)
