@@ -352,10 +352,19 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # (All 8 round-9 rewrite names — star loop, 6 merged/pinned
-    # streaming drains, both fastss guard relocations — were
-    # driver-re-verified hash-green in CORRECTNESS_r09.json and folded
-    # into _R9_VERIFIED above. Nothing currently stale.)
+    # (All 8 round-9 rewrite names came back hash-green in
+    # CORRECTNESS_r09.json and were folded into _R9_VERIFIED above.)
+    # Round-10 implementation change: pca_power._moment_partials now
+    # builds the quantized outer-product tensor in row blocks (bounded
+    # temps; full-batch einsum was 3.3 GB/10k-row batch and measured
+    # 4-16s bimodal under host memory pressure vs 0.26s blocked).
+    # Result proven bit-identical (int64 block sums reassociate
+    # exactly; in-session A/B on the real sf0.1 embeddings matched
+    # element-for-element, and both oracles re-validated green at
+    # sf0.01) — but the executed kernel changed, so the old driver
+    # rows are stale for the two entries that run it:
+    "pca_power_projection",
+    "embedding_pca_project",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
