@@ -215,6 +215,7 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    chunks_retried: list[str] = []
     for lo in range(0, len(names), chunk):
         part = names[lo : lo + chunk]
         payload = run_worker(part, lo)
@@ -227,6 +228,7 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
                 f"bench: chunk {lo}..{lo + len(part)} saw rel spread > "
                 f"{retry_spread} (steal burst); re-running once\n"
             )
+            chunks_retried.append(f"{lo}..{lo + len(part)}")
             p2 = run_worker(part, lo)
             t2, s2 = p2["queries"], p2.get("spread", {})
             for n in part:
@@ -241,7 +243,19 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
         timings.update(t)
         spreads.update(s)
     timings = {n: timings[n] for n in names}
-    emit(timings, spreads, sf_dir, full_run=True)
+    emit(
+        timings,
+        spreads,
+        sf_dir,
+        full_run=True,
+        # Steal-burst guard provenance travels IN the artifact (VERDICT
+        # r9 #2): threshold that was active plus which chunks re-ran, so
+        # a round-over-round diff can see whether a reading was guarded.
+        retry_meta={
+            "retry_spread_threshold": retry_spread,
+            "chunks_retried": chunks_retried,
+        },
+    )
 
 
 def emit(
@@ -249,6 +263,7 @@ def emit(
     spreads: dict[str, float],
     sf_dir: str,
     full_run: bool,
+    retry_meta: dict | None = None,
 ) -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -275,6 +290,8 @@ def emit(
         "sf": sf,
         "full_map": True,
     }
+    if retry_meta is not None:
+        payload["retry"] = retry_meta
     print(json.dumps(payload))
     # The driver records only the TAIL of stdout; with 175+ queries the
     # full line above overflows that window and arrives unparseable
