@@ -205,3 +205,15 @@ def test_codecs_match_pil_when_available():
         theirs = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
         assert (ours["width"], ours["height"]) == (7, 5)
         assert np.array_equal(ours["pixels"], theirs)
+
+
+def test_decode_and_resize_plans_never_shuffle_payloads(spark):
+    """Scale-posture pin: the decode/resize stages must be a bare
+    scan→MapInPandas — no Exchange anywhere in the executed plan, so
+    payload bytes never ride a shuffle (the module's core 100 TB
+    claim: only extracted features/thumbnails move)."""
+    media = _media_df(spark, {1: encode_ppm(_gradient(2, 3, 3))})
+    for df in (decode_image(media), resize_image(media, 4, 4)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan
+        assert "Exchange" not in plan, plan
