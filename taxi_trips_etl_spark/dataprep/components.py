@@ -123,6 +123,7 @@ def connected_components_star(
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
     max_rounds: int = 30,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """→ (doc_id, component_id) via alternating large-star/small-star
     contraction — O(log n) rounds regardless of component diameter.
@@ -163,16 +164,32 @@ def connected_components_star(
     Prefer this over min-label when components can be deep (transitive
     link graphs, reply chains); near-dup cliques converge in ~2 rounds
     either way.
+
+    ``assume_canonical=True`` (round 10) skips the canonicalization
+    prologue when the caller has ALREADY produced a deduped,
+    ``a < b``-oriented, materialized edge list in columns named by
+    ``a_col``/``b_col`` — :func:`connected_components_auto`'s over-cap
+    branch re-entered here with exactly that frame and was paying a
+    redundant full-|E| shuffle (distinct) plus a second eager persist
+    of the identical edge set (~1.2 s of the forced-distributed bench
+    entry at sf0.1; one whole extra |E| shuffle at the 100 TB
+    posture). The loop's per-round invariant only needs the prologue's
+    POSTCONDITION, not the prologue.
     """
-    edges = (
-        pairs.select(
-            F.least(F.col(a_col), F.col(b_col)).alias("a"),
-            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+    if assume_canonical:
+        edges = pairs.select(
+            F.col(a_col).alias("a"), F.col(b_col).alias("b")
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .transform(materialize, eager=True)
-    )
+    else:
+        edges = (
+            pairs.select(
+                F.least(F.col(a_col), F.col(b_col)).alias("a"),
+                F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .transform(materialize, eager=True)
+        )
     # Derived from the already-checkpointed edge list and consumed
     # exactly once (the final mapping join), so it needs neither its
     # own checkpoint nor an upfront materialization job.
@@ -295,7 +312,12 @@ def connected_components_auto(
     # over-cap list, and the Arrow path moves columns, not Row objects.
     probe = edges_df.limit(driver_edge_cap + 1).toPandas()
     if len(probe) > driver_edge_cap:
-        return connected_components_star(edges_df, a_col="a", b_col="b")
+        # edges_df IS star's canonical prologue output (deduped, a<b,
+        # materialized above) — skip re-deriving it (see
+        # connected_components_star's assume_canonical note).
+        return connected_components_star(
+            edges_df, a_col="a", b_col="b", assume_canonical=True
+        )
 
     parent: dict = {}
 

@@ -365,6 +365,14 @@ _REVERIFY: frozenset[str] = frozenset({
     # rows are stale for the two entries that run it:
     "pca_power_projection",
     "embedding_pca_project",
+    # connected_components_auto's over-cap branch now re-enters the
+    # star loop with assume_canonical=True, skipping the redundant
+    # re-canonicalization (one full-|E| distinct shuffle + a second
+    # eager persist of the identical edge set). Result proven
+    # identical in-session (full collect equality vs the unflagged
+    # path at sf0.1; oracle green at sf0.01), but the executed job
+    # sequence changed for the forced-distributed entry:
+    "dedup_components_star",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
