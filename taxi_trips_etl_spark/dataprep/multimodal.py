@@ -187,6 +187,11 @@ def _parse_bmp(payload: bytes) -> tuple[int, int, int, "object"]:
     if w < 1 or h_signed == 0:
         raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
     h, top_down = abs(h_signed), h_signed < 0
+    if data_off < 14 + hdr_size:
+        raise ValueError(
+            f"malformed BMP: pixel-data offset {data_off} points inside the "
+            f"{14 + hdr_size}-byte header"
+        )
     bytes_pp = bpp // 8
     stride = (w * bytes_pp + 3) & ~3
     need = stride * h
@@ -383,6 +388,8 @@ def resize_image(
     buffer cycled from the source payload, ``channels = 1`` — so
     metadata-only decoders still exercise the full plumbing.
     """
+    if width < 1 or height < 1:
+        raise ValueError(f"resize_image target must be >= 1x1, got {width}x{height}")
     if decoder is None:
         decoder = decode_image_bytes
     target = width * height
@@ -401,6 +408,13 @@ def resize_image(
                         else b"\x00" * target
                     )
                 else:
+                    if px.ndim == 2:  # PIL-style grayscale: normalize to (h, w, c)
+                        px = px[:, :, None]
+                    elif px.ndim != 3:
+                        raise ValueError(
+                            "decoder contract violated: pixels must be a "
+                            f"(h, w, c) array, got ndim={px.ndim}"
+                        )
                     chans.append(int(px.shape[2]))
                     payloads.append(_nn_resample(px, width, height).tobytes())
             out = pdf[["media_id"]].copy()

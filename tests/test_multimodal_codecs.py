@@ -115,6 +115,25 @@ def test_compressed_and_unknown_formats_still_gate():
         decode_image_bytes(bytes(bad))
 
 
+def test_bmp_rejects_data_offset_inside_header():
+    """ADVICE r10: a data_off pointing inside the 54-byte header must
+    fail loudly, not silently decode header bytes as pixels."""
+    for off in (0, 30, 53):
+        bad = bytearray(encode_bmp(_gradient(2, 2, 3)))
+        struct.pack_into("<I", bad, 10, off)
+        with pytest.raises(ValueError, match="pixel-data offset"):
+            decode_image_bytes(bytes(bad))
+    # ...but a LARGER offset (gap data between header and raster) is
+    # legal BMP and must still decode: shift the raster up 8 bytes.
+    px = _gradient(2, 2, 3)
+    raw = bytearray(encode_bmp(px))
+    (data_off,) = struct.unpack_from("<I", raw, 10)
+    shifted = bytes(raw[:data_off]) + b"\x00" * 8 + bytes(raw[data_off:])
+    shifted = bytearray(shifted)
+    struct.pack_into("<I", shifted, 10, data_off + 8)
+    assert np.array_equal(decode_image_bytes(bytes(shifted))["pixels"], px)
+
+
 # ---------------------------------------------------------------------------
 # Spark end-to-end: default decoder, no fake supplied
 # ---------------------------------------------------------------------------
@@ -205,6 +224,39 @@ def test_codecs_match_pil_when_available():
         theirs = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB"))
         assert (ours["width"], ours["height"]) == (7, 5)
         assert np.array_equal(ours["pixels"], theirs)
+
+
+def test_resize_rejects_nonpositive_target(spark):
+    """ADVICE r10: width/height < 1 must raise at call time, not emit
+    silent empty-thumbnail rows."""
+    media = _media_df(spark, {1: encode_ppm(_gradient(2, 2, 3))})
+    for w, h in ((0, 4), (4, 0), (-1, 4)):
+        with pytest.raises(ValueError, match="resize_image target"):
+            resize_image(media, w, h)
+
+
+def test_resize_accepts_2d_grayscale_decoder_output(spark):
+    """ADVICE r10: a swap-in decoder returning (h, w) 2-D grayscale
+    (PIL-style 'L' mode) is normalized to (h, w, 1), not an IndexError;
+    a malformed 1-D return names the contract."""
+    src = _gradient(4, 6, 1)
+
+    def decoder_2d(payload: bytes) -> dict:
+        d = decode_image_bytes(payload)
+        return {**d, "pixels": d["pixels"][:, :, 0]}  # squeeze to 2-D
+
+    (row,) = resize_image(
+        _media_df(spark, {1: encode_ppm(src)}), 6, 4, decoder=decoder_2d
+    ).collect()
+    assert row.channels == 1
+    assert bytes(row.resized_payload) == src.tobytes()  # identity resize
+
+    def decoder_1d(payload: bytes) -> dict:
+        return {"pixels": np.zeros(8, np.uint8)}
+
+    bad = resize_image(_media_df(spark, {1: encode_ppm(src)}), 2, 2, decoder=decoder_1d)
+    with pytest.raises(Exception, match="decoder contract violated"):
+        bad.collect()
 
 
 def test_decode_and_resize_plans_never_shuffle_payloads(spark):
