@@ -136,6 +136,20 @@ def _power_iterate(c_int: list[list[int]], iterations: int) -> list[int]:
     return q
 
 
+def _moment_partials_df(vecs: DataFrame, dim: int) -> DataFrame:
+    """The moment pass AS A PLAN: one Arrow ``mapInPandas`` over the
+    bare vector column — scan → MapInPandas, shuffle-free by
+    construction (one partial row per partition; the d×d reduce happens
+    driver-side on that bounded set). Split out of
+    :func:`_collect_cov_int` so CI can pin the plan shape
+    (tests/test_pca_power.py): an Exchange sneaking in here would ship
+    every embedding row through a shuffle at the 100 TB posture."""
+    return vecs.select("v").mapInPandas(
+        _moment_partials(dim),
+        schema="n long, m array<long>, g array<long>",
+    )
+
+
 def _collect_cov_int(
     embeddings: DataFrame, id_col: str, vec_col: str
 ) -> tuple[DataFrame, int, list[list[int]]]:
@@ -146,10 +160,7 @@ def _collect_cov_int(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     dim = vecs.select(F.size("v").alias("d")).first()["d"]
-    partials = vecs.select("v").mapInPandas(
-        _moment_partials(dim),
-        schema="n long, m array<long>, g array<long>",
-    ).collect()
+    partials = _moment_partials_df(vecs, dim).collect()
     n = sum(p["n"] for p in partials)
     m = [0] * dim
     g = [[0] * dim for _ in range(dim)]

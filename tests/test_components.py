@@ -158,3 +158,78 @@ def test_auto_components_distributed_path_above_cap(spark):
     }
     want = {(i, i - (i % 2)) for i in range(50)}
     assert got == want
+
+
+def test_auto_overcap_passes_canonical_frame_to_star(spark, monkeypatch):
+    """CI pin (VERDICT r10 #3b, part 1): the over-cap branch must hand
+    star its ALREADY canonical+materialized prologue output with
+    assume_canonical=True — re-deriving it would re-add the redundant
+    full-|E| distinct shuffle the r10 fix removed."""
+    import taxi_trips_etl_spark.dataprep.components as C
+
+    seen = {}
+    real = C.connected_components_star
+
+    def spy(pairs, **kw):
+        seen["kwargs"] = kw
+        seen["plan"] = pairs._jdf.queryExecution().executedPlan().toString()
+        return real(pairs, **kw)
+
+    monkeypatch.setattr(C, "connected_components_star", spy)
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 30, 2)],
+        "doc_id_a long, doc_id_b long",
+    )
+    C.connected_components_auto(df, driver_edge_cap=3).collect()
+    assert seen["kwargs"].get("assume_canonical") is True
+    # the frame star receives reads the materialized prologue (a
+    # checkpoint scan), not a fresh distinct over raw pairs
+    assert "Scan ExistingRDD" in seen["plan"] or "Checkpoint" in seen["plan"], seen["plan"]
+    assert "HashAggregate" not in seen["plan"], seen["plan"]
+
+
+def test_assume_canonical_skips_exactly_one_full_edge_distinct(spark, monkeypatch):
+    """CI pin (VERDICT r10 #3b, part 2): on the SAME canonical input,
+    star with assume_canonical=False must construct exactly ONE more
+    DataFrame.distinct than with True — the prologue's full-|E| dedup.
+    If the prologue is ever silently re-added to the fast path, the
+    counts equalize and this fails."""
+    from pyspark.sql import functions as F
+
+    from taxi_trips_etl_spark.dataprep.components import connected_components_star
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    canonical = materialize(
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 30, 2)] + [(0, 9), (3, 12)],
+            "a long, b long",
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct(),
+        eager=True,
+    )
+
+    # patch the CONCRETE class (pyspark 4's pyspark.sql.DataFrame is an
+    # abstract base; instances are classic.DataFrame, whose own method
+    # shadows a base-class patch)
+    cls = type(canonical)
+    counts = []
+    orig = cls.distinct
+
+    def counting(self):
+        counts.append(1)
+        return orig(self)
+
+    monkeypatch.setattr(cls, "distinct", counting)
+
+    out_fast = connected_components_star(
+        canonical, a_col="a", b_col="b", assume_canonical=True
+    ).collect()
+    n_fast = len(counts)
+    counts.clear()
+    out_slow = connected_components_star(
+        canonical, a_col="a", b_col="b", assume_canonical=False
+    ).collect()
+    n_slow = len(counts)
+    assert n_slow == n_fast + 1, (n_fast, n_slow)
+    assert sorted(map(tuple, out_fast)) == sorted(map(tuple, out_slow))

@@ -67,3 +67,26 @@ def test_pc1_partitioning_invariant(spark):
     a = sorted(map(tuple, power_iteration_pc1(df).collect()))
     b = sorted(map(tuple, power_iteration_pc1(df.repartition(9)).collect()))
     assert a == b  # integer partials make the trajectory order-free
+
+
+def test_moment_pass_plan_is_single_shuffle_free_mapinpandas(spark):
+    """CI pin (VERDICT r10 #3a): the r10 blocked-kernel moment pass must
+    stay a bare scan -> ONE MapInPandas with no Exchange anywhere — an
+    extra shuffle or a second Python eval here ships every embedding row
+    through a shuffle at the 100 TB posture."""
+    from pyspark.sql import functions as F
+
+    from taxi_trips_etl_spark.dataprep.pca_power import _moment_partials_df
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i * 2), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    vecs = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    plan = _moment_partials_df(vecs, 3)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
