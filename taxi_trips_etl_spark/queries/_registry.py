@@ -126,6 +126,11 @@ GRAMS_SQL = f"""
 
 _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
+# name → (defining module, first docstring line): provenance for the
+# generated queries/INDEX.md (VERDICT r10 #4 — the batch-module names
+# are registration-order-frozen and opaque; the index makes an entry
+# findable without grepping 26 files).
+_PROVENANCE: dict[str, tuple[str, str]] = {}
 
 # Verification rotation. The driver's correctness harness checks the first
 # ~50 registry entries per round; the registry has grown past that, so
@@ -404,6 +409,8 @@ def register(name: str, oracle: str | None = None):
             return fn(spark, sf_dir)
 
         _QUERIES[name] = wrapped
+        doc = (fn.__doc__ or "").strip().splitlines()
+        _PROVENANCE[name] = (fn.__module__, doc[0] if doc else "")
         if oracle is not None:
             _ORACLES[name] = oracle
         return wrapped
