@@ -139,14 +139,38 @@ _PROVENANCE: dict[str, tuple[str, str]] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r10.json
-# into this map as (…, 10) so the rotation keeps cycling fairly.
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r11.json
+# into this map as (…, 11) so the rotation keeps cycling fairly.
 # REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
 # double-division bug proved the shared-expression-text blind spot is
 # real — a bug mirrored into both the Spark builder and the oracle SQL
 # passes the hash gate): ship an independent pytest that recomputes the
 # statistic from raw data in plain Python/numpy (see
 # tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R10_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r10.json (all 50 sampled entries,
+    # zero err — includes all three round-10 _REVERIFY names: the
+    # blocked PCA moment kernel's two entries and the auto→star
+    # canonical fast path all came back hash-green)
+    "activity_streaks", "bm25_keyword_search", "dedup_components_star",
+    "dsir_importance_weights", "embedding_canonicalize", "embedding_kmeans",
+    "embedding_pca_project", "event_transition_matrix", "forward_fill_gaps",
+    "funnel_conversion", "global_count", "gopher_quality_filter",
+    "iqr_outliers", "kfold_assignment", "lag_lead_order_gaps",
+    "multihop_join", "null_semantics", "numeric_histogram", "octet_length_fn",
+    "pca_power_projection", "rank_topk", "rename_projection",
+    "retention_cohorts", "session_window_agg", "split_leakage_audit",
+    "streaming_session_window", "string_agg_ordered",
+    "timestamp_diff_minutes", "topk_limit", "tpch_customer_distribution",
+    "tpch_disjunctive_pricing", "tpch_forecast_revenue",
+    "tpch_important_parts", "tpch_large_volume_customer",
+    "tpch_local_supplier_volume", "tpch_market_share",
+    "tpch_min_cost_supplier", "tpch_order_priority", "tpch_product_profit",
+    "tpch_promo_effect", "tpch_returned_items", "tpch_sales_opportunity",
+    "tpch_small_qty_revenue", "tpch_top_supplier", "tpch_volume_shipping",
+    "unigram_logprob_buckets", "union_append", "unpivot_metrics",
+    "variant_json_shred", "window_range_interval",
+)
 _R9_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r09.json (all 50 sampled entries,
     # zero err — includes every round-9 _REVERIFY name: the star-loop
@@ -343,6 +367,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(10, _R10_VERIFIED)
 _mark_verified(9, _R9_VERIFIED)
 _mark_verified(8, _R8_VERIFIED)
 _mark_verified(7, _R7_VERIFIED)
@@ -357,27 +382,13 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # (All 8 round-9 rewrite names came back hash-green in
-    # CORRECTNESS_r09.json and were folded into _R9_VERIFIED above.)
-    # Round-10 implementation change: pca_power._moment_partials now
-    # builds the quantized outer-product tensor in row blocks (bounded
-    # temps; full-batch einsum was 3.3 GB/10k-row batch and measured
-    # 4-16s bimodal under host memory pressure vs 0.26s blocked).
-    # Result proven bit-identical (int64 block sums reassociate
-    # exactly; in-session A/B on the real sf0.1 embeddings matched
-    # element-for-element, and both oracles re-validated green at
-    # sf0.01) — but the executed kernel changed, so the old driver
-    # rows are stale for the two entries that run it:
-    "pca_power_projection",
-    "embedding_pca_project",
-    # connected_components_auto's over-cap branch now re-enters the
-    # star loop with assume_canonical=True, skipping the redundant
-    # re-canonicalization (one full-|E| distinct shuffle + a second
-    # eager persist of the identical edge set). Result proven
-    # identical in-session (full collect equality vs the unflagged
-    # path at sf0.1; oracle green at sf0.01), but the executed job
-    # sequence changed for the forced-distributed entry:
-    "dedup_components_star",
+    # (All 3 round-10 rewrite names — the blocked PCA moment kernel's
+    # pca_power_projection / embedding_pca_project and the auto→star
+    # canonical fast path's dedup_components_star — came back
+    # hash-green in CORRECTNESS_r10.json and were folded into
+    # _R10_VERIFIED above. Round 11's changes are malformed-input
+    # guard raises and a behavior-neutral _collect_cov_int refactor:
+    # no executed plan or kernel changed, so nothing needs a reset.)
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
