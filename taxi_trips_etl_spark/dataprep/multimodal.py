@@ -242,14 +242,28 @@ def encode_ppm(pixels) -> bytes:
     output."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    if px.ndim == 2:
-        px = px[:, :, None]
+    px = _ensure_hwc(np.asarray(pixels, dtype=np.uint8))
     h, w, c = px.shape
     if c not in (1, 3):
         raise ValueError(f"encode_ppm needs 1 or 3 channels, got {c}")
     magic = b"P6" if c == 3 else b"P5"
     return magic + f"\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def _ensure_hwc(px):
+    """Normalize decoder/caller pixel output to the (h, w, c) contract:
+    PIL-style 2-D (h, w) grayscale becomes (h, w, 1); any other rank is
+    a contract violation named loudly (never a bare IndexError
+    downstream). Single home for the shape rule — used by both
+    :func:`encode_ppm` and :func:`resize_image`'s kernel."""
+    if px.ndim == 2:
+        return px[:, :, None]
+    if px.ndim != 3:
+        raise ValueError(
+            "decoder contract violated: pixels must be a "
+            f"(h, w, c) array, got ndim={px.ndim}"
+        )
+    return px
 
 
 def encode_bmp(pixels) -> bytes:
@@ -408,13 +422,7 @@ def resize_image(
                         else b"\x00" * target
                     )
                 else:
-                    if px.ndim == 2:  # PIL-style grayscale: normalize to (h, w, c)
-                        px = px[:, :, None]
-                    elif px.ndim != 3:
-                        raise ValueError(
-                            "decoder contract violated: pixels must be a "
-                            f"(h, w, c) array, got ndim={px.ndim}"
-                        )
+                    px = _ensure_hwc(px)
                     chans.append(int(px.shape[2]))
                     payloads.append(_nn_resample(px, width, height).tobytes())
             out = pdf[["media_id"]].copy()
