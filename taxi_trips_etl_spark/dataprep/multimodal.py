@@ -318,6 +318,9 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     mapInPandas that EXPANDS rows (one media row → many frame rows) — is
     the part worth testing, and is real here.
     """
+    if every_n_bytes < 1:
+        raise ValueError(f"sample_frames stride must be >= 1, got {every_n_bytes}")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
@@ -342,6 +345,8 @@ def extract_features(media: DataFrame, bins: int = 16) -> DataFrame:
     reproduce them bit-for-bit. At 100 TB only the (media_id, 16 ints)
     rows ever shuffle; payloads stay in executor-local Arrow buffers.
     """
+    if bins < 1:
+        raise ValueError(f"extract_features needs bins >= 1, got {bins}")
     import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
