@@ -78,6 +78,10 @@ def word_ngrams(tokens, n: int = 3):
     fewer than n tokens yield an empty shingle set (guarded — Spark's
     ``sequence(0, -1)`` would otherwise count *down*).
     """
+    if n < 1:
+        # n = 0 would silently shingle every doc to [''] (universal
+        # collisions), not error — fail at call time instead.
+        raise ValueError(f"word_ngrams needs n >= 1, got {n}")
     idx = F.sequence(F.lit(0), F.size(tokens) - n)
     gram = lambda i: F.concat_ws(
         " ", *[F.element_at(tokens, i + F.lit(k) + 1) for k in range(n)]
@@ -131,6 +135,8 @@ def minhash_signature(docs: DataFrame, text: str = "text", k: int = MINHASH_K,
     the shape that holds at corpus scale. Docs too short to shingle
     vanish via explode (they would otherwise collide on md5('') bands).
     """
+    if k < 1:
+        raise ValueError(f"minhash_signature needs k >= 1, got {k}")
     shingled = tokens_table(docs, text).select(
         "doc_id", F.explode(word_ngrams(F.col("toks"), ngram)).alias("shingle")
     )
@@ -144,6 +150,14 @@ def minhash_signature(docs: DataFrame, text: str = "text", k: int = MINHASH_K,
 
 def lsh_bands(sig_df: DataFrame, k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
     """(doc_id, band_id, band_key): band_key = md5 of its rows' minhashes."""
+    if bands < 1 or k % bands != 0:
+        # bands > k (rows_per_band = 0) would give EVERY doc the same
+        # empty-concat band key — all-pairs candidates, silently; a
+        # non-dividing bands would silently drop trailing signature
+        # rows and weaken the collision guarantee.
+        raise ValueError(
+            f"lsh_bands needs 1 <= bands and bands | k, got k={k} bands={bands}"
+        )
     rows_per_band = k // bands
     band_structs = F.array(*[
         F.struct(
@@ -235,6 +249,10 @@ def simhash(docs: DataFrame, text: str = "text", bits: int = SIMHASH_BITS) -> Da
     fingerprint from the signs. The naive form (60 array folds, each
     re-inlining tokenize+hash) does 60× the hashing work per row.
     """
+    if not 1 <= bits <= 62:
+        # 2**j must stay a positive signed 64-bit literal (j <= 61 in
+        # the reassembly below plus the sign bit's headroom).
+        raise ValueError(f"simhash needs 1 <= bits <= 62, got {bits}")
     toks = tokens_table(docs, text).select(
         "doc_id", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
     ).select("doc_id", _token_hash(F.col("tok")).alias("h"))

@@ -392,6 +392,8 @@ def build_vocab(docs: DataFrame, vocab_size: int = 1000, text: str = "text") -> 
     surviving rows only. Ties break lexicographically so ids are
     deterministic across engines and reruns.
     """
+    if vocab_size < 1:
+        raise ValueError(f"build_vocab needs vocab_size >= 1, got {vocab_size}")
     from taxi_trips_etl_spark.dataprep.dedup import tokens_table
 
     counts = (

@@ -812,3 +812,36 @@ def test_ngram_miners_positional_filter_sound_across_thresholds(spark):
         assert got_j == want_j, f"jaccard mismatch at t={t}"
         assert got_c == want_c, f"containment mismatch at t={t}"
         assert want_j and want_c, f"vacuous at t={t}"
+
+
+def test_dedup_vocab_params_guarded(spark):
+    """Round 11 guard sweep (same discipline as resize_image): degenerate
+    sketch parameters must fail loudly at call time, not silently
+    corrupt. The dangerous silent cases: word_ngrams(n=0) shingles every
+    doc to [''] (universal collisions); lsh_bands(bands > k) gives every
+    doc the identical empty-concat band key (all-pairs candidates);
+    a non-dividing bands silently drops signature rows."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from taxi_trips_etl_spark.dataprep import dedup, text
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="n >= 1"):
+        dedup.word_ngrams(F.col("toks"), 0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        dedup.minhash_signature(docs, k=0)
+    sig = dedup.minhash_signature(docs, k=4)
+    for bad_k, bad_bands in ((4, 0), (4, 8), (4, 3)):
+        with pytest.raises(ValueError, match="bands"):
+            dedup.lsh_bands(sig, k=bad_k, bands=bad_bands)
+    assert dedup.lsh_bands(sig, k=4, bands=2).count() == 4  # still works
+    with pytest.raises(ValueError, match="bits <= 62"):
+        dedup.simhash(docs, bits=63)
+    with pytest.raises(ValueError, match="bits <= 62"):
+        dedup.simhash(docs, bits=0)
+    with pytest.raises(ValueError, match="vocab_size >= 1"):
+        text.build_vocab(docs, vocab_size=0)
