@@ -44,6 +44,10 @@ def pack_sequences(
     stream (docs ordered by ``id_col``); ``first_seq``/``last_seq`` are
     the fixed-length training sequences it spans at ``seq_len``.
     """
+    if seq_len < 1 or bucket_span < 1:
+        # `x div 0` is NULL in Spark: zero values silently null the
+        # bucket/sequence columns instead of erroring.
+        raise ValueError(f"pack_sequences needs seq_len/bucket_span >= 1, got {seq_len}/{bucket_span}")
     toks = docs.select(
         F.col(id_col),
         F.size(tokens_col(text)).cast("long").alias("n_tokens"),

@@ -26,6 +26,8 @@ def deterministic_sample(
     df: DataFrame, rate: float, key: str, salt: str = "sample"
 ) -> DataFrame:
     """Keep ~rate of rows, chosen by key hash — idempotent & rerun-stable."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"sample rate must be in [0, 1], got {rate}")
     return df.filter(_key_bucket(F.col(key), salt) < int(rate * _HASH_SPACE))
 
 
@@ -40,6 +42,9 @@ def stratified_sample(
     """Per-stratum hash sampling (deterministic ``sampleBy``): each
     stratum keeps its own rate — rebalancing skewed classes (languages,
     sources, quality tiers) without RNG or partitioning dependence."""
+    for _s, _r in {**rates, "__default__": default_rate}.items():
+        if not 0.0 <= _r <= 1.0:
+            raise ValueError(f"stratum rate must be in [0, 1], got {_s}={_r}")
     bucket = _key_bucket(F.col(key), salt)
     threshold = F.lit(int(default_rate * _HASH_SPACE))
     for stratum, rate in rates.items():
@@ -59,6 +64,8 @@ def train_test_split(
     membership, and dedup-then-split pipelines can't leak a near-dup
     pair across the boundary if they split on the canonical doc key.
     """
+    if not 0.0 <= test_rate <= 1.0:
+        raise ValueError(f"test_rate must be in [0, 1], got {test_rate}")
     bucket = _key_bucket(F.col(key), salt)
     return df.withColumn(
         "split",
@@ -119,6 +126,9 @@ def kfold_assign(
     folds. Same key → same fold forever (append-stable, like
     :func:`train_test_split`); fold i's holdout is ``fold == i`` and
     training is everything else — no RNG, no state to persist."""
+    if k < 1:
+        # Spark pmod(x, 0) is NULL: k = 0 silently nulls every fold.
+        raise ValueError(f"kfold_assign needs k >= 1, got {k}")
     return df.withColumn(
         "fold", (_key_bucket(F.col(key), salt) % k).cast("long")
     )

@@ -63,6 +63,8 @@ def cosine_topk_bruteforce(
     Output: (query_id, neighbor_id, cosine, knn_rank) — rank by score
     desc with neighbor-id tiebreak for full determinism.
     """
+    if k < 1:
+        raise ValueError(f"cosine_topk_bruteforce needs k >= 1, got {k}")
     q = embeddings.filter(F.col(id_col) < query_ids_below).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -116,6 +118,11 @@ def ivf_topk(
     cells' inverted lists (an equi-join on cent_id) — never the full
     corpus. Recall is governed by nprobe.
     """
+    if n_centroids < 1 or nprobe < 1 or k < 1:
+        # nprobe = 0 probes no cells: every query silently returns empty.
+        raise ValueError(
+            f"ivf_topk needs n_centroids/nprobe/k >= 1, got {n_centroids}/{nprobe}/{k}"
+        )
     cents = (
         embeddings.orderBy(id_col)
         .limit(n_centroids)
@@ -179,6 +186,9 @@ def ivf_topk(
 
 def sign_bucket(vec: Column, planes: int = 16) -> Column:
     """Deterministic sign-LSH bucket: '10110…' over the first N dims."""
+    if planes < 1:
+        # planes = 0 buckets EVERY vector to "" — one all-pairs bucket.
+        raise ValueError(f"sign_bucket needs planes >= 1, got {planes}")
     return F.concat_ws(
         "",
         F.transform(
@@ -192,6 +202,8 @@ def sign_bucket_band(vec: Column, band: int, planes: int) -> Column:
     """Band ``band``'s sign-LSH key: signs of dims
     [band·planes+1, (band+1)·planes] — disjoint dim ranges make the
     band keys independent the way MinHash bands are."""
+    if band < 0 or planes < 1:
+        raise ValueError(f"sign_bucket_band needs band >= 0, planes >= 1, got {band}/{planes}")
     return F.concat_ws(
         "",
         F.transform(
@@ -342,6 +354,8 @@ def cosine_topk_lsh_multiprobe(
     cost is unchanged (each vector still lives in ONE bucket — the
     probe fan-out multiplies only the tiny query side of the join).
     """
+    if k < 1 or planes < 1:
+        raise ValueError(f"needs k/planes >= 1, got {k}/{planes}")
     with_bucket = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -402,6 +416,8 @@ def cosine_topk_lsh(
     design. The candidate join key is the bucket string → at scale this
     is a hash join on bucket, not a cross join.
     """
+    if k < 1 or planes < 1:
+        raise ValueError(f"needs k/planes >= 1, got {k}/{planes}")
     with_bucket = embeddings.select(
         F.col(id_col),
         F.col(vec_col),
@@ -475,6 +491,8 @@ def pq_topk(
     by the PQ-approximated squared L2 distance. Exact re-rank of the
     shortlist (as in IVF) composes downstream if needed.
     """
+    if m < 1 or not 2 <= ksub <= 256 or k < 1:
+        raise ValueError(f"pq_topk needs m >= 1, 2 <= ksub <= 256, k >= 1, got {m}/{ksub}/{k}")
     import numpy as np
 
     vecs = embeddings.select(
@@ -640,6 +658,9 @@ def random_projection(
     salt: str = "rp",
 ) -> DataFrame:
     """→ (vec_id, rp_0 … rp_{out_dim-1}): JL-projected vectors."""
+    if in_dim < 1 or out_dim < 1:
+        # out_dim = 0 silently emits zero-width projections.
+        raise ValueError(f"random_projection needs in_dim/out_dim >= 1, got {in_dim}/{out_dim}")
     exprs = random_projection_sql(in_dim, out_dim, vec_col, salt, "spark")
     return embeddings.select(
         F.col(id_col),
@@ -1292,6 +1313,8 @@ def semdedup_prune(
     rounding unless the true value sits within ~1e-9 of a .0005
     boundary.
     """
+    if k < 1 or iterations < 1:
+        raise ValueError(f"semdedup_prune needs k/iterations >= 1, got {k}/{iterations}")
     import pandas as pd  # noqa: F401  (applyInPandas contract)
 
     from taxi_trips_etl_spark.dataprep.clustering import kmeans_assign

@@ -845,3 +845,56 @@ def test_dedup_vocab_params_guarded(spark):
         dedup.simhash(docs, bits=0)
     with pytest.raises(ValueError, match="vocab_size >= 1"):
         text.build_vocab(docs, vocab_size=0)
+
+
+def test_similarity_sampling_packing_params_guarded(spark):
+    """Round 11 guard sweep, part 2: ANN/sampling/packing parameters
+    whose degenerate values silently corrupt (empty sign buckets →
+    all-pairs; pmod/div by 0 → NULL columns; out_dim 0 → zero-width
+    projections; nprobe 0 → empty results)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from taxi_trips_etl_spark.dataprep import packing, sampling, similarity
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, -1.0, 0.5]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="planes >= 1"):
+        similarity.sign_bucket(F.col("embedding"), planes=0)
+    with pytest.raises(ValueError, match="band >= 0"):
+        similarity.sign_bucket_band(F.col("embedding"), band=-1, planes=4)
+    with pytest.raises(ValueError, match="k >= 1"):
+        similarity.cosine_topk_bruteforce(emb, k=0)
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk(emb, nprobe=0)
+    with pytest.raises(ValueError, match="k/planes"):
+        similarity.cosine_topk_lsh(emb, planes=0)
+    with pytest.raises(ValueError, match="k/planes"):
+        similarity.cosine_topk_lsh_multiprobe(emb, k=0)
+    with pytest.raises(ValueError, match="ksub"):
+        similarity.pq_topk(emb, ksub=1)
+    with pytest.raises(ValueError, match="in_dim/out_dim"):
+        similarity.random_projection(emb, in_dim=4, out_dim=0)
+    with pytest.raises(ValueError, match="k/iterations"):
+        similarity.semdedup_prune(emb, iterations=0)
+    with pytest.raises(ValueError, match=r"rate must be in \[0, 1\]"):
+        sampling.deterministic_sample(docs, rate=1.5, key="doc_id")
+    with pytest.raises(ValueError, match=r"test_rate must be in \[0, 1\]"):
+        sampling.train_test_split(docs, key="doc_id", test_rate=-0.1)
+    with pytest.raises(ValueError, match="stratum rate"):
+        sampling.stratified_sample(
+            docs, rates={"x": 2.0}, key="doc_id", strata_col="text"
+        )
+    with pytest.raises(ValueError, match="k >= 1"):
+        sampling.kfold_assign(docs, key="doc_id", k=0)
+    with pytest.raises(ValueError, match="seq_len/bucket_span"):
+        packing.pack_sequences(docs, seq_len=0)
+    # valid calls still work end-to-end
+    assert similarity.cosine_topk_bruteforce(emb, query_ids_below=2, k=2).count() > 0
+    assert sampling.kfold_assign(docs, key="doc_id", k=3).count() == 2
