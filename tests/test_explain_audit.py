@@ -81,3 +81,17 @@ def test_topk_is_heap_not_global_sort(spark, sf_dir):
     plan = _audit.plan_of(all_queries()["topk_limit"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_py_eval_whitelist_names_exist():
+    """The global Python-eval rule (tools/explain_audit.py, round 11) is
+    only as good as its whitelist: a renamed entry would silently turn a
+    whitelisted name into dead config while the renamed query escapes
+    the rule until the next tool run. Pin the names to the registry."""
+    from taxi_trips_etl_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in _audit.PY_EVAL_WHITELIST:
+        assert name in qs or name == "flagship_most_populars", (
+            f"PY_EVAL_WHITELIST name {name!r} is not a registry entry"
+        )

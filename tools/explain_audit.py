@@ -6,6 +6,12 @@ Python UDF in fact-table stages, filter pushdown reaching the parquet
 scan, partial (map-side) aggregation before shuffles.
 
 Usage: python tools/explain_audit.py [sf_dir]
+
+Round 11: besides the per-name EXPECT/FORBID maps, the audit sweeps
+EVERY registry entry's plan for row-at-a-time Python eval
+(BatchEvalPython / ArrowEvalPython) — the "UDFs are the slow path"
+posture as a global invariant, not a per-query opt-in. Only the names
+in PY_EVAL_WHITELIST may carry one; anything else is a failure.
 """
 
 from __future__ import annotations
@@ -24,6 +30,20 @@ def plan_of(df) -> str:
         df.explain("formatted")
     return buf.getvalue()
 
+
+# The ONLY registry entries whose physical plan may contain a Python
+# eval node (BatchEvalPython/ArrowEvalPython). Verified by a full
+# 306-entry sweep (round 11): three flagship/geo queries carry the two
+# sanctioned reference UDFs (F6 ST_CENTROID ∘ F7 H3_FROMGEOGPOINT,
+# functions/geo.py — applied DIM-side only, ~N_ZONES rows), and the
+# UDTF entry exists precisely to exercise Spark's Python UDTF surface.
+# Everything else must stay JVM-side end-to-end.
+PY_EVAL_WHITELIST = frozenset({
+    "flagship_known_zones",
+    "flagship_most_populars",
+    "hex_neighbor_smoothing",
+    "udtf_split_sentences",
+})
 
 EXPECT = {
     "broadcast_left_join": ["BroadcastHashJoin"],
@@ -520,7 +540,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     bad = []
-    for name in sorted(set(EXPECT) | set(FORBID)):
+    # Full-registry sweep (round 11): every name gets the global
+    # Python-eval rule; EXPECT/FORBID patterns apply where present.
+    for name in sorted(set(qs) | {"flagship_most_populars"}):
         if name == "flagship_most_populars":
             # streaming/pipeline queries execute eagerly; build the lazy DF
             from taxi_trips_etl_spark.plans.pipeline import run_taxi_pipeline
@@ -529,6 +551,13 @@ def main() -> None:
         else:
             df = qs[name](spark, sf_dir)
         plan = plan_of(df)
+        if name not in PY_EVAL_WHITELIST:
+            m = re.search(r"BatchEvalPython|ArrowEvalPython", plan)
+            if m:
+                bad.append(
+                    f"{name}: row-at-a-time Python eval ({m.group(0)}) "
+                    "outside PY_EVAL_WHITELIST"
+                )
         for pat in EXPECT.get(name, []):
             if not re.search(pat, plan):
                 bad.append(f"{name}: expected {pat!r} not in plan")
