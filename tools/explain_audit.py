@@ -558,6 +558,13 @@ def main() -> None:
                     f"{name}: row-at-a-time Python eval ({m.group(0)}) "
                     "outside PY_EVAL_WHITELIST"
                 )
+        if "CartesianProduct" in plan:
+            # no whitelist: the full round-11 sweep found ZERO true
+            # cartesians (the 47 BroadcastNestedLoopJoin hits are all
+            # the sanctioned 1-row-scalar-broadcast pattern, which is a
+            # different node). A CartesianProduct appearing anywhere is
+            # always a regression at the 100 TB posture.
+            bad.append(f"{name}: CartesianProduct in physical plan")
         for pat in EXPECT.get(name, []):
             if not re.search(pat, plan):
                 bad.append(f"{name}: expected {pat!r} not in plan")
