@@ -129,6 +129,14 @@ def chunk_documents(
     chunks in one narrow pass, no Python, output ~n_tokens/stride rows
     per doc.
     """
+    if chunk_tokens < 1 or not 0 <= overlap < chunk_tokens:
+        # overlap >= chunk_tokens makes stride <= 0: the chunk-count
+        # division goes infinite/negative and silently nulls or
+        # explodes the sequence instead of erroring.
+        raise ValueError(
+            f"chunk_documents needs chunk_tokens >= 1 and 0 <= overlap < "
+            f"chunk_tokens, got {chunk_tokens}/{overlap}"
+        )
     stride = chunk_tokens - overlap
     toks = tokens_col(text)
     n = F.size(toks)
@@ -543,6 +551,8 @@ def winnowing_fingerprints(
     corpus size). Output is the join-able (doc_id, fp) posting shape
     every other dedup operator here uses.
     """
+    if k < 1 or w < 1:
+        raise ValueError(f"winnowing needs k/w >= 1, got {k}/{w}")
     t = F.lower(F.col(text))
     n_grams = (F.length(t) - k + 1).cast("int")
     # Explode POSITIONS, not a prebuilt gram array: inside a transform

@@ -898,3 +898,27 @@ def test_similarity_sampling_packing_params_guarded(spark):
     # valid calls still work end-to-end
     assert similarity.cosine_topk_bruteforce(emb, query_ids_below=2, k=2).count() > 0
     assert sampling.kfold_assign(docs, key="doc_id", k=3).count() == 2
+
+
+def test_text_window_params_guarded(spark):
+    """Round 11 guard sweep, part 3: chunk_documents with
+    overlap >= chunk_tokens made stride <= 0 (infinite/negative chunk
+    counts, silently nulled); winnowing k/w < 1 silently emptied."""
+    import pytest
+
+    from taxi_trips_etl_spark.dataprep import text
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="overlap < "):
+        text.chunk_documents(docs, chunk_tokens=10, overlap=10)
+    with pytest.raises(ValueError, match="chunk_tokens >= 1"):
+        text.chunk_documents(docs, chunk_tokens=0, overlap=0)
+    with pytest.raises(ValueError, match="k/w >= 1"):
+        text.winnowing_fingerprints(docs, k=0)
+    with pytest.raises(ValueError, match="k/w >= 1"):
+        text.winnowing_fingerprints(docs, w=0)
+    # valid calls unchanged
+    assert text.chunk_documents(docs, chunk_tokens=4, overlap=1).count() >= 2
+    assert text.winnowing_fingerprints(docs, k=3, w=2).count() > 0
