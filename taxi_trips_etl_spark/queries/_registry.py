@@ -382,13 +382,20 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # (All 3 round-10 rewrite names — the blocked PCA moment kernel's
-    # pca_power_projection / embedding_pca_project and the auto→star
-    # canonical fast path's dedup_components_star — came back
-    # hash-green in CORRECTNESS_r10.json and were folded into
-    # _R10_VERIFIED above. Round 11's changes are malformed-input
-    # guard raises and a behavior-neutral _collect_cov_int refactor:
-    # no executed plan or kernel changed, so nothing needs a reset.)
+    # (All 3 round-10 rewrite names came back hash-green in
+    # CORRECTNESS_r10.json and were folded into _R10_VERIFIED above.)
+    # Round-11 plan-shape change: both entries' fact-scale spines
+    # (orders⨝lineitem→window→distinct edge list; events lead-window
+    # →groupBy transition matrix) fanned out to many consumers with
+    # ZERO exchange reuse — 12× / ~8× recomputation in the lazy plan
+    # (full-registry audit sweep). One lazy checkpoint each collapses
+    # that to a single execution (the pagerank/kcore pattern). Results
+    # proven identical in-session (full collect equality old vs new at
+    # sf0.1, 6/6 pairwise A/B wins) and both oracles green at sf0.001 —
+    # but the executed job sequence changed, so the old driver rows are
+    # stale:
+    "graph_degree_assortativity",
+    "markov_stationary_micro",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

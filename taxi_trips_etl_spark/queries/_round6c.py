@@ -601,6 +601,14 @@ def q_markov_stationary_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tot",
         F.sum("cnt").over(Window.partitionBy("cur")).cast("long"),
     )
+    # |states|² rows, consumed by the states probe AND all 4 unrolled
+    # iterations: without this checkpoint the events-scale lead-window
+    # + groupBy lineage re-executes per consumer (~8 copies in the lazy
+    # plan, round-11 audit) — the same reason pagerank/kcore truncate
+    # per round. Lazy: the first action fills it.
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    trans = trans.transform(materialize, eager=False)
     states = trans.select(F.col("cur").alias("s")).distinct()
     ns = states.agg(F.count(F.lit(1)).cast("long").alias("k"))
     v = states.crossJoin(F.broadcast(ns)).selectExpr(

@@ -782,6 +782,14 @@ def q_graph_degree_assortativity(
     canon = dedges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
+    # canon is the smallest fact-derived frame but fans out into e0's
+    # two arms × (deg + both xy joins): the round-11 plan audit found
+    # the orders⨝lineitem→window→distinct spine instantiated 12× in
+    # the lazy plan with zero exchange reuse. One lazy checkpoint
+    # collapses that to a single execution (pagerank/kcore pattern).
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    canon = canon.transform(materialize, eager=False)
     e0 = canon.unionByName(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
