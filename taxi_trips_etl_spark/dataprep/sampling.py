@@ -42,9 +42,17 @@ def stratified_sample(
     """Per-stratum hash sampling (deterministic ``sampleBy``): each
     stratum keeps its own rate — rebalancing skewed classes (languages,
     sources, quality tiers) without RNG or partitioning dependence."""
-    for _s, _r in {**rates, "__default__": default_rate}.items():
+    # Validate rates and default_rate SEPARATELY: merging them into one
+    # dict keyed by stratum name would let a stratum literally named
+    # '__default__' be overwritten by default_rate, silently skipping
+    # its range check while the threshold CASE below still applies it.
+    for _s, _r in rates.items():
         if not 0.0 <= _r <= 1.0:
             raise ValueError(f"stratum rate must be in [0, 1], got {_s}={_r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(
+            f"default_rate must be in [0, 1], got {default_rate}"
+        )
     bucket = _key_bucket(F.col(key), salt)
     threshold = F.lit(int(default_rate * _HASH_SPACE))
     for stratum, rate in rates.items():

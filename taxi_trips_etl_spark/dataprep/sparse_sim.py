@@ -89,7 +89,17 @@ def tfidf_cosine_pairs(
     """→ (doc_id_a, doc_id_b, cosine) for a < b with pruned-TF-IDF
     cosine ≥ ``min_cosine`` — lexical near-duplicate / same-topic
     pairs."""
-    vec = tfidf_milli_vectors(docs, text, max_df_frac)
+    # The sparse-vector table fans out to FOUR consumers below (both
+    # sides of the inverted-index join + both norm legs): lazily built,
+    # Catalyst re-executes the tokenize→explode→tf spine once per
+    # consumer (8 static corpus scans; AQE's runtime exchange reuse did
+    # not recover it — measured r12, sf0.1 interleaved A/B: materialize
+    # wins 3/3, ~1.5s→1.1s). Same materialize-before-fanout pattern as
+    # the r11 assortativity/markov fixes; at 100 TB a 4× tokenize
+    # recompute is the killer class the fan-out audit exists to catch.
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    vec = materialize(tfidf_milli_vectors(docs, text, max_df_frac), eager=False)
     norms = vec.groupBy("doc_id").agg(
         F.sum(F.col("w_milli") * F.col("w_milli"))
         .cast("long")

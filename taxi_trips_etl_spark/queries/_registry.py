@@ -139,14 +139,40 @@ _PROVENANCE: dict[str, tuple[str, str]] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r11.json
-# into this map as (…, 11) so the rotation keeps cycling fairly.
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r12.json
+# into this map as (…, 12) so the rotation keeps cycling fairly.
 # REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
 # double-division bug proved the shared-expression-text blind spot is
 # real — a bug mirrored into both the Spark builder and the oracle SQL
 # passes the hash gate): ship an independent pytest that recomputes the
 # statistic from raw data in plain Python/numpy (see
 # tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R11_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r11.json (all 50 sampled entries,
+    # zero err — includes both round-11 _REVERIFY names: the two
+    # fan-out materialize fixes, graph_degree_assortativity and
+    # markov_stationary_micro, came back hash-green on the post-fix
+    # plans, closing their stale-hash window)
+    "bigram_lm_topk", "bpe_apply_encode", "bpe_learn_merges",
+    "cdc_upsert_apply", "chunk_dedup_docs", "constraint_quarantine",
+    "curriculum_interleave", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash_fingerprint", "domain_token_budgets",
+    "embedding_int8_quantize", "embedding_zscore", "ewma_daily_revenue",
+    "feature_hash_counts", "graph_degree_assortativity", "graph_pagerank",
+    "graph_triangles", "heavy_hitters_tokens", "hll_distinct_rollup",
+    "mad_outliers", "markov_stationary_micro", "model_daily_trip_metrics",
+    "model_staging_rename", "model_trips_view", "month_over_month_growth",
+    "pareto_frontier", "pmi_collocations", "quality_classifier_score",
+    "regex_pretokenize_counts", "rolling_active_users", "rolling_corr_revenue",
+    "scd2_customer_history", "semantic_decontaminate", "similarity_cosine_topk",
+    "similarity_lsh_topk", "skew_salted_join", "source_distinctive_terms",
+    "streaming_cdc_upsert", "streaming_dq_monitor", "streaming_ingest_dedup",
+    "streaming_static_enrich", "time_weighted_average",
+    "token_entropy_by_source", "tpch_parts_supplier_cnt",
+    "tpch_promotion_candidates", "tpch_shipmode_priority",
+    "tpch_suppliers_waiting", "weighted_priority_sample",
+    "weighted_sample_per_group",
+)
 _R10_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r10.json (all 50 sampled entries,
     # zero err — includes all three round-10 _REVERIFY names: the
@@ -367,6 +393,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(11, _R11_VERIFIED)
 _mark_verified(10, _R10_VERIFIED)
 _mark_verified(9, _R9_VERIFIED)
 _mark_verified(8, _R8_VERIFIED)
@@ -382,20 +409,22 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # (All 3 round-10 rewrite names came back hash-green in
-    # CORRECTNESS_r10.json and were folded into _R10_VERIFIED above.)
-    # Round-11 plan-shape change: both entries' fact-scale spines
-    # (orders⨝lineitem→window→distinct edge list; events lead-window
-    # →groupBy transition matrix) fanned out to many consumers with
-    # ZERO exchange reuse — 12× / ~8× recomputation in the lazy plan
-    # (full-registry audit sweep). One lazy checkpoint each collapses
-    # that to a single execution (the pagerank/kcore pattern). Results
-    # proven identical in-session (full collect equality old vs new at
-    # sf0.1, 6/6 pairwise A/B wins) and both oracles green at sf0.001 —
-    # but the executed job sequence changed, so the old driver rows are
-    # stale:
-    "graph_degree_assortativity",
-    "markov_stationary_micro",
+    # (Both round-11 fan-out-fix names — graph_degree_assortativity and
+    # markov_stationary_micro — came back hash-green on the post-fix
+    # plans in CORRECTNESS_r11.json and were folded into _R11_VERIFIED
+    # above.)
+    # Round-12 plan-shape change: the sparse TF-IDF vector table fans
+    # out to four consumers (inverted-index join sides + both norm
+    # legs) and re-executed the tokenize→tf spine per consumer (8
+    # static corpus scans — the last >4 fan-out the r12 audit-rule
+    # sweep found that was NOT by-design multi-pass). One lazy
+    # checkpoint collapses it (sparse_sim.py); results proven identical
+    # in-session (full collect equality old vs new at sf0.1, 31125
+    # rows; 3/3 interleaved A/B wins) and the oracle is untouched — but
+    # the executed job sequence changed, so the r5 driver row is stale.
+    # (The entry already led the r12 rotation window as an r5-stale
+    # name, so this does not displace any window slot.)
+    "tfidf_cosine_pairs",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

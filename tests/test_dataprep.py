@@ -891,6 +891,19 @@ def test_similarity_sampling_packing_params_guarded(spark):
         sampling.stratified_sample(
             docs, rates={"x": 2.0}, key="doc_id", strata_col="text"
         )
+    # r12 ADVICE closure: a stratum literally named '__default__' used to
+    # be clobbered by default_rate in a merged validation dict, letting
+    # its out-of-range rate escape the guard (while still being applied
+    # in the threshold CASE). Both must now raise independently.
+    with pytest.raises(ValueError, match="stratum rate"):
+        sampling.stratified_sample(
+            docs, rates={"__default__": 7.0}, key="doc_id", strata_col="text"
+        )
+    with pytest.raises(ValueError, match=r"default_rate must be in \[0, 1\]"):
+        sampling.stratified_sample(
+            docs, rates={"x": 0.5}, key="doc_id", strata_col="text",
+            default_rate=-0.2,
+        )
     with pytest.raises(ValueError, match="k >= 1"):
         sampling.kfold_assign(docs, key="doc_id", k=0)
     with pytest.raises(ValueError, match="seq_len/bucket_span"):

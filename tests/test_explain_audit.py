@@ -72,6 +72,56 @@ def test_load_bearing_names_still_audited():
         )
 
 
+# CI pin (VERDICT r11 #3): the r11 fan-out fixes are one lazy
+# materialize() call each (queries/_round7.py assortativity,
+# queries/_round6c.py markov) — value-level pytests would stay green if
+# a refactor silently dropped the call, and the 12×/~8× fact-spine
+# recompute would return with zero test failures. Ceilings are the
+# audit-run exchange counts of the FIXED plans (10 and 24, re-measured
+# r12; pre-fix plans read 58 and 52, so a dropped materialize blows
+# straight through). The checkpoint scan node is asserted too: plan
+# shape must start at the truncated lineage, not a rebuilt spine.
+# r12 adds tfidf_cosine_pairs: vec fans out to 4 consumers; the
+# materialize holds its plan at 14 exchanges (unfixed: 46).
+_FANOUT_PINS = {
+    "graph_degree_assortativity": 10,
+    "markov_stationary_micro": 24,
+    "tfidf_cosine_pairs": 14,
+}
+
+
+@pytest.mark.parametrize("name,ceiling", sorted(_FANOUT_PINS.items()))
+def test_fanout_materialize_pinned(spark, sf_dir, name, ceiling):
+    from taxi_trips_etl_spark.queries import all_queries
+
+    df = all_queries()[name](spark, sf_dir)
+    plan = _audit.plan_of(df)
+    n_exchanges = plan.count("Exchange")
+    assert n_exchanges <= ceiling, (
+        f"{name}: {n_exchanges} exchanges > pinned ceiling {ceiling} — "
+        "was the materialize() lazy checkpoint dropped?"
+    )
+    assert "Scan ExistingRDD" in plan, (
+        f"{name}: no checkpoint scan in plan — the materialized spine "
+        "is being recomputed from raw lineage"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(_FANOUT_PINS))
+def test_fanout_fix_within_global_scan_allowance(spark, sf_dir, name):
+    """The fixed plans must also pass the audit tool's global fan-out
+    rule without a SCAN_ALLOWANCE entry: their raw-table scan counts
+    sit at/below the default because the checkpoint truncates the
+    fanned-out spine."""
+    from taxi_trips_etl_spark.queries import all_queries
+
+    assert name not in _audit.SCAN_ALLOWANCE
+    df = all_queries()[name](spark, sf_dir)
+    plan = _audit.plan_of(df)
+    for t in _audit.TESTDATA_TABLES:
+        assert plan.count(f"{t}.parquet") <= _audit.DEFAULT_SCAN_ALLOWANCE
+
+
 def test_topk_is_heap_not_global_sort(spark, sf_dir):
     """T1 specifically: TakeOrderedAndProject AND no range-partition
     exchange — the global-sort plan would shuffle everything to sort

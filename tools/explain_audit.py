@@ -12,6 +12,12 @@ EVERY registry entry's plan for row-at-a-time Python eval
 (BatchEvalPython / ArrowEvalPython) — the "UDFs are the slow path"
 posture as a global invariant, not a per-query opt-in. Only the names
 in PY_EVAL_WHITELIST may carry one; anything else is a failure.
+
+Round 12: the sweep additionally enforces a per-table scan-count
+allowance on every plan (the fan-out rule — see SCAN_ALLOWANCE below):
+a table scanned more than its allowance in one lazy plan is the
+recompute-fan-out signature that cost assortativity 12× and markov ~8×
+before their r11 checkpoint fixes.
 """
 
 from __future__ import annotations
@@ -44,6 +50,64 @@ PY_EVAL_WHITELIST = frozenset({
     "hex_neighbor_smoothing",
     "udtf_split_sentences",
 })
+
+# ---------------------------------------------------------------------------
+# Fan-out rule (round 12, VERDICT r11 #4): the r11 full-registry sweep
+# caught two fact-spine recompute fan-outs (assortativity 12×, markov
+# ~8×) that per-name EXPECT maps never would; this promotes that
+# discovery method to a standing gate. For every registry entry's lazy
+# plan, count how many scan nodes each testdata table contributes; a
+# count above the entry's allowance fails the audit. The default (4)
+# covers the whole registry tail as measured by the r12 sweep of all
+# 306 plans at sf0.001; every entry above it is listed with its
+# measured count and the reason the multi-scan is by-design. Blind
+# spot, by construction: a materialize() checkpoint truncates lineage,
+# so checkpointed spines show zero scans here — that is the FIX for
+# fan-out, and the two r11 checkpoint sites are pinned separately by
+# exchange-count ceilings in tests/test_explain_audit.py.
+# ---------------------------------------------------------------------------
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+DEFAULT_SCAN_ALLOWANCE = 4
+SCAN_ALLOWANCE = {
+    # 3-stage strict funnel latency: greedy earliest-match chaining is
+    # three chained min-aggregates, each stage re-reading events with
+    # its own pushed event_type filter, ×2 legs (ts + dwell) — per-stage
+    # filtered raw scans, not derived-spine recompute (r12 sweep: 12).
+    "funnel_latency_stats": 12,
+    # Matryoshka audit: recall@10 at d∈{16,32} vs full-width truth —
+    # each truncation level is a separate brute-force leg over the
+    # embeddings table BY DESIGN (it measures the levels against each
+    # other); probe sides are 20-row broadcasts (r12 sweep: 10).
+    "embedding_truncation_recall": 10,
+    # SCD2 apply on the customer DIMENSION (small by definition at
+    # 100 TB — the fact side never enters): the synthetic update batch
+    # derives from customer (2 scans) and the three branch outcomes
+    # (untouched/closed/opened) each re-read the dim-side join — all
+    # dim-scale (r12 sweep: 9).
+    "scd2_customer_history": 9,
+    # CCNet perplexity bucketing: LM fit (token→vocab aggregate,
+    # broadcast back) + doc scoring share the tokenize subtree across
+    # fit/score branches; the vocab side is aggregate-scale and the
+    # NTILE epilogue is bucket-bounded (r12 sweep: 6).
+    "unigram_logprob_buckets": 6,
+    # Strict-order sequential funnels: one pushed-filter scan of raw
+    # events per funnel stage (view/click/purchase ×2 legs) — the
+    # documented funnel shape; every shuffle shares the user_id key so
+    # AQE reuses one partitioning (r12 sweep: 6 each).
+    "sequence_pattern_funnel": 6,
+    "funnel_conversion": 6,
+    # FK sweep over the star schema: one LEFT ANTI join per declared
+    # foreign key; lineitem carries 3 FKs and each audit leg re-reads
+    # only the 2 key columns (column-pruned scans; r12 sweep: 6).
+    "referential_integrity_audit": 6,
+    # A-priori pair stage: basket self-join (2 scans/side of the
+    # DISTINCT (order,brand) frame) + per-brand support legs; baskets
+    # are bounded at |brands| = 25 items (r12 sweep: 5).
+    "market_basket_brand_rules": 5,
+}
 
 EXPECT = {
     "broadcast_left_join": ["BroadcastHashJoin"],
@@ -557,6 +621,16 @@ def main() -> None:
                 bad.append(
                     f"{name}: row-at-a-time Python eval ({m.group(0)}) "
                     "outside PY_EVAL_WHITELIST"
+                )
+        cap = SCAN_ALLOWANCE.get(name, DEFAULT_SCAN_ALLOWANCE)
+        for t in TESTDATA_TABLES:
+            n_scans = plan.count(f"{t}.parquet")
+            if n_scans > cap:
+                bad.append(
+                    f"{name}: {n_scans} scans of {t}.parquet exceed the "
+                    f"fan-out allowance ({cap}) — likely a lazy-plan "
+                    "recompute fan-out; materialize the shared spine or "
+                    "justify an allowance entry"
                 )
         if "CartesianProduct" in plan:
             # no whitelist: the full round-11 sweep found ZERO true
