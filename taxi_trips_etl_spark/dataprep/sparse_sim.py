@@ -38,10 +38,26 @@ def tfidf_milli_vectors(
     docs: DataFrame,
     text: str = "text",
     max_df_frac: float = 0.10,
+    max_df: int | None = None,
 ) -> DataFrame:
     """(doc_id, word, w_milli) sparse vectors over the df-pruned
     vocabulary; sklearn-style idf = ln((N+1)/(df+1)) + 1 (matches
-    ``text.tfidf_top_terms``), quantized to integer milli-units."""
+    ``text.tfidf_top_terms``), quantized to integer milli-units.
+
+    ``max_df`` is an ABSOLUTE posting-length cap applied on top of the
+    relative ``max_df_frac`` one (effective cap = min of the two; None
+    disables it, preserving the original relative-only behavior). Why
+    it exists (r12 decade sweep): the relative cap does NOT bound the
+    Σ df² join volume as the corpus grows — at 10× docs the cap grows
+    10× too, and measured on the sf1 testdata that let 310 previously
+    pruned terms through at df≈3900 each, inflating candidate volume
+    62.5k → 4.5e9 pair rows (~70,000×). Per-term join work is df², so
+    the knob that actually survives a 100 TB corpus is the absolute
+    one: a term shared by >max_df documents is stop-word-like
+    regardless of corpus size, and capping there bounds per-term work
+    at max_df² independent of growth."""
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1 when set, got {max_df}")
     n_docs = docs.count()  # single scalar job, same as tfidf_top_terms
     tf = (
         docs.select(
@@ -55,6 +71,8 @@ def tfidf_milli_vectors(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
     df_cap = int(max_df_frac * n_docs)
+    if max_df is not None:
+        df_cap = min(df_cap, max_df)
     dfreq = (
         tf.groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -85,10 +103,13 @@ def tfidf_cosine_pairs(
     text: str = "text",
     max_df_frac: float = 0.10,
     min_cosine: float = 0.30,
+    max_df: int | None = None,
 ) -> DataFrame:
     """→ (doc_id_a, doc_id_b, cosine) for a < b with pruned-TF-IDF
     cosine ≥ ``min_cosine`` — lexical near-duplicate / same-topic
-    pairs."""
+    pairs. ``max_df``: absolute posting cap, the knob that bounds the
+    Σ df² join volume independent of corpus growth (see
+    :func:`tfidf_milli_vectors`); None keeps relative-only pruning."""
     # The sparse-vector table fans out to FOUR consumers below (both
     # sides of the inverted-index join + both norm legs): lazily built,
     # Catalyst re-executes the tokenize→explode→tf spine once per
@@ -99,7 +120,10 @@ def tfidf_cosine_pairs(
     # recompute is the killer class the fan-out audit exists to catch.
     from taxi_trips_etl_spark.dataprep.materialize import materialize
 
-    vec = materialize(tfidf_milli_vectors(docs, text, max_df_frac), eager=False)
+    vec = materialize(
+        tfidf_milli_vectors(docs, text, max_df_frac, max_df=max_df),
+        eager=False,
+    )
     norms = vec.groupBy("doc_id").agg(
         F.sum(F.col("w_milli") * F.col("w_milli"))
         .cast("long")

@@ -184,6 +184,48 @@ def test_tfidf_df_prune_drops_stopwords(spark):
     assert "word0" in words
 
 
+def test_tfidf_absolute_df_cap_bounds_join_volume(spark):
+    """r12 decade-sweep closure: the RELATIVE cap grows with the
+    corpus (at 10× docs it let previously pruned terms through at
+    df≈3900 each — 4.5e9 candidate pairs on the sf1 dir), so the
+    100 TB knob is the ABSOLUTE max_df: a term shared by more than
+    max_df documents is stop-word-like regardless of corpus size.
+    Effective cap = min(relative, absolute); None preserves the
+    original relative-only behavior bit-for-bit."""
+    import pytest
+
+    from taxi_trips_etl_spark.dataprep.sparse_sim import (
+        tfidf_cosine_pairs,
+        tfidf_milli_vectors,
+    )
+
+    # "shared" has df=10: inside the relative cap (0.5·20=10) but
+    # above an absolute cap of 3 — only max_df prunes it.
+    docs = _docs(
+        spark,
+        [(i, f"shared word{i}") for i in range(10)]
+        + [(i, f"solo{i} word{i}") for i in range(10, 20)],
+    )
+    rel_only = tfidf_milli_vectors(docs, max_df_frac=0.5)
+    capped = tfidf_milli_vectors(docs, max_df_frac=0.5, max_df=3)
+    words_rel = {r.word for r in rel_only.select("word").distinct().collect()}
+    words_cap = {r.word for r in capped.select("word").distinct().collect()}
+    assert "shared" in words_rel and "shared" not in words_cap
+    assert "word0" in words_cap  # df=1 terms survive both
+    # max_df=None must be byte-identical to the original behavior
+    base = sorted(map(tuple, rel_only.collect()))
+    none_cap = sorted(
+        map(tuple, tfidf_milli_vectors(docs, max_df_frac=0.5, max_df=None).collect())
+    )
+    assert base == none_cap
+    # pair path: with the shared term pruned, the all-vs-all bridge it
+    # created disappears
+    pairs = tfidf_cosine_pairs(docs, max_df_frac=0.5, min_cosine=0.01, max_df=3)
+    assert pairs.count() == 0
+    with pytest.raises(ValueError, match="max_df must be >= 1"):
+        tfidf_milli_vectors(docs, max_df=0)
+
+
 # --- skip-gram co-occurrence ----------------------------------------------
 
 
