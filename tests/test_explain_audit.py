@@ -72,6 +72,26 @@ def test_load_bearing_names_still_audited():
         )
 
 
+def test_scan_allowance_names_are_registered():
+    """A typo'd or stale SCAN_ALLOWANCE key would grant its extra
+    fan-out allowance to nothing while looking justified — every key
+    must be a live registry name."""
+    from taxi_trips_etl_spark.queries import all_queries
+
+    registered = set(all_queries())
+    dangling = set(_audit.SCAN_ALLOWANCE) - registered
+    assert not dangling, (
+        f"SCAN_ALLOWANCE entries not in the registry: {sorted(dangling)}"
+    )
+    # allowances exist to EXCEED the default; an entry at/below it is
+    # stale bookkeeping that would mask a future fan-out regression
+    for name, cap in _audit.SCAN_ALLOWANCE.items():
+        assert cap > _audit.DEFAULT_SCAN_ALLOWANCE, (
+            f"{name}: allowance {cap} <= default "
+            f"{_audit.DEFAULT_SCAN_ALLOWANCE} — remove the entry"
+        )
+
+
 # CI pin (VERDICT r11 #3): the r11 fan-out fixes are one lazy
 # materialize() call each (queries/_round7.py assortativity,
 # queries/_round6c.py markov) — value-level pytests would stay green if
