@@ -172,10 +172,19 @@ def tfidf_cosine_oracle_sql(
     toks_sql: str | None = None,
     max_df_frac: float = 0.10,
     min_cosine: float = 0.30,
+    max_df: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`tfidf_cosine_pairs`: identical df prune,
+    """DuckDB twin of :func:`tfidf_cosine_pairs`: identical df prune
+    (including the absolute ``max_df`` cap when set — effective cap =
+    least(floor(frac·n), max_df), mirroring the Spark side's min()),
     identical milli quantization, integer sums, one sqrt + division."""
     toks = toks_sql or "string_split_regex(trim(lower(text)), '\\s+')"
+    rel_cap = (
+        f"CAST(floor({max_df_frac} * (SELECT n FROM nd)) AS BIGINT)"
+    )
+    df_cap = (
+        rel_cap if max_df is None else f"least({rel_cap}, {int(max_df)})"
+    )
     return f"""
     WITH nd AS (SELECT CAST({n_docs_sql} AS BIGINT) AS n),
     tf AS (
@@ -187,8 +196,7 @@ def tfidf_cosine_oracle_sql(
     dfreq AS (
         SELECT word, CAST(count(*) AS BIGINT) AS df
         FROM tf GROUP BY word
-        HAVING count(*) <= CAST(floor({max_df_frac} * (SELECT n FROM nd))
-                                AS BIGINT)
+        HAVING count(*) <= {df_cap}
     ),
     vec AS (
         SELECT tf.doc_id, tf.word,

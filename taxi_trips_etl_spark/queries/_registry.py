@@ -139,14 +139,40 @@ _PROVENANCE: dict[str, tuple[str, str]] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r12.json
-# into this map as (…, 12) so the rotation keeps cycling fairly.
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r13.json
+# into this map as (…, 13) so the rotation keeps cycling fairly.
 # REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
 # double-division bug proved the shared-expression-text blind spot is
 # real — a bug mirrored into both the Spark builder and the oracle SQL
 # passes the hash gate): ship an independent pytest that recomputes the
 # statistic from raw data in plain Python/numpy (see
 # tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R12_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r12.json (all 50 sampled entries,
+    # zero err, zero rows-only — includes the round-12 _REVERIFY name:
+    # tfidf_cosine_pairs came back hash-green on the post-materialize
+    # plan, closing its stale-hash window)
+    "adaptive_salt_plan", "bloom_prefilter_join", "boilerplate_chunk_removal",
+    "bucketed_colocated_join", "cms_token_counts",
+    "compact_small_files_audit", "corpus_prepare_v3",
+    "dedup_weighted_jaccard", "dp_noisy_counts", "dpo_preference_pairs",
+    "duplicated_substring_spans", "dynamic_partition_pruning_join",
+    "embedding_near_dup_recall", "embedding_truncation_recall",
+    "flagship_most_populars", "global_ids_orders", "hard_negative_mining",
+    "hard_negative_mining_ivf", "histogram_quantile_estimate",
+    "incremental_rollup_merge", "interpolate_user_daily",
+    "jsonl_roundtrip_docs", "k_anonymity_audit", "kmv_user_overlap",
+    "kn_doc_xent_filter", "kneser_ney_bigram", "market_basket_brand_rules",
+    "merge_event_intervals", "negative_sample_table", "observed_scan_metrics",
+    "packing_fragmentation_audit", "pandas_api_groupby",
+    "partition_pruned_scan", "pyds_object_listing", "range_partition_plan",
+    "scd2_point_in_time_join", "schema_evolution_merge", "semdedup_prune",
+    "sft_pair_format", "similarity_pq_topk", "skewed_distinct_count",
+    "skipgram_cooccurrence", "snapshot_diff_customers",
+    "span_corruption_masks", "streaming_checkpoint_resume",
+    "temperature_mixture_weights", "tfidf_cosine_pairs",
+    "unigram_viterbi_segment", "variant_props_stats", "vocab_top_p_cutoff",
+)
 _R11_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r11.json (all 50 sampled entries,
     # zero err — includes both round-11 _REVERIFY names: the two
@@ -393,6 +419,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(12, _R12_VERIFIED)
 _mark_verified(11, _R11_VERIFIED)
 _mark_verified(10, _R10_VERIFIED)
 _mark_verified(9, _R9_VERIFIED)
@@ -409,22 +436,14 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # (Both round-11 fan-out-fix names — graph_degree_assortativity and
-    # markov_stationary_micro — came back hash-green on the post-fix
-    # plans in CORRECTNESS_r11.json and were folded into _R11_VERIFIED
-    # above.)
-    # Round-12 plan-shape change: the sparse TF-IDF vector table fans
-    # out to four consumers (inverted-index join sides + both norm
-    # legs) and re-executed the tokenize→tf spine per consumer (8
-    # static corpus scans — the last >4 fan-out the r12 audit-rule
-    # sweep found that was NOT by-design multi-pass). One lazy
-    # checkpoint collapses it (sparse_sim.py); results proven identical
-    # in-session (full collect equality old vs new at sf0.1, 31125
-    # rows; 3/3 interleaved A/B wins) and the oracle is untouched — but
-    # the executed job sequence changed, so the r5 driver row is stale.
-    # (The entry already led the r12 rotation window as an r5-stale
-    # name, so this does not displace any window slot.)
-    "tfidf_cosine_pairs",
+    # Empty as of round 13: the round-12 plan-shape change
+    # (tfidf_cosine_pairs lazy materialize of the sparse TF-IDF vector
+    # table, sparse_sim.py) came back hash-green on the post-materialize
+    # plan — first row of CORRECTNESS_r12.json — and was folded into
+    # _R12_VERIFIED above, closing the last stale-hash window. Add a
+    # name here whenever its implementation (or oracle) changes after
+    # its latest driver-green row; remove it once a CORRECTNESS file
+    # shows the post-change hash-green row.
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

@@ -76,20 +76,32 @@ def _tfidf_cos_oracle() -> str:
         tfidf_cosine_oracle_sql,
     )
 
-    return tfidf_cosine_oracle_sql(max_df_frac=0.10, min_cosine=0.30)
+    return tfidf_cosine_oracle_sql(
+        max_df_frac=0.10, min_cosine=0.30, max_df=500
+    )
 
 
 @register("tfidf_cosine_pairs", _tfidf_cos_oracle())
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse TF-IDF doc-doc cosine ≥ 0.30 via an inverted-index join
-    with a 10%-df posting prune (dataprep/sparse_sim.py) — the lexical
-    same-topic/near-dup pair detector; join volume is Σ df², never
-    n_docs². Integer-milli weights keep every sum exact; the cosine is
-    one sqrt + one division (bit-identical cross-engine)."""
+    with a 10%-df posting prune AND an absolute max_df=500 posting cap
+    (dataprep/sparse_sim.py) — the lexical same-topic/near-dup pair
+    detector; join volume is Σ df², never n_docs². The absolute cap is
+    the 100 TB knob (r12 decade sweep: the relative cap alone un-bounds
+    Σ df² as the corpus grows — 4.5e9 candidate pairs at 10×); at the
+    test SFs it is plan-identical because floor(0.10·n_docs) ≤ 500
+    everywhere (50 at sf0.01, 500 at sf0.1), so the registered entry
+    now EXERCISES the scale-safe configuration rather than documenting
+    it beside the default. Integer-milli weights keep every sum exact;
+    the cosine is one sqrt + one division (bit-identical
+    cross-engine)."""
     from taxi_trips_etl_spark.dataprep.sparse_sim import tfidf_cosine_pairs
 
     return tfidf_cosine_pairs(
-        _t(spark, sf_dir, "documents"), max_df_frac=0.10, min_cosine=0.30
+        _t(spark, sf_dir, "documents"),
+        max_df_frac=0.10,
+        min_cosine=0.30,
+        max_df=500,
     )
 
 

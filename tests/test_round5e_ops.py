@@ -226,6 +226,91 @@ def test_tfidf_absolute_df_cap_bounds_join_volume(spark):
         tfidf_milli_vectors(docs, max_df=0)
 
 
+def test_tfidf_registered_entry_pins_absolute_cap():
+    """r12 verdict #2: the canonical `tfidf_cosine_pairs` registry entry
+    must EXERCISE the 100 TB-safe absolute cap (max_df=500), not leave
+    it as a documented-but-unused knob — both on the Spark side (the
+    call site passes max_df=500) and in the oracle SQL (the df prune is
+    least(relative, 500), keeping the oracle a semantic twin at any
+    corpus size, not just where the relative cap dominates)."""
+    import inspect
+
+    import taxi_trips_etl_spark.queries as _q  # noqa: F401  (registers)
+    from taxi_trips_etl_spark.queries import _round5e
+    from taxi_trips_etl_spark.queries._registry import _ORACLES
+
+    # @register wraps the function, so getsource the module and scope
+    # to the def block (wrapper source would hide the call site).
+    module_src = inspect.getsource(_round5e)
+    fn_src = module_src.split("def q_tfidf_cosine_pairs", 1)[1]
+    fn_src = fn_src.split("\ndef ", 1)[0]
+    assert "max_df=500" in fn_src, "registration site must pass max_df=500"
+    oracle_src = module_src.split("def _tfidf_cos_oracle", 1)[1]
+    oracle_src = oracle_src.split("\ndef ", 1)[0].split("@register", 1)[0]
+    assert "max_df=500" in oracle_src, "oracle builder must pass max_df=500"
+    sql = _ORACLES["tfidf_cosine_pairs"]
+    assert "least(" in sql and "500" in sql, (
+        "registered oracle must mirror the absolute cap"
+    )
+
+
+def test_tfidf_oracle_max_df_twin_and_sf_identity():
+    """The oracle's max_df arm mirrors the Spark semantics (prunes the
+    df=10 bridge term the relative cap admits), and at the driver test
+    SFs the capped oracle is row-identical to the uncapped one —
+    floor(0.10·n_docs)=50 ≤ 500 at sf0.001/sf0.01 — which is exactly
+    the hash-identical claim the registry change relies on."""
+    import duckdb
+
+    from taxi_trips_etl_spark.dataprep.sparse_sim import (
+        tfidf_cosine_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    base = con.sql(
+        tfidf_cosine_oracle_sql(max_df_frac=0.10, min_cosine=0.30)
+        + " ORDER BY doc_id_a, doc_id_b"
+    ).fetchall()
+    capped = con.sql(
+        tfidf_cosine_oracle_sql(
+            max_df_frac=0.10, min_cosine=0.30, max_df=500
+        )
+        + " ORDER BY doc_id_a, doc_id_b"
+    ).fetchall()
+    assert base == capped and len(base) > 0
+    # Toy corpus where the caps DISAGREE: relative cap 0.5·20=10 admits
+    # the df=10 "shared" bridge, absolute max_df=3 prunes it — the
+    # oracle must drop every pair, matching the Spark-side test above.
+    con2 = duckdb.connect()
+    con2.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, 'shared word{i}')" for i in range(10))
+        + ", "
+        + ", ".join(f"({i}, 'solo{i} word{i}')" for i in range(10, 20))
+        + ") AS t(doc_id, text)"
+    )
+    rel_pairs = con2.sql(
+        tfidf_cosine_oracle_sql(
+            n_docs_sql="(SELECT count(*) FROM documents)",
+            max_df_frac=0.5,
+            min_cosine=0.01,
+        )
+    ).fetchall()
+    cap_pairs = con2.sql(
+        tfidf_cosine_oracle_sql(
+            n_docs_sql="(SELECT count(*) FROM documents)",
+            max_df_frac=0.5,
+            min_cosine=0.01,
+            max_df=3,
+        )
+    ).fetchall()
+    assert len(rel_pairs) > 0 and len(cap_pairs) == 0
+
+
 # --- skip-gram co-occurrence ----------------------------------------------
 
 
