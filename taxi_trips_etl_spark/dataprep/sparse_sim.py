@@ -118,6 +118,10 @@ def tfidf_cosine_pairs(
     # wins 3/3, ~1.5s→1.1s). Same materialize-before-fanout pattern as
     # the r11 assortativity/markov fixes; at 100 TB a 4× tokenize
     # recompute is the killer class the fan-out audit exists to catch.
+    # The checkpointed handle is deliberately not released here (same
+    # one-shot driver/test posture as the r11 sites): ContextCleaner
+    # GCs it with the DataFrame. A caller invoking this in a loop or
+    # stream should unpersist the result's lineage between iterations.
     from taxi_trips_etl_spark.dataprep.materialize import materialize
 
     vec = materialize(

@@ -83,13 +83,23 @@ def test_scan_allowance_names_are_registered():
     assert not dangling, (
         f"SCAN_ALLOWANCE entries not in the registry: {sorted(dangling)}"
     )
-    # allowances exist to EXCEED the default; an entry at/below it is
-    # stale bookkeeping that would mask a future fan-out regression
-    for name, cap in _audit.SCAN_ALLOWANCE.items():
-        assert cap > _audit.DEFAULT_SCAN_ALLOWANCE, (
-            f"{name}: allowance {cap} <= default "
-            f"{_audit.DEFAULT_SCAN_ALLOWANCE} — remove the entry"
+    # r13 shape: allowances are keyed per (name, table) so one entry's
+    # justified fan-out cannot leak to other tables in the same plan.
+    # Every table key must be a real testdata table, and every cap must
+    # EXCEED the default; an entry at/below it is stale bookkeeping
+    # that would mask a future fan-out regression.
+    for name, per_table in _audit.SCAN_ALLOWANCE.items():
+        assert isinstance(per_table, dict) and per_table, (
+            f"{name}: allowance must be a non-empty table→cap dict"
         )
+        for t, cap in per_table.items():
+            assert t in _audit.TESTDATA_TABLES, (
+                f"{name}: allowance table {t!r} is not a testdata table"
+            )
+            assert cap > _audit.DEFAULT_SCAN_ALLOWANCE, (
+                f"{name}.{t}: allowance {cap} <= default "
+                f"{_audit.DEFAULT_SCAN_ALLOWANCE} — remove the entry"
+            )
 
 
 # CI pin (VERDICT r11 #3): the r11 fan-out fixes are one lazy
@@ -103,6 +113,12 @@ def test_scan_allowance_names_are_registered():
 # shape must start at the truncated lineage, not a rebuilt spine.
 # r12 adds tfidf_cosine_pairs: vec fans out to 4 consumers; the
 # materialize holds its plan at 14 exchanges (unfixed: 46).
+# Ceilings measured on pyspark 4.1.2 with the repo session config (AQE
+# on, spark.sql.shuffle.partitions=32): exchange counts are a property
+# of that planner version, so a harness upgrade that trips a ceiling
+# is a deliberate re-measure-and-bump, not a loosen-in-place — the
+# exact-zero raw-scan assertion below is the version-independent half
+# of the pin (r12 ADVICE).
 _FANOUT_PINS = {
     "graph_degree_assortativity": 10,
     "markov_stationary_micro": 24,
@@ -130,16 +146,21 @@ def test_fanout_materialize_pinned(spark, sf_dir, name, ceiling):
 @pytest.mark.parametrize("name", sorted(_FANOUT_PINS))
 def test_fanout_fix_within_global_scan_allowance(spark, sf_dir, name):
     """The fixed plans must also pass the audit tool's global fan-out
-    rule without a SCAN_ALLOWANCE entry: their raw-table scan counts
-    sit at/below the default because the checkpoint truncates the
-    fanned-out spine."""
+    rule without a SCAN_ALLOWANCE entry — and more than that: the
+    materialize() checkpoint truncates the entire raw lineage, so the
+    pinned plans read ZERO testdata scans (r13 sweep), making this an
+    exact, Spark-version-independent twin of the exchange ceilings: a
+    dropped materialize resurfaces the raw spine scans immediately."""
     from taxi_trips_etl_spark.queries import all_queries
 
     assert name not in _audit.SCAN_ALLOWANCE
     df = all_queries()[name](spark, sf_dir)
     plan = _audit.plan_of(df)
     for t in _audit.TESTDATA_TABLES:
-        assert plan.count(f"{t}.parquet") <= _audit.DEFAULT_SCAN_ALLOWANCE
+        assert plan.count(f"{t}.parquet") == 0, (
+            f"{name}: raw {t} scan in a checkpointed plan — "
+            "was the materialize() lazy checkpoint dropped?"
+        )
 
 
 def test_topk_is_heap_not_global_sort(spark, sf_dir):
