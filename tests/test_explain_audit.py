@@ -174,6 +174,27 @@ def test_topk_is_heap_not_global_sort(spark, sf_dir):
     assert "Exchange rangepartitioning" not in plan
 
 
+def test_lineage_truncated_names_are_registered():
+    """r13: the ExistingRDD allowlist closes the fan-out gate's blind
+    spot by enumeration — a typo'd or stale name would allowlist
+    nothing while looking justified. Every name must be a live registry
+    entry (or the audited flagship pipeline), and the three pinned
+    fan-out fixes must be in it (their checkpoints are the reason their
+    plans read zero raw scans)."""
+    from taxi_trips_etl_spark.queries import all_queries
+
+    registered = set(all_queries()) | {"flagship_most_populars"}
+    dangling = _audit.LINEAGE_TRUNCATED - registered
+    assert not dangling, (
+        f"LINEAGE_TRUNCATED entries not in the registry: {sorted(dangling)}"
+    )
+    for name in _FANOUT_PINS:
+        assert name in _audit.LINEAGE_TRUNCATED, (
+            f"{name} is exchange-pinned as a checkpointed plan but "
+            "missing from LINEAGE_TRUNCATED"
+        )
+
+
 def test_py_eval_whitelist_names_exist():
     """The global Python-eval rule (tools/explain_audit.py, round 11) is
     only as good as its whitelist: a renamed entry would silently turn a

@@ -18,6 +18,16 @@ allowance on every plan (the fan-out rule — see SCAN_ALLOWANCE below):
 a table scanned more than its allowance in one lazy plan is the
 recompute-fan-out signature that cost assortativity 12× and markov ~8×
 before their r11 checkpoint fixes.
+
+Round 13: the fan-out rule's documented blind spot — a checkpoint
+truncates lineage, so a checkpointed plan shows ZERO raw scans here no
+matter how bad its (hidden) spine is — is now enumerated instead of
+open-ended: every plan whose final lazy plan contains an ExistingRDD
+scan (localCheckpoint truncation OR a driver-assembled local frame)
+must be named in LINEAGE_TRUNCATED below. A NEW checkpoint site can no
+longer silently opt out of the scan gate; it must be added here, which
+is the reviewer's cue to demand the exchange-ceiling + zero-scan pins
+that cover the three fan-out-fix sites (tests/test_explain_audit.py).
 """
 
 from __future__ import annotations
@@ -130,6 +140,48 @@ SCAN_ALLOWANCE: dict[str, dict[str, int]] = {
     # lineitem 5 — the basket frame derives from both).
     "market_basket_brand_rules": {"part": 5, "lineitem": 5},
 }
+
+# ---------------------------------------------------------------------------
+# Lineage-truncation allowlist (round 13): the 56 entries whose final
+# plan contains "ExistingRDD" at the default sf0.001 audit, measured by
+# a full-registry sweep this round. Two benign sources, both of which
+# hide raw lineage from the fan-out rule above:
+#   (a) materialize()/localCheckpoint spines — iterative algorithms
+#       (graph family, BPE, star contraction, streaming drains) and the
+#       three pinned fan-out fixes;
+#   (b) driver-assembled local frames (createDataFrame of bounded
+#       shortlists/probe sets/schema frames).
+# A name NOT in this set whose plan grows an ExistingRDD scan fails the
+# audit: new checkpoint sites must be reviewed (does the hidden spine
+# need an exchange-ceiling/zero-scan pin like _FANOUT_PINS?) and added
+# here deliberately. At the default sf_dir the set is also checked for
+# staleness (an entry that stopped truncating should be removed so the
+# scan gate re-covers it).
+# ---------------------------------------------------------------------------
+LINEAGE_TRUNCATED = frozenset({
+    "bpe_learn_merges", "bpe_learn_merges_distributed",
+    "compact_small_files_audit", "corpus_prepare_pipeline",
+    "corpus_prepare_v2", "corpus_prepare_v3", "dedup_canonicalize",
+    "dedup_components", "dedup_components_star", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_weighted_jaccard",
+    "dynamic_partition_pruning_join", "embedding_canonicalize",
+    "flagship_known_zones", "flagship_most_populars", "fuzzy_match_fastss",
+    "fuzzy_match_fastss2", "graph_bfs_hops", "graph_degree_assortativity",
+    "graph_kcore", "graph_pagerank", "graph_pagerank_distributed",
+    "graph_shortest_paths", "graph_triangles", "hard_negative_mining_ivf",
+    "heavy_hitters_tokens", "hex_neighbor_smoothing", "jsonl_roundtrip_docs",
+    "market_basket_triples", "markov_stationary_micro", "minhash_lsh_recall",
+    "mmr_diversify_rerank", "ngram_containment_pairs",
+    "observed_scan_metrics", "pack_sequences", "packing_fragmentation_audit",
+    "partition_pruned_scan", "record_linkage_blocked",
+    "rouge_l_decontaminate", "schema_evolution_merge", "split_leakage_audit",
+    "streaming_cdc_upsert", "streaming_checkpoint_resume",
+    "streaming_dedup_watermark", "streaming_dq_monitor",
+    "streaming_full_outer_attribution", "streaming_ingest_dedup",
+    "streaming_late_dupes_dropped", "streaming_outer_attribution",
+    "streaming_semi_attribution", "subsample_ci_revenue",
+    "tfidf_cosine_pairs", "tpch_top_supplier", "winnowing_near_dup_pairs",
+})
 
 EXPECT = {
     "broadcast_left_join": ["BroadcastHashJoin"],
@@ -626,6 +678,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
     bad = []
+    # Staleness is only decidable at the sf the allowlist was measured
+    # at (conditional auto-persist thresholds may differ elsewhere).
+    check_stale = sf_dir.rstrip("/").endswith("sf0.001")
+    truncated_seen = set()
     # Full-registry sweep (round 11): every name gets the global
     # Python-eval rule; EXPECT/FORBID patterns apply where present.
     for name in sorted(set(qs) | {"flagship_most_populars"}):
@@ -643,6 +699,15 @@ def main() -> None:
                 bad.append(
                     f"{name}: row-at-a-time Python eval ({m.group(0)}) "
                     "outside PY_EVAL_WHITELIST"
+                )
+        if "ExistingRDD" in plan:
+            truncated_seen.add(name)
+            if name not in LINEAGE_TRUNCATED:
+                bad.append(
+                    f"{name}: ExistingRDD scan (lineage truncation) not in "
+                    "LINEAGE_TRUNCATED — a new checkpoint/local-frame site "
+                    "hides its spine from the fan-out gate; review whether "
+                    "it needs a _FANOUT_PINS entry, then allowlist it"
                 )
         allowances = SCAN_ALLOWANCE.get(name, {})
         for t in TESTDATA_TABLES:
@@ -672,6 +737,14 @@ def main() -> None:
         print(f"{name}: codegen_spans={n_codegen} "
               f"bcast={plan.count('BroadcastHashJoin')} "
               f"shuffles={plan.count('Exchange')}")
+    if check_stale:
+        stale = LINEAGE_TRUNCATED - truncated_seen
+        for name in sorted(stale):
+            bad.append(
+                f"{name}: in LINEAGE_TRUNCATED but its plan no longer "
+                "contains ExistingRDD at the measured sf — remove the "
+                "entry so the scan gate re-covers it"
+            )
     if bad:
         print("\nAUDIT FAILURES:")
         for b in bad:
