@@ -195,6 +195,25 @@ def test_lineage_truncated_names_are_registered():
         )
 
 
+def test_bnlj_allowlist_names_are_registered():
+    """r13: BNLJ_ALLOWED pins where the sanctioned scalar-broadcast
+    nested-loop joins live; dangling names would allowlist nothing.
+    Counts must be positive and even ('formatted' explain renders each
+    node twice), and every name must be a live registry entry."""
+    from taxi_trips_etl_spark.queries import all_queries
+
+    registered = set(all_queries()) | {"flagship_most_populars"}
+    dangling = set(_audit.BNLJ_ALLOWED) - registered
+    assert not dangling, (
+        f"BNLJ_ALLOWED entries not in the registry: {sorted(dangling)}"
+    )
+    for name, cap in _audit.BNLJ_ALLOWED.items():
+        assert cap > 0 and cap % 2 == 0, (
+            f"{name}: BNLJ count {cap} must be a positive even "
+            "string-hit count (tree + detail rendering)"
+        )
+
+
 def test_py_eval_whitelist_names_exist():
     """The global Python-eval rule (tools/explain_audit.py, round 11) is
     only as good as its whitelist: a renamed entry would silently turn a

@@ -183,6 +183,48 @@ LINEAGE_TRUNCATED = frozenset({
     "tfidf_cosine_pairs", "tpch_top_supplier", "winnowing_near_dup_pairs",
 })
 
+# ---------------------------------------------------------------------------
+# BroadcastNestedLoopJoin allowlist (round 13): the companion rule to
+# LINEAGE_TRUNCATED. The r11 sweep established that every BNLJ in the
+# registry is the sanctioned 1-row-scalar-broadcast pattern (a global
+# aggregate broadcast back onto a frame — cost O(rows), not O(rows²));
+# this round freezes WHERE they are, per name, as measured string hits
+# at the default sf0.001 audit ("formatted" explain renders each node
+# twice — once in the tree, once in the detail section — so counts are
+# 2× the node count). A BNLJ in any other plan, or MORE of them in an
+# allowed plan, fails: a new nested-loop join against a data-sized
+# broadcast is exactly the quadratic 100 TB killer the CartesianProduct
+# ban exists for, arriving under a different node name. At the
+# measured sf the counts must match exactly (fewer = stale entry);
+# elsewhere they are ceilings.
+# ---------------------------------------------------------------------------
+BNLJ_ALLOWED: dict[str, int] = {
+    "acctbal_decile_profile": 2, "ann_recall_at_k": 2,
+    "autocomplete_prefixes": 2, "benford_first_digit": 2,
+    "bloom_prefilter_join": 2, "bm25_keyword_search": 2,
+    "boilerplate_chunk_removal": 2, "corpus_prepare_v3": 6,
+    "cusum_change_days": 2, "domain_mixture_sample": 2,
+    "domain_token_budgets": 2, "dsir_importance_weights": 2,
+    "embedding_near_dup_recall": 4, "embedding_truncation_recall": 8,
+    "hard_negative_mining": 2, "heavy_hitters_tokens": 2,
+    "histogram_quantile_estimate": 4, "hybrid_rrf_search": 4,
+    "interpolate_user_daily": 2, "kmv_user_overlap": 4,
+    "kn_doc_xent_filter": 2, "kneser_ney_bigram": 2,
+    "market_basket_brand_rules": 2, "market_basket_triples": 8,
+    "markov_stationary_micro": 2, "negative_sample_table": 4,
+    "pmi_collocations": 2, "range_partition_plan": 2,
+    "referential_integrity_audit": 10, "rolling_active_users": 2,
+    "sampled_range_partition_plan": 6, "seasonal_dow_adjustment": 2,
+    "semantic_decontaminate": 2, "semantic_search_docs": 2,
+    "similarity_cosine_topk": 2, "similarity_ivf_topk": 4,
+    "simpson_paradox_audit": 2, "source_distinctive_terms": 2,
+    "subsample_ci_revenue": 2, "temperature_mixture_weights": 2,
+    "theil_sen_slope": 2, "tpch_important_parts": 2,
+    "tpch_sales_opportunity": 2, "trend_slope_by_event_type": 2,
+    "unigram_logprob_buckets": 6, "vocab_top_p_cutoff": 2,
+    "window_distribution_approx": 2,
+}
+
 EXPECT = {
     "broadcast_left_join": ["BroadcastHashJoin"],
     "multihop_join": ["BroadcastHashJoin", "HashAggregate"],
@@ -709,6 +751,22 @@ def main() -> None:
                     "hides its spine from the fan-out gate; review whether "
                     "it needs a _FANOUT_PINS entry, then allowlist it"
                 )
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        bnlj_cap = BNLJ_ALLOWED.get(name, 0)
+        if n_bnlj > bnlj_cap:
+            bad.append(
+                f"{name}: {n_bnlj} BroadcastNestedLoopJoin hits exceed "
+                f"the allowed {bnlj_cap} — a nested-loop join beyond the "
+                "sanctioned scalar-broadcast sites is the quadratic "
+                "killer; use an equi-join/broadcast hash or justify a "
+                "BNLJ_ALLOWED entry"
+            )
+        elif check_stale and n_bnlj < bnlj_cap:
+            bad.append(
+                f"{name}: {n_bnlj} BroadcastNestedLoopJoin hits below the "
+                f"pinned {bnlj_cap} at the measured sf — update the "
+                "BNLJ_ALLOWED entry so the gate stays exact"
+            )
         allowances = SCAN_ALLOWANCE.get(name, {})
         for t in TESTDATA_TABLES:
             cap = allowances.get(t, DEFAULT_SCAN_ALLOWANCE)
