@@ -226,3 +226,38 @@ def test_py_eval_whitelist_names_exist():
         assert name in qs or name == "flagship_most_populars", (
             f"PY_EVAL_WHITELIST name {name!r} is not a registry entry"
         )
+
+
+def test_py_node_allowlist_consistent():
+    """r13: PY_NODE_ALLOWED enumerates every plan allowed to carry ANY
+    Python-eval node flavor. Names must be live registry entries; the
+    row-at-a-time whitelist must agree with it (a name allowed
+    BatchEvalPython/ArrowEvalPython here must be in PY_EVAL_WHITELIST
+    and vice versa — two sources of truth drifting apart would let one
+    gate contradict the other); kinds must come from the sweep regex."""
+    import re
+
+    from taxi_trips_etl_spark.queries import all_queries
+
+    registered = set(all_queries()) | {"flagship_most_populars"}
+    dangling = set(_audit.PY_NODE_ALLOWED) - registered
+    assert not dangling, (
+        f"PY_NODE_ALLOWED entries not in the registry: {sorted(dangling)}"
+    )
+    row_at_a_time = {"BatchEvalPython", "ArrowEvalPython"}
+    allows_raw = {
+        n for n, kinds in _audit.PY_NODE_ALLOWED.items()
+        if kinds & row_at_a_time
+    }
+    assert allows_raw == set(_audit.PY_EVAL_WHITELIST), (
+        "PY_NODE_ALLOWED and PY_EVAL_WHITELIST disagree on which plans "
+        f"may carry row-at-a-time eval: {sorted(allows_raw)} vs "
+        f"{sorted(_audit.PY_EVAL_WHITELIST)}"
+    )
+    for name, kinds in _audit.PY_NODE_ALLOWED.items():
+        assert kinds, f"{name}: empty kind set — remove the entry"
+        for k in kinds:
+            assert re.fullmatch(_audit.PY_NODE_PAT, k), (
+                f"{name}: kind {k!r} is not matched by PY_NODE_PAT — "
+                "the audit could never see it"
+            )

@@ -184,6 +184,48 @@ LINEAGE_TRUNCATED = frozenset({
 })
 
 # ---------------------------------------------------------------------------
+# Python-node allowlist (round 13): completes the "UDFs are the slow
+# path" invariant. PY_EVAL_WHITELIST above only gates ROW-AT-A-TIME
+# eval (BatchEvalPython/ArrowEvalPython); the Arrow-batched pandas
+# nodes (MapInPandas, FlatMapGroupsInPandas, …) are the sanctioned
+# slow path but were previously un-enumerated — a new Python touchpoint
+# in a hot path would have passed silently. A full-registry sweep this
+# round found exactly 13 plans carrying ANY Python-eval node flavor;
+# this map pins name → the exact node kinds allowed. Any other plan
+# must be 100% JVM, and a listed plan growing a NEW node kind fails.
+# At the measured sf the kind-set must match exactly (staleness), a
+# subset elsewhere.
+# ---------------------------------------------------------------------------
+PY_NODE_PAT = (
+    r"FlatMapCoGroupsInPandas|FlatMapGroupsInPandas|MapGroupsInPandas|"
+    r"AggregateInPandas|WindowInPandas|MapInPandas|PythonMapInArrow|"
+    r"MapInArrow|ArrowEvalPython|BatchEvalPython|PythonUDTF"
+)
+PY_NODE_ALLOWED: dict[str, frozenset[str]] = {
+    # Arrow-native token stats: the mapInArrow showcase entry.
+    "arrow_token_stats": frozenset({"MapInArrow"}),
+    # The two reference UDFs (F6 centroid ∘ F7 hex), dim-side only.
+    "flagship_known_zones": frozenset({"BatchEvalPython"}),
+    "flagship_most_populars": frozenset({"BatchEvalPython"}),
+    "hex_neighbor_smoothing": frozenset({"BatchEvalPython"}),
+    # Python UDTF surface entry (exercises the API on purpose).
+    "udtf_split_sentences": frozenset({"BatchEvalPython"}),
+    # Cogrouped per-cluster mining: bounded probe × bucket cogroups.
+    "hard_negative_mining": frozenset({"FlatMapCoGroupsInPandas"}),
+    "hard_negative_mining_ivf": frozenset({"FlatMapCoGroupsInPandas"}),
+    # Post-aggregation per-group smoothing over 30-row day series.
+    "holt_linear_smoothing": frozenset({"FlatMapGroupsInPandas"}),
+    # Per-cluster greedy prune over bounded cluster shortlists.
+    "semdedup_prune": frozenset({"FlatMapGroupsInPandas"}),
+    # Multimodal decode path: payload bytes stay in the Arrow batch.
+    "multimodal_features": frozenset({"MapInPandas"}),
+    "multimodal_meta": frozenset({"MapInPandas"}),
+    # LCS / Viterbi dynamic programs, Arrow-batched per partition.
+    "rouge_l_decontaminate": frozenset({"MapInPandas"}),
+    "unigram_viterbi_segment": frozenset({"MapInPandas"}),
+}
+
+# ---------------------------------------------------------------------------
 # BroadcastNestedLoopJoin allowlist (round 13): the companion rule to
 # LINEAGE_TRUNCATED. The r11 sweep established that every BNLJ in the
 # registry is the sanctioned 1-row-scalar-broadcast pattern (a global
@@ -751,6 +793,22 @@ def main() -> None:
                     "hides its spine from the fan-out gate; review whether "
                     "it needs a _FANOUT_PINS entry, then allowlist it"
                 )
+        found_kinds = frozenset(re.findall(PY_NODE_PAT, plan))
+        allowed_kinds = PY_NODE_ALLOWED.get(name, frozenset())
+        if found_kinds - allowed_kinds:
+            bad.append(
+                f"{name}: Python-eval node(s) "
+                f"{sorted(found_kinds - allowed_kinds)} not in "
+                "PY_NODE_ALLOWED — every Python touchpoint must be an "
+                "enumerated, justified site; move the logic to built-in "
+                "expressions or add a reviewed allowlist entry"
+            )
+        elif check_stale and allowed_kinds - found_kinds:
+            bad.append(
+                f"{name}: allowed Python node(s) "
+                f"{sorted(allowed_kinds - found_kinds)} absent at the "
+                "measured sf — update the PY_NODE_ALLOWED entry"
+            )
         n_bnlj = plan.count("BroadcastNestedLoopJoin")
         bnlj_cap = BNLJ_ALLOWED.get(name, 0)
         if n_bnlj > bnlj_cap:
