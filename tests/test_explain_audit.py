@@ -214,6 +214,83 @@ def test_bnlj_allowlist_names_are_registered():
         )
 
 
+# --- negative tests: each audit rule must actually FIRE -------------------
+# audit_plan() is pure text→findings logic, so synthetic plan fragments
+# prove the gates trip. Before r13 the rules lived inline in main() and
+# only ever saw passing real plans — a broken comparison would have
+# passed CI forever.
+
+
+def _findings(name, plan, check_stale=True):
+    return _audit.audit_plan(name, plan, check_stale=check_stale)
+
+
+def test_audit_fires_on_cartesian_product():
+    bad = _findings("dedup_exact", "CartesianProduct")
+    assert any("CartesianProduct" in b for b in bad)
+
+
+def test_audit_fires_on_unlisted_bnlj_and_stale_pin():
+    # unlisted name, any BNLJ → fail
+    bad = _findings("dedup_exact", "BroadcastNestedLoopJoin")
+    assert any("BroadcastNestedLoopJoin" in b for b in bad)
+    # listed name over its pin → fail
+    over = "BroadcastNestedLoopJoin " * (
+        _audit.BNLJ_ALLOWED["theil_sen_slope"] + 1
+    )
+    bad = _findings("theil_sen_slope", over)
+    assert any("exceed the allowed" in b for b in bad)
+    # listed name under its pin at the measured sf → stale finding;
+    # elsewhere (check_stale=False) under-pin is fine
+    assert any(
+        "below the pinned" in b for b in _findings("theil_sen_slope", "")
+    )
+    # (plan carries the EXPECTed HashAggregate so only the BNLJ rule
+    # is in play)
+    assert not _findings(
+        "theil_sen_slope", "HashAggregate", check_stale=False
+    )
+
+
+def test_audit_fires_on_unlisted_python_node():
+    bad = _findings("dedup_exact", "MapInPandas")
+    assert any("PY_NODE_ALLOWED" in b for b in bad)
+    # row-at-a-time eval trips BOTH the r11 whitelist rule and the
+    # r13 enumeration rule for an unlisted name
+    bad = _findings("dedup_exact", "BatchEvalPython")
+    assert any("PY_EVAL_WHITELIST" in b for b in bad)
+    assert any("PY_NODE_ALLOWED" in b for b in bad)
+    # a listed name with a NEW kind still fails
+    bad = _findings("multimodal_meta", "MapInPandas FlatMapGroupsInPandas")
+    assert any("FlatMapGroupsInPandas" in b for b in bad)
+    # exact kind at measured sf → clean
+    assert not _findings("multimodal_meta", "MapInPandas")
+
+
+def test_audit_fires_on_unlisted_lineage_truncation():
+    bad = _findings("dedup_exact", "Scan ExistingRDD")
+    assert any("LINEAGE_TRUNCATED" in b for b in bad)
+    # allowlisted name → no lineage finding (tfidf entry: give it its
+    # allowed plan shape so no other rule trips)
+    assert not _findings("tfidf_cosine_pairs", "Scan ExistingRDD")
+
+
+def test_audit_fires_on_scan_fanout():
+    over = "lineitem.parquet " * (_audit.DEFAULT_SCAN_ALLOWANCE + 1)
+    bad = _findings("dedup_exact", over)
+    assert any("fan-out allowance" in b for b in bad)
+    # a per-(name, table) allowance covers ONLY its named table: the
+    # same count on events passes for funnel_latency_stats (cap 12)
+    # but the identical count on lineitem must still fail (r12 ADVICE)
+    n = _audit.SCAN_ALLOWANCE["funnel_latency_stats"]["events"]
+    ok_plan = "HashAggregate " + "events.parquet " * n
+    assert not _findings("funnel_latency_stats", ok_plan)
+    bad = _findings(
+        "funnel_latency_stats", "HashAggregate " + "lineitem.parquet " * n
+    )
+    assert any("lineitem.parquet" in b for b in bad)
+
+
 def test_py_eval_whitelist_names_exist():
     """The global Python-eval rule (tools/explain_audit.py, round 11) is
     only as good as its whitelist: a renamed entry would silently turn a

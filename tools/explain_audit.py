@@ -751,6 +751,97 @@ FORBID = {
 # shape and its semantics are pinned by the numpy greedy replay test.
 
 
+def audit_plan(name: str, plan: str, *, check_stale: bool) -> list[str]:
+    """All per-plan audit rules, as pure text→findings logic so pytest
+    can drive them with synthetic plans (negative tests prove each gate
+    actually fires — a bug here would otherwise only ever see passing
+    real plans). Returns the list of failure strings for this plan;
+    empty means the plan passes every rule.
+
+    ``check_stale``: exactness checks (a pinned count/kind missing) are
+    only decidable at the sf the allowlists were measured at.
+    """
+    import re
+
+    bad: list[str] = []
+    # Row-at-a-time Python eval (round 11 rule).
+    if name not in PY_EVAL_WHITELIST:
+        m = re.search(r"BatchEvalPython|ArrowEvalPython", plan)
+        if m:
+            bad.append(
+                f"{name}: row-at-a-time Python eval ({m.group(0)}) "
+                "outside PY_EVAL_WHITELIST"
+            )
+    # Lineage truncation must be enumerated (round 13 rule).
+    if "ExistingRDD" in plan and name not in LINEAGE_TRUNCATED:
+        bad.append(
+            f"{name}: ExistingRDD scan (lineage truncation) not in "
+            "LINEAGE_TRUNCATED — a new checkpoint/local-frame site "
+            "hides its spine from the fan-out gate; review whether "
+            "it needs a _FANOUT_PINS entry, then allowlist it"
+        )
+    # Any Python-eval node flavor must be enumerated (round 13 rule).
+    found_kinds = frozenset(re.findall(PY_NODE_PAT, plan))
+    allowed_kinds = PY_NODE_ALLOWED.get(name, frozenset())
+    if found_kinds - allowed_kinds:
+        bad.append(
+            f"{name}: Python-eval node(s) "
+            f"{sorted(found_kinds - allowed_kinds)} not in "
+            "PY_NODE_ALLOWED — every Python touchpoint must be an "
+            "enumerated, justified site; move the logic to built-in "
+            "expressions or add a reviewed allowlist entry"
+        )
+    elif check_stale and allowed_kinds - found_kinds:
+        bad.append(
+            f"{name}: allowed Python node(s) "
+            f"{sorted(allowed_kinds - found_kinds)} absent at the "
+            "measured sf — update the PY_NODE_ALLOWED entry"
+        )
+    # BNLJ sites pinned per name (round 13 rule).
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    bnlj_cap = BNLJ_ALLOWED.get(name, 0)
+    if n_bnlj > bnlj_cap:
+        bad.append(
+            f"{name}: {n_bnlj} BroadcastNestedLoopJoin hits exceed "
+            f"the allowed {bnlj_cap} — a nested-loop join beyond the "
+            "sanctioned scalar-broadcast sites is the quadratic "
+            "killer; use an equi-join/broadcast hash or justify a "
+            "BNLJ_ALLOWED entry"
+        )
+    elif check_stale and n_bnlj < bnlj_cap:
+        bad.append(
+            f"{name}: {n_bnlj} BroadcastNestedLoopJoin hits below the "
+            f"pinned {bnlj_cap} at the measured sf — update the "
+            "BNLJ_ALLOWED entry so the gate stays exact"
+        )
+    # Per-(name, table) scan fan-out (round 12 rule, r13 keying).
+    allowances = SCAN_ALLOWANCE.get(name, {})
+    for t in TESTDATA_TABLES:
+        cap = allowances.get(t, DEFAULT_SCAN_ALLOWANCE)
+        n_scans = plan.count(f"{t}.parquet")
+        if n_scans > cap:
+            bad.append(
+                f"{name}: {n_scans} scans of {t}.parquet exceed the "
+                f"fan-out allowance ({cap}) — likely a lazy-plan "
+                "recompute fan-out; materialize the shared spine or "
+                "justify an allowance entry"
+            )
+    if "CartesianProduct" in plan:
+        # no whitelist: the full round-11 sweep found ZERO true
+        # cartesians (the 47 BroadcastNestedLoopJoin hits are all
+        # the sanctioned 1-row-scalar-broadcast pattern, which is a
+        # different node). A CartesianProduct appearing anywhere is
+        # always a regression at the 100 TB posture.
+        bad.append(f"{name}: CartesianProduct in physical plan")
+    for pat in EXPECT.get(name, []):
+        if not re.search(pat, plan):
+            bad.append(f"{name}: expected {pat!r} not in plan")
+    for pat in FORBID.get(name, []):
+        if re.search(pat, plan):
+            bad.append(f"{name}: forbidden {pat!r} present in plan")
+    return bad
+
+
 def main() -> None:
     import re
 
@@ -777,78 +868,9 @@ def main() -> None:
         else:
             df = qs[name](spark, sf_dir)
         plan = plan_of(df)
-        if name not in PY_EVAL_WHITELIST:
-            m = re.search(r"BatchEvalPython|ArrowEvalPython", plan)
-            if m:
-                bad.append(
-                    f"{name}: row-at-a-time Python eval ({m.group(0)}) "
-                    "outside PY_EVAL_WHITELIST"
-                )
         if "ExistingRDD" in plan:
             truncated_seen.add(name)
-            if name not in LINEAGE_TRUNCATED:
-                bad.append(
-                    f"{name}: ExistingRDD scan (lineage truncation) not in "
-                    "LINEAGE_TRUNCATED — a new checkpoint/local-frame site "
-                    "hides its spine from the fan-out gate; review whether "
-                    "it needs a _FANOUT_PINS entry, then allowlist it"
-                )
-        found_kinds = frozenset(re.findall(PY_NODE_PAT, plan))
-        allowed_kinds = PY_NODE_ALLOWED.get(name, frozenset())
-        if found_kinds - allowed_kinds:
-            bad.append(
-                f"{name}: Python-eval node(s) "
-                f"{sorted(found_kinds - allowed_kinds)} not in "
-                "PY_NODE_ALLOWED — every Python touchpoint must be an "
-                "enumerated, justified site; move the logic to built-in "
-                "expressions or add a reviewed allowlist entry"
-            )
-        elif check_stale and allowed_kinds - found_kinds:
-            bad.append(
-                f"{name}: allowed Python node(s) "
-                f"{sorted(allowed_kinds - found_kinds)} absent at the "
-                "measured sf — update the PY_NODE_ALLOWED entry"
-            )
-        n_bnlj = plan.count("BroadcastNestedLoopJoin")
-        bnlj_cap = BNLJ_ALLOWED.get(name, 0)
-        if n_bnlj > bnlj_cap:
-            bad.append(
-                f"{name}: {n_bnlj} BroadcastNestedLoopJoin hits exceed "
-                f"the allowed {bnlj_cap} — a nested-loop join beyond the "
-                "sanctioned scalar-broadcast sites is the quadratic "
-                "killer; use an equi-join/broadcast hash or justify a "
-                "BNLJ_ALLOWED entry"
-            )
-        elif check_stale and n_bnlj < bnlj_cap:
-            bad.append(
-                f"{name}: {n_bnlj} BroadcastNestedLoopJoin hits below the "
-                f"pinned {bnlj_cap} at the measured sf — update the "
-                "BNLJ_ALLOWED entry so the gate stays exact"
-            )
-        allowances = SCAN_ALLOWANCE.get(name, {})
-        for t in TESTDATA_TABLES:
-            cap = allowances.get(t, DEFAULT_SCAN_ALLOWANCE)
-            n_scans = plan.count(f"{t}.parquet")
-            if n_scans > cap:
-                bad.append(
-                    f"{name}: {n_scans} scans of {t}.parquet exceed the "
-                    f"fan-out allowance ({cap}) — likely a lazy-plan "
-                    "recompute fan-out; materialize the shared spine or "
-                    "justify an allowance entry"
-                )
-        if "CartesianProduct" in plan:
-            # no whitelist: the full round-11 sweep found ZERO true
-            # cartesians (the 47 BroadcastNestedLoopJoin hits are all
-            # the sanctioned 1-row-scalar-broadcast pattern, which is a
-            # different node). A CartesianProduct appearing anywhere is
-            # always a regression at the 100 TB posture.
-            bad.append(f"{name}: CartesianProduct in physical plan")
-        for pat in EXPECT.get(name, []):
-            if not re.search(pat, plan):
-                bad.append(f"{name}: expected {pat!r} not in plan")
-        for pat in FORBID.get(name, []):
-            if re.search(pat, plan):
-                bad.append(f"{name}: forbidden {pat!r} present in plan")
+        bad.extend(audit_plan(name, plan, check_stale=check_stale))
         n_codegen = len(set(re.findall(r"codegen id : (\d+)", plan)))
         print(f"{name}: codegen_spans={n_codegen} "
               f"bcast={plan.count('BroadcastHashJoin')} "
