@@ -181,7 +181,12 @@ def tfidf_cosine_oracle_sql(
     """DuckDB twin of :func:`tfidf_cosine_pairs`: identical df prune
     (including the absolute ``max_df`` cap when set — effective cap =
     least(floor(frac·n), max_df), mirroring the Spark side's min()),
-    identical milli quantization, integer sums, one sqrt + division."""
+    identical milli quantization, integer sums, one sqrt + division.
+    Raises on ``max_df < 1`` exactly like the Spark twin — a silent
+    least(cap, 0) would prune every word and return a plausible-looking
+    empty oracle instead of failing fast."""
+    if max_df is not None and max_df < 1:
+        raise ValueError(f"max_df must be >= 1 when set, got {max_df}")
     toks = toks_sql or "string_split_regex(trim(lower(text)), '\\s+')"
     rel_cap = (
         f"CAST(floor({max_df_frac} * (SELECT n FROM nd)) AS BIGINT)"

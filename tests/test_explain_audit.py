@@ -33,6 +33,17 @@ _spec = importlib.util.spec_from_file_location(
 _audit = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_audit)
 
+def _auditable_names() -> set:
+    """Every name the audit tool sweeps: registry entries plus the
+    flagship pipeline (audited via run_taxi_pipeline, not the
+    registry). Single definition — four allowlist tests check
+    membership against this set, and a drift between copies would make
+    one of them wrongly report dangling entries."""
+    from taxi_trips_etl_spark.queries import all_queries
+
+    return set(all_queries()) | {"flagship_most_populars"}
+
+
 # The load-bearing subset: reference-surface operators (the flagship
 # path) + the two shapes the r7/r8 verdicts called out by name.
 _LOAD_BEARING = (
@@ -181,10 +192,7 @@ def test_lineage_truncated_names_are_registered():
     entry (or the audited flagship pipeline), and the three pinned
     fan-out fixes must be in it (their checkpoints are the reason their
     plans read zero raw scans)."""
-    from taxi_trips_etl_spark.queries import all_queries
-
-    registered = set(all_queries()) | {"flagship_most_populars"}
-    dangling = _audit.LINEAGE_TRUNCATED - registered
+    dangling = _audit.LINEAGE_TRUNCATED - _auditable_names()
     assert not dangling, (
         f"LINEAGE_TRUNCATED entries not in the registry: {sorted(dangling)}"
     )
@@ -200,10 +208,7 @@ def test_bnlj_allowlist_names_are_registered():
     nested-loop joins live; dangling names would allowlist nothing.
     Counts must be positive and even ('formatted' explain renders each
     node twice), and every name must be a live registry entry."""
-    from taxi_trips_etl_spark.queries import all_queries
-
-    registered = set(all_queries()) | {"flagship_most_populars"}
-    dangling = set(_audit.BNLJ_ALLOWED) - registered
+    dangling = set(_audit.BNLJ_ALLOWED) - _auditable_names()
     assert not dangling, (
         f"BNLJ_ALLOWED entries not in the registry: {sorted(dangling)}"
     )
@@ -289,6 +294,28 @@ def test_audit_fires_on_scan_fanout():
         "funnel_latency_stats", "HashAggregate " + "lineitem.parquet " * n
     )
     assert any("lineitem.parquet" in b for b in bad)
+    # staleness arm: a listed allowance whose plan scans fewer than the
+    # cap at the measured sf is flagged (a loose cap would mask a later
+    # regression); elsewhere the same plan passes
+    under = "HashAggregate " + "events.parquet " * (n - 1)
+    assert any("below the allowance" in b
+               for b in _findings("funnel_latency_stats", under))
+    assert not _findings("funnel_latency_stats", under, check_stale=False)
+
+
+def test_audit_fires_on_stale_lineage_allowlist_entry():
+    """The cross-plan staleness arm (audit_lineage_staleness) must flag
+    allowlisted names whose plans stopped truncating — and stay silent
+    when every entry was seen."""
+    stale = _audit.audit_lineage_staleness(set())
+    assert len(stale) == len(_audit.LINEAGE_TRUNCATED)
+    assert all("LINEAGE_TRUNCATED" in s for s in stale)
+    assert _audit.audit_lineage_staleness(set(_audit.LINEAGE_TRUNCATED)) == []
+    # one missing name → exactly that finding
+    (some,) = {"tfidf_cosine_pairs"}
+    seen = set(_audit.LINEAGE_TRUNCATED) - {some}
+    stale = _audit.audit_lineage_staleness(seen)
+    assert len(stale) == 1 and stale[0].startswith(some)
 
 
 def test_py_eval_whitelist_names_exist():
@@ -296,11 +323,9 @@ def test_py_eval_whitelist_names_exist():
     only as good as its whitelist: a renamed entry would silently turn a
     whitelisted name into dead config while the renamed query escapes
     the rule until the next tool run. Pin the names to the registry."""
-    from taxi_trips_etl_spark.queries import all_queries
-
-    qs = all_queries()
+    auditable = _auditable_names()
     for name in _audit.PY_EVAL_WHITELIST:
-        assert name in qs or name == "flagship_most_populars", (
+        assert name in auditable, (
             f"PY_EVAL_WHITELIST name {name!r} is not a registry entry"
         )
 
@@ -314,10 +339,7 @@ def test_py_node_allowlist_consistent():
     gate contradict the other); kinds must come from the sweep regex."""
     import re
 
-    from taxi_trips_etl_spark.queries import all_queries
-
-    registered = set(all_queries()) | {"flagship_most_populars"}
-    dangling = set(_audit.PY_NODE_ALLOWED) - registered
+    dangling = set(_audit.PY_NODE_ALLOWED) - _auditable_names()
     assert not dangling, (
         f"PY_NODE_ALLOWED entries not in the registry: {sorted(dangling)}"
     )

@@ -240,14 +240,23 @@ def test_tfidf_registered_entry_pins_absolute_cap():
     from taxi_trips_etl_spark.queries._registry import _ORACLES
 
     # @register wraps the function, so getsource the module and scope
-    # to the def block (wrapper source would hide the call site).
+    # to the def block (wrapper source would hide the call site). The
+    # docstring ALSO mentions max_df=500, so strip it — otherwise the
+    # assertion is vacuously satisfied by prose and a dropped call-site
+    # parameter would slip through (plan-inert at test SFs, so no other
+    # gate would catch it either).
     module_src = inspect.getsource(_round5e)
     fn_src = module_src.split("def q_tfidf_cosine_pairs", 1)[1]
     fn_src = fn_src.split("\ndef ", 1)[0]
-    assert "max_df=500" in fn_src, "registration site must pass max_df=500"
+    fn_body = fn_src.split('"""')[-1]  # text after the closing docstring
+    assert "max_df=500" in fn_body, (
+        "registration CALL SITE must pass max_df=500 (docstring excluded)"
+    )
     oracle_src = module_src.split("def _tfidf_cos_oracle", 1)[1]
     oracle_src = oracle_src.split("\ndef ", 1)[0].split("@register", 1)[0]
-    assert "max_df=500" in oracle_src, "oracle builder must pass max_df=500"
+    assert "max_df=500" in oracle_src.split('"""')[-1], (
+        "oracle builder must pass max_df=500"
+    )
     sql = _ORACLES["tfidf_cosine_pairs"]
     assert "least(" in sql and "500" in sql, (
         "registered oracle must mirror the absolute cap"
@@ -309,6 +318,12 @@ def test_tfidf_oracle_max_df_twin_and_sf_identity():
         )
     ).fetchall()
     assert len(rel_pairs) > 0 and len(cap_pairs) == 0
+    # domain guard mirrors the Spark twin: max_df=0 must raise, not
+    # emit least(cap, 0) and a plausible-looking empty oracle
+    import pytest
+
+    with pytest.raises(ValueError, match="max_df must be >= 1"):
+        tfidf_cosine_oracle_sql(max_df=0)
 
 
 # --- skip-gram co-occurrence ----------------------------------------------

@@ -814,7 +814,10 @@ def audit_plan(name: str, plan: str, *, check_stale: bool) -> list[str]:
             f"pinned {bnlj_cap} at the measured sf — update the "
             "BNLJ_ALLOWED entry so the gate stays exact"
         )
-    # Per-(name, table) scan fan-out (round 12 rule, r13 keying).
+    # Per-(name, table) scan fan-out (round 12 rule, r13 keying). The
+    # staleness arm keeps listed allowances exact at the measured sf:
+    # a cap that drifted loose (plan now scans fewer) would otherwise
+    # mask a later regression back up to the stale cap.
     allowances = SCAN_ALLOWANCE.get(name, {})
     for t in TESTDATA_TABLES:
         cap = allowances.get(t, DEFAULT_SCAN_ALLOWANCE)
@@ -825,6 +828,12 @@ def audit_plan(name: str, plan: str, *, check_stale: bool) -> list[str]:
                 f"fan-out allowance ({cap}) — likely a lazy-plan "
                 "recompute fan-out; materialize the shared spine or "
                 "justify an allowance entry"
+            )
+        elif check_stale and t in allowances and n_scans < cap:
+            bad.append(
+                f"{name}: {n_scans} scans of {t}.parquet below the "
+                f"allowance ({cap}) at the measured sf — tighten or "
+                "remove the SCAN_ALLOWANCE entry so it stays exact"
             )
     if "CartesianProduct" in plan:
         # no whitelist: the full round-11 sweep found ZERO true
@@ -840,6 +849,20 @@ def audit_plan(name: str, plan: str, *, check_stale: bool) -> list[str]:
         if re.search(pat, plan):
             bad.append(f"{name}: forbidden {pat!r} present in plan")
     return bad
+
+
+def audit_lineage_staleness(truncated_seen: set[str]) -> list[str]:
+    """Cross-plan half of the lineage rule (testable like audit_plan —
+    an inverted set difference here would pass CI forever otherwise):
+    every LINEAGE_TRUNCATED entry must have shown an ExistingRDD scan
+    at the measured sf, else the allowlist is stale and permanently
+    exempts that plan from the scan fan-out gate."""
+    return [
+        f"{name}: in LINEAGE_TRUNCATED but its plan no longer "
+        "contains ExistingRDD at the measured sf — remove the "
+        "entry so the scan gate re-covers it"
+        for name in sorted(LINEAGE_TRUNCATED - truncated_seen)
+    ]
 
 
 def main() -> None:
@@ -876,13 +899,7 @@ def main() -> None:
               f"bcast={plan.count('BroadcastHashJoin')} "
               f"shuffles={plan.count('Exchange')}")
     if check_stale:
-        stale = LINEAGE_TRUNCATED - truncated_seen
-        for name in sorted(stale):
-            bad.append(
-                f"{name}: in LINEAGE_TRUNCATED but its plan no longer "
-                "contains ExistingRDD at the measured sf — remove the "
-                "entry so the scan gate re-covers it"
-            )
+        bad.extend(audit_lineage_staleness(truncated_seen))
     if bad:
         print("\nAUDIT FAILURES:")
         for b in bad:
