@@ -31,17 +31,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
 from taxi_trips_etl_spark.functions.scalar import route_struct
 
 
 def ranked_counts(df: DataFrame, keys: list[str], cnt_alias: str, limit: int) -> DataFrame:
     """GROUP BY keys → count(*) → global RANK desc → popularity ≤ limit."""
+    return rank_top(
+        df.groupBy(*keys).agg(F.count(F.lit(1)).alias(cnt_alias)),
+        cnt_alias,
+        limit,
+    )
+
+
+def rank_top(counted: DataFrame, cnt_alias: str, limit: int) -> DataFrame:
+    """Global RANK desc over an already-counted table → popularity ≤ limit."""
     w = Window.orderBy(F.col(cnt_alias).desc())
+    return counted.withColumn("popularity", F.rank().over(w)).filter(
+        F.col("popularity") <= limit
+    )
+
+
+def route_counts(
+    enriched: DataFrame, pickup_key: str, dropoff_key: str, cnt_alias: str
+) -> DataFrame:
+    """ONE pass over the fact table: count per (pickup, dropoff) route,
+    materialized.
+
+    The three most-populars branches (routes / dropoffs / pickups) each
+    need a count over the same enriched fact table. Counting the finest
+    grain once and re-aggregating is exact — ``count(*) GROUP BY
+    dropoff`` ≡ ``sum(route_count) GROUP BY dropoff`` because routes
+    partition the trips — so the fact spine (scan → normalize →
+    geo/hex enrichment) executes ONCE instead of three times (guide
+    §2.4: remove shuffles/passes outright; Catalyst gives the three
+    different groupBys no ReusedExchange because each branch prunes the
+    spine differently). The materialized table is route-grain —
+    bounded by distinct (pickup, dropoff) cell pairs, tiny at every
+    scale — so the checkpoint is scale-safe.
+    """
     return (
-        df.groupBy(*keys)
+        enriched.groupBy(pickup_key, dropoff_key)
         .agg(F.count(F.lit(1)).alias(cnt_alias))
-        .withColumn("popularity", F.rank().over(w))
-        .filter(F.col("popularity") <= limit)
+        .transform(materialize, eager=False)
     )
 
 
@@ -51,19 +83,32 @@ def most_populars(enriched: DataFrame, limit: int = 100) -> DataFrame:
     Output mirrors taxi_trips_etl.py:165-176: ``route`` STRUCT (F8),
     per-list counts, and the shared ``popularity`` rank.
     """
-    routes = ranked_counts(
-        enriched, ["h3_pickup", "h3_dropoff"], "route_count", limit
-    ).select(
+    base = route_counts(enriched, "h3_pickup", "h3_dropoff", "route_count")
+    routes = rank_top(base, "route_count", limit).select(
         route_struct(F.col("h3_pickup"), F.col("h3_dropoff")),
         "route_count",
         "popularity",
     )
-    dropoffs = ranked_counts(enriched, ["h3_dropoff"], "dropoff_count", limit).select(
+    dropoffs = rank_top(
+        base.groupBy("h3_dropoff").agg(F.sum("route_count").alias("dropoff_count")),
+        "dropoff_count",
+        limit,
+    ).select(
         F.col("h3_dropoff").alias("dropoff_hexagon"), "dropoff_count", "popularity"
     )
-    pickups = ranked_counts(enriched, ["h3_pickup"], "pickup_count", limit).select(
+    pickups = rank_top(
+        base.groupBy("h3_pickup").agg(F.sum("route_count").alias("pickup_count")),
+        "pickup_count",
+        limit,
+    ).select(
         F.col("h3_pickup").alias("pickup_hexagon"), "pickup_count", "popularity"
     )
     # J4: INNER JOIN … USING(popularity) ×2 — tiny inputs (≤3×limit rows
-    # + tie fanout); Spark picks broadcast joins under AQE.
-    return routes.join(dropoffs, "popularity").join(pickups, "popularity")
+    # + tie fanout). Explicit broadcast hints: the branches now hang off
+    # a checkpointed route-count table whose ExistingRDD scan carries no
+    # stats, so the planner would fall back to sort-merge (guide §3.1:
+    # hint when the estimate is unavailable/wrong; the rank≤limit filter
+    # bounds the build sides at any data scale).
+    return routes.join(F.broadcast(dropoffs), "popularity").join(
+        F.broadcast(pickups), "popularity"
+    )

@@ -84,48 +84,28 @@ class Pipeline:
         return ctx
 
 
-# Auto-materialization bar for the enriched stage: below this input
-# size the 3× branch recompute is cheaper than a cache (measured at
-# sf0.1: 5.2s lazy vs 8.4s persisted — the rescans are map-only over an
-# OS-cached file); above it, re-reading the fact table twice more
-# dominates and the scale-safe choice is to persist. 256 MiB of
-# compressed parquet ≈ a gigabyte raw — conservatively past the
-# "trivially small" regime either way.
-AUTO_CACHE_THRESHOLD_BYTES = 256 << 20
-
-
-def _input_bytes(path: str) -> int:
-    if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
-
-
 def run_taxi_pipeline(
     spark: SparkSession,
     sf_dir: str,
     out_path: str | None = None,
     ds: str = "2026-01-01",
     limit: int = 100,
-    cache_enriched: bool | None = None,
-    auto_cache_threshold_bytes: int = AUTO_CACHE_THRESHOLD_BYTES,
 ) -> DataFrame | None:
     """The full 4-stage flagship pipeline over driver testdata.
 
     storage_to_bq → normalization → enrichment → final_result
     (taxi_trips_etl.py:238), returning the most-populars DataFrame.
 
-    ``cache_enriched=None`` (the default) auto-enables enriched-stage
-    materialization when the input exceeds
-    ``auto_cache_threshold_bytes`` — the scale-safe path is the
-    default, mirroring the reference's temp-table staging of this
-    stage (taxi_trips_etl.py:100-112); pass False/True to force.
+    r13 optimization: the enriched stage used to fan out into THREE
+    popularity aggregations, which motivated an auto-persist of the
+    whole enriched fact table past an input-size threshold. The
+    popularity stage now makes ONE pass (the route-grain count is
+    materialized inside ``most_populars`` — operators/popularity
+    .route_counts), so the enriched stage has a single consumer and
+    persisting it would be pure memory pressure at every scale (guide
+    §5: cache only reused intermediates). The former
+    ``cache_enriched``/``auto_cache_threshold_bytes`` knobs are gone
+    with the fan-out they compensated for.
     """
     from taxi_trips_etl_spark.operators import (
         enrich_trips,
@@ -145,7 +125,6 @@ def run_taxi_pipeline(
         if not os.path.exists(path):
             log.info("no input at %s → short-circuit", path)
             return None
-        ctx["input_bytes"] = _input_bytes(path)
         li = spark.read.parquet(path)
         return trips_from_lineitem(li) if not li.isEmpty() else None
 
@@ -153,26 +132,10 @@ def run_taxi_pipeline(
         return normalize_trips(ctx["load"])
 
     def enrich(ctx: dict[str, Any]):
-        # The popularity stage fans out into THREE aggregations over
-        # this DataFrame. Trade-off, measured: at bench scale the
-        # 3× recompute of scan→filter→broadcast-join is CHEAPER than
-        # materializing a cache (8.4s persisted vs 5.2s lazy at sf0.1),
-        # because the scan is OS-cached and map-only. At 100 TB the
-        # ledger flips — re-reading the fact table twice more dominates
-        # — so the auto default persists once the input crosses the
-        # threshold; the reference materializes this stage as a temp
-        # table for the same reason.
-        df = enrich_trips(ctx["normalize"], zone_dim(spark))
-        do_cache = (
-            cache_enriched
-            if cache_enriched is not None
-            else ctx.get("input_bytes", 0) > auto_cache_threshold_bytes
-        )
-        if do_cache:
-            from pyspark.storagelevel import StorageLevel
-
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        return df
+        # Single consumer: most_populars makes ONE pass over this
+        # DataFrame (the route-grain count inside it is the
+        # materialization point), so no persist here.
+        return enrich_trips(ctx["normalize"], zone_dim(spark))
 
     def final(ctx: dict[str, Any]):
         result = most_populars(ctx["enrich"], limit=limit)

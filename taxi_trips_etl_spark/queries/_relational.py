@@ -178,10 +178,27 @@ MOST_POPULARS_SQL = f"""
 
 def _populars_flat(cells: DataFrame) -> DataFrame:
     """taxi_trips_etl.py:164-176 final-result shape, flat columns:
-    three group-count-rank-top100 branches joined USING(popularity)."""
-    routes = ranked_counts(cells, ["pickup_cell", "dropoff_cell"], "route_count", 100)
-    drops = ranked_counts(cells, ["dropoff_cell"], "dropoff_count", 100)
-    picks = ranked_counts(cells, ["pickup_cell"], "pickup_count", 100)
+    three group-count-rank-top100 branches joined USING(popularity).
+
+    One fact pass: the finest-grain (pickup, dropoff) count is
+    materialized once and the dropoff/pickup branches re-aggregate it
+    (sum of route counts ≡ direct count — routes partition the trips),
+    instead of each branch re-running the whole normalize spine
+    (operators/popularity.route_counts; guide §2.4)."""
+    from taxi_trips_etl_spark.operators.popularity import rank_top, route_counts
+
+    base = route_counts(cells, "pickup_cell", "dropoff_cell", "route_count")
+    routes = rank_top(base, "route_count", 100)
+    drops = rank_top(
+        base.groupBy("dropoff_cell").agg(F.sum("route_count").alias("dropoff_count")),
+        "dropoff_count",
+        100,
+    )
+    picks = rank_top(
+        base.groupBy("pickup_cell").agg(F.sum("route_count").alias("pickup_count")),
+        "pickup_count",
+        100,
+    )
     return (
         routes.select(
             F.col("popularity").cast("long").alias("popularity"),
@@ -190,18 +207,24 @@ def _populars_flat(cells: DataFrame) -> DataFrame:
             "route_count",
         )
         .join(
-            drops.select(
-                F.col("popularity").cast("long").alias("popularity"),
-                F.col("dropoff_cell").alias("dropoff_hexagon"),
-                "dropoff_count",
+            # broadcast hints: rank≤100-bounded sides under a stats-less
+            # ExistingRDD root would otherwise plan sort-merge (§3.1).
+            F.broadcast(
+                drops.select(
+                    F.col("popularity").cast("long").alias("popularity"),
+                    F.col("dropoff_cell").alias("dropoff_hexagon"),
+                    "dropoff_count",
+                )
             ),
             "popularity",
         )
         .join(
-            picks.select(
-                F.col("popularity").cast("long").alias("popularity"),
-                F.col("pickup_cell").alias("pickup_hexagon"),
-                "pickup_count",
+            F.broadcast(
+                picks.select(
+                    F.col("popularity").cast("long").alias("popularity"),
+                    F.col("pickup_cell").alias("pickup_hexagon"),
+                    "pickup_count",
+                )
             ),
             "popularity",
         )

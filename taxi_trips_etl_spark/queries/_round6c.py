@@ -91,6 +91,12 @@ def q_market_basket_brand_rules(
     shared textually with the oracle."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    # r13: five consumers (pair join ×2, item_cnt broadcast ×2,
+    # n_baskets) each re-ran the scan→broadcast-join→distinct spine in
+    # the lazy plan — materialize it once (guide §2.4; the same fix
+    # market_basket_triples already carried).
     baskets = (
         li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .select(
@@ -98,9 +104,13 @@ def q_market_basket_brand_rules(
             F.col("p_brand").alias("brand"),
         )
         .distinct()
+        .transform(materialize, eager=False)
     )
-    item_cnt = baskets.groupBy("brand").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
+    # consumed twice as a broadcast build side; brand-grain (tiny).
+    item_cnt = (
+        baskets.groupBy("brand")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .transform(materialize, eager=False)
     )
     n_baskets = baskets.select(
         F.countDistinct("basket").cast("long").alias("n_baskets")

@@ -158,44 +158,57 @@ def q_market_basket_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = baskets.alias("a")
     b = baskets.alias("b")
-    freq_pairs = (
+    # ONE execution of the basket-pair self-join (r13: the lazy plan
+    # used to rebuild a⋈b FOUR times — once under cand and once under
+    # each of the three freq_pairs broadcast builds below; guide §2.4).
+    # pair_rows is the same volume the groupBy shuffle already carries,
+    # so the checkpoint stores nothing the shuffle would not.
+    pair_rows = (
         a.join(
             b,
             (F.col("a.basket") == F.col("b.basket"))
             & (F.col("a.brand") < F.col("b.brand")),
         )
-        .groupBy(
-            F.col("a.brand").alias("pa"), F.col("b.brand").alias("pb")
+        .select(
+            F.col("a.basket").alias("basket"),
+            F.col("a.brand").alias("ba"),
+            F.col("b.brand").alias("bb"),
+        )
+        .transform(materialize, eager=False)
+    )
+    # freq_pairs is consumed three times (candidate join + two closing
+    # semi-joins), each as a broadcast build side — materialize the
+    # tiny post-threshold pair list so each build reads the checkpoint
+    # instead of re-running the pair aggregation.
+    freq_pairs = (
+        pair_rows.groupBy(
+            F.col("ba").alias("pa"), F.col("bb").alias("pb")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .crossJoin(F.broadcast(n_baskets_df))
         .where(F.expr(min_cnt_expr))
         .select("pa", "pb")
+        .transform(materialize, eager=False)
     )
     c = baskets.alias("c")
     # candidates: extend each frequent (pa, pb) with a third brand
     # from the same basket, then close the triangle through the two
     # remaining frequent-pair semi-joins (classic a-priori level 3)
     cand = (
-        a.join(
-            b,
-            (F.col("a.basket") == F.col("b.basket"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
+        pair_rows.alias("p")
         .join(
             F.broadcast(freq_pairs),
-            (F.col("a.brand") == F.col("pa"))
-            & (F.col("b.brand") == F.col("pb")),
+            (F.col("ba") == F.col("pa")) & (F.col("bb") == F.col("pb")),
         )
         .join(
             c,
-            (F.col("a.basket") == F.col("c.basket"))
-            & (F.col("b.brand") < F.col("c.brand")),
+            (F.col("p.basket") == F.col("c.basket"))
+            & (F.col("bb") < F.col("c.brand")),
         )
         .select(
-            F.col("a.basket").alias("basket"),
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
+            F.col("p.basket").alias("basket"),
+            F.col("ba").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
             F.col("c.brand").alias("brand_c"),
         )
     )

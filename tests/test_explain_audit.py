@@ -134,6 +134,14 @@ _FANOUT_PINS = {
     "graph_degree_assortativity": 10,
     "markov_stationary_micro": 24,
     "tfidf_cosine_pairs": 14,
+    # r13 optimization round: the most-populars family's three
+    # group-count-rank branches now share ONE materialized route-count
+    # pass (operators/popularity.route_counts) instead of re-running
+    # the fact spine per branch (unfixed plans read 16/42/42 exchange
+    # hits and 3 raw lineitem scans each; plans/r13/*_before.txt).
+    "most_populars_flat": 14,
+    "flagship_known_zones": 14,
+    "flagship_most_populars": 14,
 }
 
 

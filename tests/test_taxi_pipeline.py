@@ -161,25 +161,17 @@ def test_pipeline_end_to_end_writes_partition(spark, sf_dir, tmp_path):
     assert written.filter(F.col("run_date") == "2026-03-01").count() == df.count()
 
 
-def test_auto_cache_enriched_materializes_once(spark, sf_dir):
-    """cache_enriched=None auto-persists the enriched stage when input
-    crosses the threshold; the three popularity branches must then read
-    one InMemoryRelation instead of recomputing the lineage."""
+def test_pipeline_single_fact_pass(spark, sf_dir):
+    """r13 optimization pin: the popularity stage makes ONE pass over
+    the enriched fact table — the three group-count-rank branches hang
+    off the materialized route-grain count (operators/popularity
+    .route_counts), so the final lazy plan contains the checkpoint scan
+    and ZERO raw lineitem scans (the 3× spine recompute the former
+    auto-cache compensated for is structurally gone)."""
     from taxi_trips_etl_spark.plans.pipeline import run_taxi_pipeline
 
-    try:
-        lazy = run_taxi_pipeline(spark, sf_dir)  # default: below bar
-        assert "InMemoryTableScan" not in lazy._jdf.queryExecution().toString()
-
-        cached = run_taxi_pipeline(spark, sf_dir, auto_cache_threshold_bytes=0)
-        plan = cached._jdf.queryExecution().toString()
-        # All three branches hit the SAME cache entry: scans > 0,
-        # exactly one distinct InMemoryRelation materialization.
-        assert plan.count("InMemoryTableScan") >= 3
-        assert plan.count("InMemoryRelation") >= 1
-
-        want = {tuple(r) for r in lazy.collect()}
-        got = {tuple(r) for r in cached.collect()}
-        assert got == want and len(got) > 0
-    finally:
-        spark.catalog.clearCache()
+    df = run_taxi_pipeline(spark, sf_dir)
+    plan = df._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan
+    assert "lineitem.parquet" not in plan
+    assert "InMemoryRelation" not in plan

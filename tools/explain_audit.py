@@ -68,8 +68,10 @@ def plan_of(df) -> str:
 # UDTF entry exists precisely to exercise Spark's Python UDTF surface.
 # Everything else must stay JVM-side end-to-end.
 PY_EVAL_WHITELIST = frozenset({
-    "flagship_known_zones",
-    "flagship_most_populars",
+    # r13: the flagship entries left this list — their geo-UDF
+    # enrichment now runs inside the materialized route-count spine
+    # (operators/popularity.route_counts), so the final lazy plans are
+    # 100% JVM and the gate re-covers them.
     "hex_neighbor_smoothing",
     "udtf_split_sentences",
 })
@@ -170,8 +172,9 @@ LINEAGE_TRUNCATED = frozenset({
     "graph_kcore", "graph_pagerank", "graph_pagerank_distributed",
     "graph_shortest_paths", "graph_triangles", "hard_negative_mining_ivf",
     "heavy_hitters_tokens", "hex_neighbor_smoothing", "jsonl_roundtrip_docs",
-    "market_basket_triples", "markov_stationary_micro", "minhash_lsh_recall",
-    "mmr_diversify_rerank", "ngram_containment_pairs",
+    "market_basket_brand_rules", "market_basket_triples",
+    "markov_stationary_micro", "minhash_lsh_recall",
+    "mmr_diversify_rerank", "most_populars_flat", "ngram_containment_pairs",
     "observed_scan_metrics", "pack_sequences", "packing_fragmentation_audit",
     "partition_pruned_scan", "record_linkage_blocked",
     "rouge_l_decontaminate", "schema_evolution_merge", "split_leakage_audit",
@@ -205,8 +208,11 @@ PY_NODE_ALLOWED: dict[str, frozenset[str]] = {
     # Arrow-native token stats: the mapInArrow showcase entry.
     "arrow_token_stats": frozenset({"MapInArrow"}),
     # The two reference UDFs (F6 centroid ∘ F7 hex), dim-side only.
-    "flagship_known_zones": frozenset({"BatchEvalPython"}),
-    "flagship_most_populars": frozenset({"BatchEvalPython"}),
+    # r13 optimization: the flagship entries' UDF enrichment now runs
+    # inside the materialized route-count spine (one fact pass instead
+    # of three — operators/popularity.route_counts), so their FINAL lazy
+    # plans are 100% JVM; the UDF placement is pinned by the enrich-plan
+    # pytest instead (tests/test_plans.py).
     "hex_neighbor_smoothing": frozenset({"BatchEvalPython"}),
     # Python UDTF surface entry (exercises the API on purpose).
     "udtf_split_sentences": frozenset({"BatchEvalPython"}),
@@ -252,7 +258,10 @@ BNLJ_ALLOWED: dict[str, int] = {
     "histogram_quantile_estimate": 4, "hybrid_rrf_search": 4,
     "interpolate_user_daily": 2, "kmv_user_overlap": 4,
     "kn_doc_xent_filter": 2, "kneser_ney_bigram": 2,
-    "market_basket_brand_rules": 2, "market_basket_triples": 8,
+    # market_basket_triples dropped 8→2 in r13: the support-threshold
+    # scalar broadcast used to be rebuilt inside all four freq_pairs
+    # recomputes; the pair/freq materialize leaves one BNLJ site.
+    "market_basket_brand_rules": 2, "market_basket_triples": 2,
     "markov_stationary_micro": 2, "negative_sample_table": 4,
     "pmi_collocations": 2, "range_partition_plan": 2,
     "referential_integrity_audit": 10, "rolling_active_users": 2,
