@@ -194,11 +194,20 @@ def prepare_corpus_v3(
     if materialize_survivors:
         kept3 = kept3.transform(materialize, eager=False)
 
-    avail = kept3.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
-        .cast("long")
-        .alias("available_tokens"),
+    # r13: the apportionment epilogue below references this aggregate
+    # through calc twice (leftover + ranked) and through wsum — without
+    # a checkpoint each reference re-reads the corpus-sized survivor
+    # blocks to rebuild a source-grain table; materialized, everything
+    # after this line is aggregate-scale (guide §2.4).
+    avail = (
+        kept3.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+            .cast("long")
+            .alias("available_tokens"),
+        )
+        .transform(materialize, eager=False)
     )
     weighted = avail.withColumn(
         "w",

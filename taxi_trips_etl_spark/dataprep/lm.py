@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
 
 def kneser_ney_bigram_topk(
     docs: DataFrame,
@@ -64,6 +66,11 @@ def kneser_ney_bigram_topk(
     head_w = Window.partitionBy("w1")
     bg = bg.withColumn("c1", F.sum("c12").over(head_w).cast("long"))
     bg = bg.withColumn("n1p", F.count(F.lit(1)).over(head_w).cast("long"))
+    # r13: four consumers (preds, b_tot, top_heads, scored) each re-ran
+    # the tokenize→explode→bigram-agg→window spine in the lazy plan —
+    # four corpus passes for one vocab²-bounded table. Materialize it
+    # once (guide §2.4); everything downstream is aggregate-scale.
+    bg = materialize(bg, eager=False)
     preds = bg.groupBy("w2").agg(
         F.count(F.lit(1)).cast("long").alias("npred")
     )
@@ -160,6 +167,11 @@ def kneser_ney_doc_xent(
     head_w = Window.partitionBy("w1")
     bg = bg.withColumn("c1", F.sum("c12").over(head_w).cast("long"))
     bg = bg.withColumn("n1p", F.count(F.lit(1)).over(head_w).cast("long"))
+    # r13: same fan-out fix as kneser_ney_bigram_topk — preds, b_tot
+    # and the model join each re-derived bg (and its corpus-sized
+    # ``pairs`` spine) in the lazy plan; one materialize leaves exactly
+    # two corpus passes (bg build + scoring join), the documented shape.
+    bg = materialize(bg, eager=False)
     preds = bg.groupBy("w2").agg(
         F.count(F.lit(1)).cast("long").alias("npred")
     )

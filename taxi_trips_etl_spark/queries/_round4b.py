@@ -1101,6 +1101,10 @@ def q_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode("toks").alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count(F.lit(1)).alias("a"))
+        # r13: four consumers (tot, src, n, the final join) each re-ran
+        # the tokenize→explode→agg corpus pass in the lazy plan; the
+        # (source, tok) table is vocab-bounded — materialize it once.
+        .transform(materialize, eager=False)
     )
     tot = spark_tok.groupBy("tok").agg(F.sum("a").alias("t"))
     src = spark_tok.groupBy("source").agg(F.sum("a").alias("sa"))

@@ -309,13 +309,23 @@ def q_funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     same semantics as sequence_pattern_funnel), the per-leg dwell
     time in integer microseconds — n, mean (integer DIV), min, max.
 
-    Scale shape: the same three chained min-aggregates on user_id,
-    then one 2-row epilogue; all arithmetic integer."""
+    Scale shape (r13): the same three chained min-aggregates on
+    user_id, but each stage table (user-grain, small next to events)
+    is materialized — the lazy plan otherwise re-derived v under c,
+    c under p, and the whole chain TWICE more under the two leg
+    epilogues, for 12 filtered events scans; now each event_type
+    filter scans events exactly once (PushedFilters per stage, 3
+    scans — the per-stage-filter floor). Both legs' stats come out of
+    ONE aggregate pass over the completed funnel, ``stack``-ed to the
+    2-row report (guide §1.2: fewest fundamental passes)."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("us").alias("m1"))
+        .transform(materialize, eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -323,6 +333,7 @@ def q_funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("us") > F.col("m1"))
         .groupBy("user_id")
         .agg(F.min("us").alias("m2"))
+        .transform(materialize, eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -339,18 +350,17 @@ def q_funnel_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m3") - F.col("m2")).alias("d23"),
         )
     )
-
-    def leg(col: str, label: str) -> DataFrame:
-        return complete.agg(
-            F.count(F.lit(1)).cast("long").alias("n_users"),
-            F.expr(f"CAST(sum({col}) AS BIGINT) DIV count(*)").alias(
-                "avg_us"
-            ),
-            F.min(col).cast("long").alias("min_us"),
-            F.max(col).cast("long").alias("max_us"),
-        ).select(
-            F.lit(label).alias("leg"), "n_users", "avg_us", "min_us",
-            "max_us",
-        )
-
-    return leg("d12", "view>click").unionAll(leg("d23", "click>purchase"))
+    return complete.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.expr("CAST(sum(d12) AS BIGINT) DIV count(*)").alias("avg12"),
+        F.min("d12").cast("long").alias("min12"),
+        F.max("d12").cast("long").alias("max12"),
+        F.expr("CAST(sum(d23) AS BIGINT) DIV count(*)").alias("avg23"),
+        F.min("d23").cast("long").alias("min23"),
+        F.max("d23").cast("long").alias("max23"),
+    ).selectExpr(
+        "stack(2, "
+        "'view>click', n_users, avg12, min12, max12, "
+        "'click>purchase', n_users, avg23, min23, max23"
+        ") AS (leg, n_users, avg_us, min_us, max_us)"
+    )

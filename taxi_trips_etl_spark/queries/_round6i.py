@@ -63,45 +63,99 @@ def q_referential_integrity_audit(
     parent) per FK — the load-gate check a lakehouse runs because,
     unlike a warehouse, nothing enforces FKs at write time.
 
-    Scale shape: each orphan count is one LEFT ANTI join — against a
-    broadcast parent for the dims (nation, supplier, part, customer
-    at these scales) and a key-shuffle ANTI for the fact-fact FK
-    (lineitem→orders); anti joins ship only keys, never payloads.
-    All counts exact."""
+    Scale shape (r13): ONE pass per child table. All FKs of a child
+    are checked in a single scan — LEFT joins against the DISTINCT
+    parent keys (broadcast for the dims, key-shuffle for the fact-fact
+    lineitem→orders FK), one aggregate counting rows and per-FK
+    parent-key nulls, then ``stack`` to one row per FK. A left join
+    against distinct keys neither duplicates nor drops child rows, so
+    null-parent counting ≡ the per-FK anti-join count, while lineitem
+    is scanned once instead of six times and the five
+    ``count(*)``-crossJoin nested-loop broadcasts disappear (guide
+    §1.2/§2.4: fewest passes fundamentally required; before/after
+    plans in plans/r13/)."""
 
-    def orphans(child: DataFrame, ckey: str, parent: DataFrame,
-                pkey: str, label: str, bcast: bool) -> DataFrame:
-        p = parent.select(pkey).distinct()
-        p = F.broadcast(p) if bcast else p
-        return (
-            child.select(F.col(ckey))
-            .join(p, F.col(ckey) == F.col(pkey), "left_anti")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
-            .crossJoin(
-                child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
-            )
-            .select(F.lit(label).alias("fk"), "n_child", "n_orphans")
-        )
+    def nulls(pkey: str) -> F.Column:
+        return F.sum(
+            F.when(F.col(pkey).isNull(), 1).otherwise(0)
+        ).cast("long")
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
     o = _t(spark, sf_dir, "orders")
-    checks = [
-        orphans(li, "l_orderkey", o, "o_orderkey",
-                "lineitem.l_orderkey->orders", False),
-        orphans(li, "l_partkey", _t(spark, sf_dir, "part"), "p_partkey",
-                "lineitem.l_partkey->part", True),
-        orphans(li, "l_suppkey", _t(spark, sf_dir, "supplier"),
-                "s_suppkey", "lineitem.l_suppkey->supplier", True),
-        orphans(o, "o_custkey", _t(spark, sf_dir, "customer"),
-                "c_custkey", "orders.o_custkey->customer", True),
-        orphans(_t(spark, sf_dir, "customer"), "c_nationkey",
-                _t(spark, sf_dir, "nation"), "n_nationkey",
-                "customer.c_nationkey->nation", True),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionAll(c)
-    return out
+    li_row = (
+        li.join(
+            o.select("o_orderkey").distinct(),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(_t(spark, sf_dir, "part").select("p_partkey").distinct()),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "supplier").select("s_suppkey").distinct()
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            nulls("o_orderkey").alias("orph_orders"),
+            nulls("p_partkey").alias("orph_part"),
+            nulls("s_suppkey").alias("orph_supp"),
+        )
+        .selectExpr(
+            "stack(3, "
+            "'lineitem.l_orderkey->orders', n_child, orph_orders, "
+            "'lineitem.l_partkey->part', n_child, orph_part, "
+            "'lineitem.l_suppkey->supplier', n_child, orph_supp"
+            ") AS (fk, n_child, n_orphans)"
+        )
+    )
+    o_row = (
+        o.select("o_custkey")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "customer").select("c_custkey").distinct()
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            nulls("c_custkey").alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders.o_custkey->customer").alias("fk"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    c_row = (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").select("n_nationkey").distinct()
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            nulls("n_nationkey").alias("n_orphans"),
+        )
+        .select(
+            F.lit("customer.c_nationkey->nation").alias("fk"),
+            "n_child",
+            "n_orphans",
+        )
+    )
+    return li_row.unionAll(o_row).unionAll(c_row)
 
 
 JOIN_HOTSPOT_ORACLE = """

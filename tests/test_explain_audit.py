@@ -293,13 +293,13 @@ def test_audit_fires_on_scan_fanout():
     bad = _findings("dedup_exact", over)
     assert any("fan-out allowance" in b for b in bad)
     # a per-(name, table) allowance covers ONLY its named table: the
-    # same count on events passes for funnel_latency_stats (cap 12)
+    # same count on events passes for sequence_pattern_funnel (cap 6)
     # but the identical count on lineitem must still fail (r12 ADVICE)
-    n = _audit.SCAN_ALLOWANCE["funnel_latency_stats"]["events"]
+    n = _audit.SCAN_ALLOWANCE["sequence_pattern_funnel"]["events"]
     ok_plan = "HashAggregate " + "events.parquet " * n
-    assert not _findings("funnel_latency_stats", ok_plan)
+    assert not _findings("sequence_pattern_funnel", ok_plan)
     bad = _findings(
-        "funnel_latency_stats", "HashAggregate " + "lineitem.parquet " * n
+        "sequence_pattern_funnel", "HashAggregate " + "lineitem.parquet " * n
     )
     assert any("lineitem.parquet" in b for b in bad)
     # staleness arm: a listed allowance whose plan scans fewer than the
@@ -307,8 +307,8 @@ def test_audit_fires_on_scan_fanout():
     # regression); elsewhere the same plan passes
     under = "HashAggregate " + "events.parquet " * (n - 1)
     assert any("below the allowance" in b
-               for b in _findings("funnel_latency_stats", under))
-    assert not _findings("funnel_latency_stats", under, check_stale=False)
+               for b in _findings("sequence_pattern_funnel", under))
+    assert not _findings("sequence_pattern_funnel", under, check_stale=False)
 
 
 def test_audit_fires_on_stale_lineage_allowlist_entry():

@@ -103,11 +103,10 @@ DEFAULT_SCAN_ALLOWANCE = 4
 # fan-out on a different table still fails the gate. Each cap below is
 # the measured r13 sweep count for exactly the table(s) named.
 SCAN_ALLOWANCE: dict[str, dict[str, int]] = {
-    # 3-stage strict funnel latency: greedy earliest-match chaining is
-    # three chained min-aggregates, each stage re-reading events with
-    # its own pushed event_type filter, ×2 legs (ts + dwell) — per-stage
-    # filtered raw scans, not derived-spine recompute (r13 sweep: 12).
-    "funnel_latency_stats": {"events": 12},
+    # (r13 optimization: funnel_latency_stats materializes its
+    # user-grain stage tables and fuses the two leg epilogues into one
+    # stack'd aggregate — events scans dropped 12 → 3, inside the
+    # default allowance, so its entry is gone.)
     # Matryoshka audit: recall@10 at d∈{16,32} vs full-width truth —
     # each truncation level is a separate brute-force leg over the
     # embeddings table BY DESIGN (it measures the levels against each
@@ -130,17 +129,10 @@ SCAN_ALLOWANCE: dict[str, dict[str, int]] = {
     # AQE reuses one partitioning (r13 sweep: 6 each).
     "sequence_pattern_funnel": {"events": 6},
     "funnel_conversion": {"events": 6},
-    # FK sweep over the star schema: one LEFT ANTI join per declared
-    # foreign key; lineitem carries 3 FKs and each audit leg re-reads
-    # only the 2 key columns (column-pruned scans; r13 sweep: lineitem
-    # 6 — nation/customer/supplier/part/orders all sit at ≤ 3, inside
-    # the default).
-    "referential_integrity_audit": {"lineitem": 6},
-    # A-priori pair stage: basket self-join (2 scans/side of the
-    # DISTINCT (order,brand) frame) + per-brand support legs; baskets
-    # are bounded at |brands| = 25 items (r13 sweep: part 5,
-    # lineitem 5 — the basket frame derives from both).
-    "market_basket_brand_rules": {"part": 5, "lineitem": 5},
+    # (r13 optimization: referential_integrity_audit now checks all
+    # three lineitem FKs in ONE scan — its allowance entry is gone;
+    # market_basket_brand_rules materializes the basket frame — its
+    # part/lineitem entries are gone. Both sit at/below the default.)
 }
 
 # ---------------------------------------------------------------------------
@@ -167,17 +159,20 @@ LINEAGE_TRUNCATED = frozenset({
     "dedup_components", "dedup_components_star", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_weighted_jaccard",
     "dynamic_partition_pruning_join", "embedding_canonicalize",
-    "flagship_known_zones", "flagship_most_populars", "fuzzy_match_fastss",
+    "flagship_known_zones", "flagship_most_populars",
+    "funnel_latency_stats", "fuzzy_match_fastss",
     "fuzzy_match_fastss2", "graph_bfs_hops", "graph_degree_assortativity",
     "graph_kcore", "graph_pagerank", "graph_pagerank_distributed",
     "graph_shortest_paths", "graph_triangles", "hard_negative_mining_ivf",
     "heavy_hitters_tokens", "hex_neighbor_smoothing", "jsonl_roundtrip_docs",
+    "kn_doc_xent_filter", "kneser_ney_bigram",
     "market_basket_brand_rules", "market_basket_triples",
     "markov_stationary_micro", "minhash_lsh_recall",
     "mmr_diversify_rerank", "most_populars_flat", "ngram_containment_pairs",
     "observed_scan_metrics", "pack_sequences", "packing_fragmentation_audit",
     "partition_pruned_scan", "record_linkage_blocked",
-    "rouge_l_decontaminate", "schema_evolution_merge", "split_leakage_audit",
+    "rouge_l_decontaminate", "schema_evolution_merge",
+    "source_distinctive_terms", "split_leakage_audit",
     "streaming_cdc_upsert", "streaming_checkpoint_resume",
     "streaming_dedup_watermark", "streaming_dq_monitor",
     "streaming_full_outer_attribution", "streaming_ingest_dedup",
@@ -264,7 +259,10 @@ BNLJ_ALLOWED: dict[str, int] = {
     "market_basket_brand_rules": 2, "market_basket_triples": 2,
     "markov_stationary_micro": 2, "negative_sample_table": 4,
     "pmi_collocations": 2, "range_partition_plan": 2,
-    "referential_integrity_audit": 10, "rolling_active_users": 2,
+    # (referential_integrity_audit's 10 BNLJ hits were the five
+    # count(*)-crossJoin scalar broadcasts; the r13 one-pass rewrite
+    # removed them all.)
+    "rolling_active_users": 2,
     "sampled_range_partition_plan": 6, "seasonal_dow_adjustment": 2,
     "semantic_decontaminate": 2, "semantic_search_docs": 2,
     "similarity_cosine_topk": 2, "similarity_ivf_topk": 4,
