@@ -1788,15 +1788,25 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-step funnel analysis (view → click → purchase): each
     stage is the earliest qualifying event strictly after the previous
     stage's timestamp. Three min-aggregates and two equi-joins on
-    user_id — every shuffle is on the same key, so with AQE the
-    exchanges reuse one partitioning; no window sort over raw events."""
+    user_id — every shuffle is on the same key; no window sort over
+    raw events. r13: each stage table (user-grain, small next to raw
+    events) is materialized — the lazy plan otherwise re-derived v
+    under c and its own count, and c under p and its own count, for
+    6 filtered events scans; now each event_type filter scans events
+    exactly once (the per-stage-filter floor, 3 scans)."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     ev = _events(spark, sf_dir)
 
     def stage(etype: str, prev: DataFrame | None, prev_ts: str, out: str) -> DataFrame:
         s = ev.filter(F.col("event_type") == etype)
         if prev is not None:
             s = s.join(prev, "user_id").filter(F.col("ts") > F.col(prev_ts))
-        return s.groupBy("user_id").agg(F.min("ts").alias(out))
+        return (
+            s.groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+            .transform(materialize, eager=False)
+        )
 
     v = stage("view", None, "", "t_view")
     c = stage("click", v, "t_view", "t_click")

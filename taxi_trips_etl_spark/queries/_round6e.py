@@ -293,16 +293,23 @@ def q_sequence_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     then min(purchase) after that — which is exact for subsequence
     existence (matching earlier can never hurt later steps).
 
-    Scale shape: three partial+final min-aggregates keyed on
-    user_id, chained by equi-joins on the same key (AQE reuses the
-    partitioning); no windows, no per-user sort. Unlike
+    Scale shape (r13): three partial+final min-aggregates keyed on
+    user_id, chained by equi-joins on the same key; no windows, no
+    per-user sort. Each stage table (user-grain, small next to raw
+    events) is materialized — the lazy plan otherwise re-derived v
+    under c and its own count, and c under p and its own count, for
+    6 filtered events scans; now each event_type filter scans events
+    exactly once (the per-stage-filter floor, 3 scans). Unlike
     funnel_conversion (unordered min-timestamps), this pins the
     strict inter-step ordering."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     ev = _events(spark, sf_dir)
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("m1"))
+        .transform(materialize, eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -310,6 +317,7 @@ def q_sequence_pattern_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") > F.col("m1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("m2"))
+        .transform(materialize, eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

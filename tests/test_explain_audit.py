@@ -293,22 +293,24 @@ def test_audit_fires_on_scan_fanout():
     bad = _findings("dedup_exact", over)
     assert any("fan-out allowance" in b for b in bad)
     # a per-(name, table) allowance covers ONLY its named table: the
-    # same count on events passes for sequence_pattern_funnel (cap 6)
-    # but the identical count on lineitem must still fail (r12 ADVICE)
-    n = _audit.SCAN_ALLOWANCE["sequence_pattern_funnel"]["events"]
-    ok_plan = "HashAggregate " + "events.parquet " * n
-    assert not _findings("sequence_pattern_funnel", ok_plan)
+    # same count on customer passes for scd2_customer_history (cap 9)
+    # but the identical count on lineitem must still fail (r12 ADVICE).
+    # (scd2 chosen because its only other audit entry is the
+    # HashAggregate EXPECT, satisfied by the synthetic plan prefix.)
+    n = _audit.SCAN_ALLOWANCE["scd2_customer_history"]["customer"]
+    ok_plan = "HashAggregate " + "customer.parquet " * n
+    assert not _findings("scd2_customer_history", ok_plan)
     bad = _findings(
-        "sequence_pattern_funnel", "HashAggregate " + "lineitem.parquet " * n
+        "scd2_customer_history", "HashAggregate " + "lineitem.parquet " * n
     )
     assert any("lineitem.parquet" in b for b in bad)
     # staleness arm: a listed allowance whose plan scans fewer than the
     # cap at the measured sf is flagged (a loose cap would mask a later
     # regression); elsewhere the same plan passes
-    under = "HashAggregate " + "events.parquet " * (n - 1)
+    under = "HashAggregate " + "customer.parquet " * (n - 1)
     assert any("below the allowance" in b
-               for b in _findings("sequence_pattern_funnel", under))
-    assert not _findings("sequence_pattern_funnel", under, check_stale=False)
+               for b in _findings("scd2_customer_history", under))
+    assert not _findings("scd2_customer_history", under, check_stale=False)
 
 
 def test_audit_fires_on_stale_lineage_allowlist_entry():

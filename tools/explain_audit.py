@@ -123,12 +123,11 @@ SCAN_ALLOWANCE: dict[str, dict[str, int]] = {
     # fit/score branches; the vocab side is aggregate-scale and the
     # NTILE epilogue is bucket-bounded (r13 sweep: 6).
     "unigram_logprob_buckets": {"documents": 6},
-    # Strict-order sequential funnels: one pushed-filter scan of raw
-    # events per funnel stage (view/click/purchase ×2 legs) — the
-    # documented funnel shape; every shuffle shares the user_id key so
-    # AQE reuses one partitioning (r13 sweep: 6 each).
-    "sequence_pattern_funnel": {"events": 6},
-    "funnel_conversion": {"events": 6},
+    # (r13 optimization: funnel_conversion / sequence_pattern_funnel
+    # materialize their user-grain stage tables, so the lazy re-derive
+    # of stage N-1 under stage N is gone — events scans dropped 6 → 3
+    # each (the per-stage-filter floor), inside the default allowance;
+    # their entries are gone.)
     # (r13 optimization: referential_integrity_audit now checks all
     # three lineitem FKs in ONE scan — its allowance entry is gone;
     # market_basket_brand_rules materializes the basket frame — its
@@ -160,7 +159,7 @@ LINEAGE_TRUNCATED = frozenset({
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_weighted_jaccard",
     "dynamic_partition_pruning_join", "embedding_canonicalize",
     "flagship_known_zones", "flagship_most_populars",
-    "funnel_latency_stats", "fuzzy_match_fastss",
+    "funnel_conversion", "funnel_latency_stats", "fuzzy_match_fastss",
     "fuzzy_match_fastss2", "graph_bfs_hops", "graph_degree_assortativity",
     "graph_kcore", "graph_pagerank", "graph_pagerank_distributed",
     "graph_shortest_paths", "graph_triangles", "hard_negative_mining_ivf",
@@ -172,6 +171,7 @@ LINEAGE_TRUNCATED = frozenset({
     "observed_scan_metrics", "pack_sequences", "packing_fragmentation_audit",
     "partition_pruned_scan", "record_linkage_blocked",
     "rouge_l_decontaminate", "schema_evolution_merge",
+    "sequence_pattern_funnel",
     "source_distinctive_terms", "split_leakage_audit",
     "streaming_cdc_upsert", "streaming_checkpoint_resume",
     "streaming_dedup_watermark", "streaming_dq_monitor",
