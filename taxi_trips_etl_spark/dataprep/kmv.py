@@ -120,7 +120,15 @@ def kmv_pairwise_overlap(
     same plan serves 100 TB of events: cost lives entirely in the one
     sketch build.
     """
-    sk = kmv_sketch(df, set_col, value_col, k)
+    # r13 fan-out fix: sk is consumed three times (both crossJoin
+    # sides of the pair table via ``sets``, plus ``tagged``) and the
+    # lazy plan re-ran the corpus-scale distinct+top-k sketch build
+    # under each — 3 full scans for one sketch. The sketch is
+    # ≤ n_sets·k rows by construction, so materializing it is free
+    # next to one saved corpus pass.
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    sk = materialize(kmv_sketch(df, set_col, value_col, k), eager=False)
     sets = sk.select("set_key").distinct()
     pairs = (
         sets.select(F.col("set_key").alias("sa"))

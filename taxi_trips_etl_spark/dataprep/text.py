@@ -825,9 +825,21 @@ def unigram_logprob_score(
     Equal-WIDTH (not quantile) buckets keep the op one aggregation +
     one broadcast join — no global sort; the min/max reduce is 2
     doubles.
+
+    r13 fan-out fix: the lazy plan re-derived the tokenize spine under
+    every consumer (``model`` under totals AND probs, ``scored`` under
+    the min/max reduce AND the final select) — 6 corpus scans for a
+    2-pass fit/score algorithm. Materializing the two aggregate-grain
+    frames (``model`` is vocab-sized, ``scored`` is doc-id + 1 double)
+    pins the corpus passes at the structural floor: one explode for
+    the fit, one for the scoring join.
     """
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     toks = docs.select("doc_id", F.explode(tokens_col(text)).alias("tok"))
-    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    model = materialize(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")), eager=False
+    )
     totals = model.agg(
         F.sum("n").alias("tot"), F.count(F.lit(1)).alias("vocab")
     )
@@ -835,10 +847,11 @@ def unigram_logprob_score(
         "tok",
         F.log((F.col("n") + 1) / (F.col("tot") + F.col("vocab"))).alias("lp"),
     )
-    scored = (
+    scored = materialize(
         toks.join(F.broadcast(probs), "tok")
         .groupBy("doc_id")
-        .agg(F.round(F.avg("lp"), 6).alias("mean_logprob"))
+        .agg(F.round(F.avg("lp"), 6).alias("mean_logprob")),
+        eager=False,
     )
     rng = scored.agg(
         F.min("mean_logprob").alias("lo"), F.max("mean_logprob").alias("hi")

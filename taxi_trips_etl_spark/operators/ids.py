@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from taxi_trips_etl_spark.dataprep.materialize import materialize
+
 
 def assign_global_ids(
     df: DataFrame,
@@ -44,9 +46,17 @@ def assign_global_ids(
         if num_partitions
         else df.repartitionByRange(*cols)
     )
-    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__lrk",
-        F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+    # r13: materialize the ranked frame — it feeds both the offsets
+    # aggregate and the final join, and the differently-pruned subtrees
+    # get no ReusedExchange, so the lazy plan ran the scan + range
+    # shuffle + sort TWICE (interleaved sf0.1 A/B on orders: 0.84s →
+    # 0.43s per fresh call, 2 scans/2 sorts → checkpoint-read).
+    local = materialize(
+        ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__lrk",
+            F.row_number().over(Window.partitionBy("__pid").orderBy(*cols)),
+        ),
+        eager=False,
     )
     counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     w_off = (
@@ -90,8 +100,13 @@ def assign_prefix_sums(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
-        "__lsum", F.sum(value_col).over(w_local)
+    # r13: same double-consumption as assign_global_ids above — the
+    # totals aggregate and the final join each re-ran the ranged sort.
+    local = materialize(
+        ranged.withColumn("__pid", F.spark_partition_id()).withColumn(
+            "__lsum", F.sum(value_col).over(w_local)
+        ),
+        eager=False,
     )
     totals = local.groupBy("__pid").agg(
         F.sum(value_col).alias("__t")

@@ -117,22 +117,40 @@ def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.split(F.trim(F.lower("text")), r"\s+").alias("toks"),
     )
-    tok = docs.select(
-        "doc_id", F.explode("toks").alias("tok")
-    ).distinct()
-    qtok = tok.filter(F.col("doc_id") == 0).select("tok")
-    dtok = tok.filter(F.col("doc_id") != 0)
-    dsize = dtok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok")
+    # r13 fan-out fix: the old shape derived qtok, dsize and inter as
+    # three separate consumers of the tokenize+distinct spine — three
+    # corpus-scale explode passes plus a dsize⋈inter shuffle join.
+    # Now the query-token set comes from a pushed doc_id=0 scan
+    # (materialized: it is |query| rows) and ONE pass over the corpus
+    # postings computes n_tok and n_int together via a left broadcast
+    # join — the n_int>0 filter reproduces the old inner-join drop of
+    # zero-intersection docs exactly.
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    qtok = materialize(
+        docs.filter(F.col("doc_id") == 0)
+        .select(F.explode("toks").alias("tok"))
+        .distinct(),
+        eager=False,
+    )
+    dtok = (
+        docs.filter(F.col("doc_id") != 0)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .distinct()
     )
     q_tok = qtok.agg(F.count(F.lit(1)).alias("q_tok"))
-    inter = (
-        dtok.join(F.broadcast(qtok), "tok")
+    stats = (
+        dtok.join(
+            F.broadcast(qtok.withColumn("__q", F.lit(1))), "tok", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_int"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count("__q").cast("long").alias("n_int"),
+        )
     )
     jac = (
-        inter.join(dsize, "doc_id")
+        stats.filter(F.col("n_int") > 0)
         .crossJoin(F.broadcast(q_tok))
         .selectExpr(
             "doc_id AS id",

@@ -118,11 +118,10 @@ SCAN_ALLOWANCE: dict[str, dict[str, int]] = {
     # (untouched/closed/opened) each re-read the dim-side join — all
     # dim-scale (r13 sweep: 9).
     "scd2_customer_history": {"customer": 9},
-    # CCNet perplexity bucketing: LM fit (token→vocab aggregate,
-    # broadcast back) + doc scoring share the tokenize subtree across
-    # fit/score branches; the vocab side is aggregate-scale and the
-    # NTILE epilogue is bucket-bounded (r13 sweep: 6).
-    "unigram_logprob_buckets": {"documents": 6},
+    # (r13 optimization: unigram_logprob_buckets materializes the
+    # vocab model and doc-score frames — the final plan reads the
+    # checkpoints, so its 6-scan allowance is gone; the name moved to
+    # LINEAGE_TRUNCATED.)
     # (r13 optimization: funnel_conversion / sequence_pattern_funnel
     # materialize their user-grain stage tables, so the lazy re-derive
     # of stage N-1 under stage N is gone — events scans dropped 6 → 3
@@ -152,6 +151,13 @@ SCAN_ALLOWANCE: dict[str, dict[str, int]] = {
 # scan gate re-covers it).
 # ---------------------------------------------------------------------------
 LINEAGE_TRUNCATED = frozenset({
+    # r13 batch: the two-pass range-rank operators (operators/ids.py)
+    # now materialize their ranked frame (acctbal_decile_profile,
+    # global_ids_orders, inventory_abc_classification,
+    # lorenz_curve_points, revenue_gini); unigram_logprob_buckets
+    # materializes its vocab model + doc scores; hybrid_rrf_search its
+    # query-token set; kmv_user_overlap its sketch.
+    "acctbal_decile_profile",
     "bpe_learn_merges", "bpe_learn_merges_distributed",
     "compact_small_files_audit", "corpus_prepare_pipeline",
     "corpus_prepare_v2", "corpus_prepare_v3", "dedup_canonicalize",
@@ -160,16 +166,21 @@ LINEAGE_TRUNCATED = frozenset({
     "dynamic_partition_pruning_join", "embedding_canonicalize",
     "flagship_known_zones", "flagship_most_populars",
     "funnel_conversion", "funnel_latency_stats", "fuzzy_match_fastss",
-    "fuzzy_match_fastss2", "graph_bfs_hops", "graph_degree_assortativity",
+    "fuzzy_match_fastss2", "global_ids_orders", "graph_bfs_hops",
+    "graph_degree_assortativity",
     "graph_kcore", "graph_pagerank", "graph_pagerank_distributed",
     "graph_shortest_paths", "graph_triangles", "hard_negative_mining_ivf",
-    "heavy_hitters_tokens", "hex_neighbor_smoothing", "jsonl_roundtrip_docs",
-    "kn_doc_xent_filter", "kneser_ney_bigram",
+    "heavy_hitters_tokens", "hex_neighbor_smoothing",
+    "hybrid_rrf_search", "inventory_abc_classification",
+    "jsonl_roundtrip_docs",
+    "kmv_user_overlap", "kn_doc_xent_filter", "kneser_ney_bigram",
+    "lorenz_curve_points",
     "market_basket_brand_rules", "market_basket_triples",
     "markov_stationary_micro", "minhash_lsh_recall",
     "mmr_diversify_rerank", "most_populars_flat", "ngram_containment_pairs",
     "observed_scan_metrics", "pack_sequences", "packing_fragmentation_audit",
     "partition_pruned_scan", "record_linkage_blocked",
+    "revenue_gini",
     "rouge_l_decontaminate", "schema_evolution_merge",
     "sequence_pattern_funnel",
     "source_distinctive_terms", "split_leakage_audit",
@@ -178,7 +189,8 @@ LINEAGE_TRUNCATED = frozenset({
     "streaming_full_outer_attribution", "streaming_ingest_dedup",
     "streaming_late_dupes_dropped", "streaming_outer_attribution",
     "streaming_semi_attribution", "subsample_ci_revenue",
-    "tfidf_cosine_pairs", "tpch_top_supplier", "winnowing_near_dup_pairs",
+    "tfidf_cosine_pairs", "tpch_top_supplier",
+    "unigram_logprob_buckets", "winnowing_near_dup_pairs",
 })
 
 # ---------------------------------------------------------------------------
@@ -270,7 +282,9 @@ BNLJ_ALLOWED: dict[str, int] = {
     "subsample_ci_revenue": 2, "temperature_mixture_weights": 2,
     "theil_sen_slope": 2, "tpch_important_parts": 2,
     "tpch_sales_opportunity": 2, "trend_slope_by_event_type": 2,
-    "unigram_logprob_buckets": 6, "vocab_top_p_cutoff": 2,
+    # (unigram_logprob_buckets 6→2 in r13: the model/score materialize
+    # leaves one scalar-broadcast crossJoin in the final plan.)
+    "unigram_logprob_buckets": 2, "vocab_top_p_cutoff": 2,
     "window_distribution_approx": 2,
 }
 
@@ -313,7 +327,7 @@ EXPECT = {
     "gopher_quality_filter": ["codegen id"],
     "dup_ngram_coverage": ["HashAggregate"],
     "dsir_importance_weights": ["BroadcastHashJoin", "HashAggregate"],
-    "unigram_logprob_buckets": ["BroadcastHashJoin", "HashAggregate"],
+    "unigram_logprob_buckets": ["Scan ExistingRDD", "HashAggregate"],
     "tpch_market_share": ["BroadcastHashJoin", "HashAggregate"],
     "session_window_agg": ["HashAggregate"],
     "embedding_pca_project": ["codegen id"],
@@ -416,8 +430,10 @@ EXPECT = {
     "cusum_change_days": ["HashAggregate", "Window"],
     "ols_normal_equations": ["HashAggregate"],
     "markov_stationary_micro": ["HashAggregate"],
-    # two-pass rank: the decile sort must be a parallel range exchange
-    "acctbal_decile_profile": ["rangepartitioning", "Window"],
+    # two-pass rank: the parallel range sort now lives behind the
+    # r13 materialize (plans/r13/*_before.txt show the rangepartitioning
+    # exchange); the final plan must read the checkpoint, never re-sort
+    "acctbal_decile_profile": ["Scan ExistingRDD", "Window"],
     "hybrid_rrf_search": ["TakeOrderedAndProject", "HashAggregate"],
     "chisq_independence": ["HashAggregate", "Window"],
     "seasonal_dow_adjustment": ["HashAggregate", "BroadcastHashJoin"],
@@ -427,7 +443,7 @@ EXPECT = {
     "kmeans_silhouette": ["Project"],
     "multitouch_attribution": ["HashAggregate"],
     "sequence_pattern_funnel": ["HashAggregate"],
-    "revenue_gini": ["rangepartitioning", "HashAggregate"],
+    "revenue_gini": ["Scan ExistingRDD", "HashAggregate"],
     "phrase_search_positional": ["HashAggregate"],
     "table_diff_checksums": ["HashAggregate"],
     "autocomplete_prefixes": ["HashAggregate", "Window"],
@@ -449,7 +465,7 @@ EXPECT = {
     "market_basket_triples": ["LeftSemi", "BroadcastHashJoin",
                               "HashAggregate"],
     "changepoint_segmented_ols": ["Window", "TakeOrderedAndProject"],
-    "lorenz_curve_points": ["rangepartitioning", "HashAggregate"],
+    "lorenz_curve_points": ["Scan ExistingRDD", "HashAggregate"],
     "simpson_paradox_audit": ["HashAggregate"],
     "discount_quantity_corr_by_brand": ["BroadcastHashJoin",
                                         "HashAggregate"],
@@ -458,7 +474,7 @@ EXPECT = {
     "hhi_market_concentration": ["BroadcastHashJoin", "Window"],
     "partition_skew_stats": ["HashAggregate"],
     "rapid_reorder_audit": ["HashAggregate"],
-    "inventory_abc_classification": ["rangepartitioning",
+    "inventory_abc_classification": ["Scan ExistingRDD",
                                      "HashAggregate"],
     "ks_drift_test": ["HashAggregate", "Window"],
     "mannwhitney_u_test": ["HashAggregate", "Window"],
