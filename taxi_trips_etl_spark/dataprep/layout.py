@@ -37,8 +37,14 @@ def range_partition_plan(
     audit for that sampler); the plan table itself is k rows.
 
     → (bucket, lo, hi, n_rows), bucket ∈ [0, k).
+
+    This exact version deliberately keeps its SinglePartition rank —
+    it IS the audit for the sampled planner (same posture as
+    minhash_lsh_recall's exact leg). r13 trims its fan-out instead:
+    the total row count comes from a count window over the same
+    single partition the rank already sorted — the second full scan
+    and its crossJoin broadcast are gone, at zero added cost.
     """
-    total = df.select(F.count(F.lit(1)).cast("long").alias("n"))
     sel = df.select(
         F.col(key).alias("k"),
         *([F.col(tiebreak).alias("tb")] if tiebreak else []),
@@ -49,7 +55,10 @@ def range_partition_plan(
     ranked = (
         sel
         .withColumn("rn", F.row_number().over(w).cast("long"))
-        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n",
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("long"),
+        )
         .withColumn(
             "bucket",
             F.expr(f"(rn - 1) * {n_partitions} div n").cast("long"),
@@ -100,19 +109,22 @@ def sampled_range_partition_plan(
             f" % {sample_mod} = 0"
         )
     )
-    n_s = sample.select(F.count(F.lit(1)).cast("long").alias("ns"))
+    # r13: the sample rank rides the two-pass range-partition scheme
+    # (the old window was a SinglePartition sort of the ~1/mod sample —
+    # corpus/mod rows through one task at 100 TB), and the sample count
+    # reads the materialized ranked frame instead of re-running the
+    # sample filter scan.
+    from taxi_trips_etl_spark.operators.ids import assign_global_ids
+
     sel = sample.select(
         F.col(key).alias("k_"),
         *([F.col(tiebreak).alias("tb_")] if tiebreak else []),
     )
-    w = Window.orderBy(
-        F.col("k_"), *([F.col("tb_")] if tiebreak else [])
+    ranked0 = assign_global_ids(
+        sel, ["k_"] + (["tb_"] if tiebreak else []), id_col="rn"
     )
-    ranked = (
-        sel
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .crossJoin(F.broadcast(n_s))
-    )
+    n_s = ranked0.select(F.count(F.lit(1)).cast("long").alias("ns"))
+    ranked = ranked0.crossJoin(F.broadcast(n_s))
     # Upper split point of bucket b = the sample value at rank
     # ceil((b+1)·ns/k) — the last bucket is unbounded above.
     bounds = (
@@ -143,7 +155,9 @@ def sampled_range_partition_plan(
         .groupBy("k_", "cnt")
         .agg(F.count(F.col("upper")).cast("long").alias("bucket"))
     )
-    total = df.select(F.count(F.lit(1)).cast("long").alias("n"))
+    # r13: the grand total is Σ n_rows over the ≤k bucket rows (every
+    # key lands in exactly one bucket), so the old third full scan of
+    # ``df`` + crossJoin becomes a window over the bucket-grain frame.
     return (
         assigned.groupBy("bucket")
         .agg(
@@ -151,7 +165,9 @@ def sampled_range_partition_plan(
             F.max("k_").cast("long").alias("hi"),
             F.sum("cnt").cast("long").alias("n_rows"),
         )
-        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "n", F.sum("n_rows").over(Window.partitionBy()).cast("long")
+        )
         .select(
             "bucket",
             "lo",

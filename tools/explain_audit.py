@@ -181,7 +181,8 @@ LINEAGE_TRUNCATED = frozenset({
     "observed_scan_metrics", "pack_sequences", "packing_fragmentation_audit",
     "partition_pruned_scan", "record_linkage_blocked",
     "revenue_gini",
-    "rouge_l_decontaminate", "schema_evolution_merge",
+    "rouge_l_decontaminate", "sampled_range_partition_plan",
+    "schema_evolution_merge",
     "sequence_pattern_funnel",
     "source_distinctive_terms", "split_leakage_audit",
     "streaming_cdc_upsert", "streaming_checkpoint_resume",
@@ -270,12 +271,16 @@ BNLJ_ALLOWED: dict[str, int] = {
     # recomputes; the pair/freq materialize leaves one BNLJ site.
     "market_basket_brand_rules": 2, "market_basket_triples": 2,
     "markov_stationary_micro": 2, "negative_sample_table": 4,
-    "pmi_collocations": 2, "range_partition_plan": 2,
+    "pmi_collocations": 2,
+    # (range_partition_plan's total-count crossJoin became a window
+    # over the already-single-partition rank in r13 — 0 BNLJ left.)
     # (referential_integrity_audit's 10 BNLJ hits were the five
     # count(*)-crossJoin scalar broadcasts; the r13 one-pass rewrite
     # removed them all.)
     "rolling_active_users": 2,
-    "sampled_range_partition_plan": 6, "seasonal_dow_adjustment": 2,
+    # sampled planner: 6→4 in r13 — the ns crossJoin now reads the
+    # materialized rank; the boundary/assignment broadcasts remain.
+    "sampled_range_partition_plan": 4, "seasonal_dow_adjustment": 2,
     "semantic_decontaminate": 2, "semantic_search_docs": 2,
     "similarity_cosine_topk": 2, "similarity_ivf_topk": 4,
     "simpson_paradox_audit": 2, "source_distinctive_terms": 2,
