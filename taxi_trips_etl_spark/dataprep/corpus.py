@@ -41,11 +41,18 @@ def prepare_corpus(
     q_ok = quality_scores(docs).filter(
         F.col("quality_score") >= quality_min
     ).select("doc_id")
-    kept = docs.join(q_ok, "doc_id")
+    # Same survivor-checkpoint posture as v2/v3 below: `kept` feeds the
+    # exact-dedup pass AND the canonical join, `kept2` feeds the
+    # near-dup self-join AND the anti-join — all with zero
+    # ReusedExchange, so the lazy plan re-derived the quality-gate
+    # lineage per consumer (r13: docs scans 8 → 2). One checkpoint per
+    # stage = one computation of it; at 100 TB this is reading the
+    # corpus twice instead of eight times.
+    kept = docs.join(q_ok, "doc_id").transform(materialize, eager=False)
     canon = exact_duplicates(kept).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
-    kept2 = kept.join(canon, "doc_id")
+    kept2 = kept.join(canon, "doc_id").transform(materialize, eager=False)
     near_dups = (
         ngram_jaccard_pairs(kept2, threshold=jaccard_threshold)
         .select(F.col("doc_id_b").alias("doc_id"))

@@ -1152,8 +1152,20 @@ def truncation_recall(
     the truncated vectors from IVF/LSH. Joins after scoring touch only
     probe×k rows.
     """
-    q = embeddings.filter(F.col(id_col) < query_ids_below).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    # The probe set is ≤ query_ids_below rows but its subtree is a
+    # corpus scan; it feeds every per-dim pair build plus the per-dim
+    # zero-fill left join (2 + len(dims) consumers, no ReusedExchange
+    # across them) — materialize so the corpus is scanned once per
+    # scoring leg and never for the probe side (r13: embeddings scans
+    # 10 → 2, the one-brute-force-leg-per-dim floor; the truth leg's
+    # pass is behind its own checkpoint below).
+    q = materialize(
+        embeddings.filter(F.col(id_col) < query_ids_below).select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        eager=False,
     )
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -1172,12 +1184,18 @@ def truncation_recall(
             .select("query_id", "neighbor_id")
         )
 
-    truth = _topk(
-        pairs.select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
-        )
+    # probes×k rows, consumed by every per-dim hits join: without a
+    # checkpoint the full-width scoring pass (a corpus scan + window
+    # top-k) re-executes under EACH dim.
+    truth = materialize(
+        _topk(
+            pairs.select(
+                "query_id",
+                "neighbor_id",
+                cosine(F.col("q_vec"), F.col("c_vec")).alias("_cos"),
+            )
+        ),
+        eager=False,
     )
     per_dim = []
     for d in dims:

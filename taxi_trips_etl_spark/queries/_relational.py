@@ -376,11 +376,19 @@ def q_hex_neighbor_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.operators.enrich import enrich_trips
     from taxi_trips_etl_spark.sources.taxi_testdata import zone_dim
 
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     enriched = enrich_trips(_norm_trips(spark, sf_dir), zone_dim(spark))
-    counts = (
+    # cell-grain (≤ |hex cells| rows), consumed by the neighbor fan-out
+    # AND the final cell join: without a checkpoint the whole
+    # load→normalize→geo-enrich spine (including the centroid→cell
+    # Python UDF on the dim side) re-executes under both consumers
+    # (r13: fact scans 2 → 1, BatchEvalPython 4 → 2).
+    counts = materialize(
         enriched.filter(F.col("h3_dropoff").isNotNull())
         .groupBy(F.col("h3_dropoff").alias("cell"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        eager=False,
     )
     parts = F.split("cell", "_")
     qq = F.element_at(parts, 2).cast("long")

@@ -331,12 +331,30 @@ def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("tok"))
         .filter(F.col("tok") != "")
     )
-    occ = tok.join(b, "doc_id").groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tok")
+    # ONE tokenize pass for both curves: aggregate to (bucket, tok)
+    # grain (≤ 10×vocab rows, materialized) and derive both sides from
+    # it — occurrence totals are the per-bucket cnt sums, and because
+    # ntile(10) OVER (ORDER BY doc_id) is monotone in doc_id, the
+    # bucket of a token's FIRST doc is exactly min(bucket), so the
+    # first-occurrence count per bucket needs no second tokenize +
+    # min(doc_id) pass (r13: the lazy plan ran the corpus tokenize
+    # spine and the doc-bucket window twice each, scans 4 → 2).
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    tb = materialize(
+        tok.join(b, "doc_id")
+        .groupBy("bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        eager=False,
     )
-    firsts = tok.groupBy("tok").agg(F.min("doc_id").alias("doc_id"))
-    nv = firsts.join(b, "doc_id").groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_new")
+    occ = tb.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("n_tok")
+    )
+    nv = (
+        tb.groupBy("tok")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     )
     d = (
         occ.join(nv, "bucket", "left")

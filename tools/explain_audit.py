@@ -71,8 +71,9 @@ PY_EVAL_WHITELIST = frozenset({
     # r13: the flagship entries left this list — their geo-UDF
     # enrichment now runs inside the materialized route-count spine
     # (operators/popularity.route_counts), so the final lazy plans are
-    # 100% JVM and the gate re-covers them.
-    "hex_neighbor_smoothing",
+    # 100% JVM and the gate re-covers them. hex_neighbor_smoothing
+    # followed in the same round (cell-count materialize), leaving the
+    # UDTF surface entry as the only sanctioned row-at-a-time site.
     "udtf_split_sentences",
 })
 
@@ -107,11 +108,11 @@ SCAN_ALLOWANCE: dict[str, dict[str, int]] = {
     # user-grain stage tables and fuses the two leg epilogues into one
     # stack'd aggregate — events scans dropped 12 → 3, inside the
     # default allowance, so its entry is gone.)
-    # Matryoshka audit: recall@10 at d∈{16,32} vs full-width truth —
-    # each truncation level is a separate brute-force leg over the
-    # embeddings table BY DESIGN (it measures the levels against each
-    # other); probe sides are 20-row broadcasts (r13 sweep: 10).
-    "embedding_truncation_recall": {"embeddings": 10},
+    # (r13 optimization: embedding_truncation_recall materializes the
+    # probe set and the full-width truth top-k — scans dropped 10 → 3,
+    # the one-brute-force-leg-per-dim floor, inside the default
+    # allowance; its entry is gone and the name moved to
+    # LINEAGE_TRUNCATED.)
     # SCD2 apply on the customer DIMENSION (small by definition at
     # 100 TB — the fact side never enters): the synthetic update batch
     # derives from customer (2 scans) and the three branch outcomes
@@ -164,12 +165,14 @@ LINEAGE_TRUNCATED = frozenset({
     "dedup_components", "dedup_components_star", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_weighted_jaccard",
     "dynamic_partition_pruning_join", "embedding_canonicalize",
+    "embedding_truncation_recall",
     "flagship_known_zones", "flagship_most_populars",
     "funnel_conversion", "funnel_latency_stats", "fuzzy_match_fastss",
     "fuzzy_match_fastss2", "global_ids_orders", "graph_bfs_hops",
     "graph_degree_assortativity",
     "graph_kcore", "graph_pagerank", "graph_pagerank_distributed",
     "graph_shortest_paths", "graph_triangles", "hard_negative_mining_ivf",
+    "heaps_vocab_growth",
     "heavy_hitters_tokens", "hex_neighbor_smoothing",
     "hybrid_rrf_search", "inventory_abc_classification",
     "jsonl_roundtrip_docs",
@@ -221,7 +224,10 @@ PY_NODE_ALLOWED: dict[str, frozenset[str]] = {
     # of three — operators/popularity.route_counts), so their FINAL lazy
     # plans are 100% JVM; the UDF placement is pinned by the enrich-plan
     # pytest instead (tests/test_plans.py).
-    "hex_neighbor_smoothing": frozenset({"BatchEvalPython"}),
+    # (r13 optimization: hex_neighbor_smoothing materializes its
+    # cell-grain counts, so the geo UDF runs once inside the
+    # checkpointed spine and its FINAL plan is 100% JVM — same
+    # precedent as the flagship entries above; its entry is gone.)
     # Python UDTF surface entry (exercises the API on purpose).
     "udtf_split_sentences": frozenset({"BatchEvalPython"}),
     # Cogrouped per-cluster mining: bounded probe × bucket cogroups.
@@ -261,7 +267,10 @@ BNLJ_ALLOWED: dict[str, int] = {
     "boilerplate_chunk_removal": 2, "corpus_prepare_v3": 6,
     "cusum_change_days": 2, "domain_mixture_sample": 2,
     "domain_token_budgets": 2, "dsir_importance_weights": 2,
-    "embedding_near_dup_recall": 4, "embedding_truncation_recall": 8,
+    # embedding_truncation_recall dropped 8→4 in r13: the full-width
+    # truth leg (and its probe-broadcast BNLJ) is materialized, so the
+    # final plan carries one BNLJ per remaining truncation-dim leg.
+    "embedding_near_dup_recall": 4, "embedding_truncation_recall": 4,
     "hard_negative_mining": 2, "heavy_hitters_tokens": 2,
     "histogram_quantile_estimate": 4, "hybrid_rrf_search": 4,
     "interpolate_user_daily": 2, "kmv_user_overlap": 4,
