@@ -104,22 +104,30 @@ def prepare_corpus_v2(
         tokenize_with_vocab,
     )
 
+    # Every pre-survivor stage below feeds TWO consumers (gated → the
+    # PII pass and the drop-text join; scrubbed → the exact-dedup pass
+    # and the canonical join; kept2 → the decontaminate pass and the
+    # anti-join) with zero ReusedExchange, so inside the survivor
+    # checkpoint's fill the lazy plan re-derived gated up to 8× (r13
+    # measured: the fill dominated the entry at ~2× the post-fix
+    # cost). One checkpoint per stage = one computation of it — the
+    # same ledger as the kept3 checkpoint itself.
     gated = docs.join(
         c4_quality_filter(docs).filter(F.col("keep") == 1).select("doc_id"),
         "doc_id",
-    )
+    ).transform(materialize, eager=False)
     scrubbed = gated.drop("text").join(
         pii_scrub(gated).select(
             "doc_id", F.col("scrubbed_text").alias("text")
         ),
         "doc_id",
-    )
+    ).transform(materialize, eager=False)
     canon = exact_duplicates(scrubbed).select(
         F.col("canonical_doc_id").alias("doc_id")
     )
     kept2 = scrubbed.join(canon, "doc_id").filter(
         F.col("doc_id") % 20 != 0
-    )
+    ).transform(materialize, eager=False)
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     contaminated = (
         ngram_decontaminate(kept2, eval_docs, n=5)
@@ -186,11 +194,21 @@ def prepare_corpus_v3(
         .filter(F.col("margin_scaled") > 0)
         .select("doc_id")
     )
-    gated = docs.join(gate, "doc_id")
-    canon = exact_duplicates(gated).select(
-        F.col("canonical_doc_id").alias("doc_id")
+    # Same pre-survivor checkpoint ledger as v2 above: gated feeds the
+    # exact-dedup pass AND the canonical join, kept2 the decontaminate
+    # pass AND the anti-join — materialize each so the classifier-gate
+    # lineage runs once, not 4×, inside the survivor fill.
+    gated = docs.join(gate, "doc_id").transform(materialize, eager=False)
+    kept2 = (
+        gated.join(
+            exact_duplicates(gated).select(
+                F.col("canonical_doc_id").alias("doc_id")
+            ),
+            "doc_id",
+        )
+        .filter(F.col("doc_id") % 20 != 0)
+        .transform(materialize, eager=False)
     )
-    kept2 = gated.join(canon, "doc_id").filter(F.col("doc_id") % 20 != 0)
     eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
     contaminated = (
         ngram_decontaminate(kept2, eval_docs, n=5)
