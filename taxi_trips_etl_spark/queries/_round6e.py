@@ -98,16 +98,19 @@ def q_mmr_diversify_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     1998): from the cosine top-8 shortlist, greedily pick 4 results
     maximizing 0.7·relevance − 0.3·max-similarity-to-picked — the
     standard diversity pass between retrieval and an LLM context
-    window. Greedy argmax is inherently sequential, so the engine
-    runs K tiny driver-coordinated steps over the SHORTLIST (the
-    same bounded-iteration pattern as k-means centroids), never over
-    the corpus; the oracle unrolls the identical four steps as CTEs.
+    window. Greedy argmax is inherently sequential AND the state it
+    iterates on is the fixed-size shortlist — so the shortlist and its
+    pairwise cosine matrix (computed distributed, by the same Spark
+    expression the oracle replays) collect ONCE and the K selection
+    steps run on the driver; the oracle unrolls the identical four
+    steps as CTEs.
 
     Scale shape: corpus-sized work is only the top-8 TakeOrdered
     shortlist scan with the query broadcast; everything after runs on
-    8 rows × K steps. score_milli is floored Spark-side so the
-    emitted value IS the plan's double, hash-pinned vs the oracle's
-    identical expression."""
+    8 + 56 collected rows (bounded by the shortlist constant, never
+    the corpus). score_milli is the same IEEE floor-milli arithmetic
+    on the same collected doubles the old per-step Spark jobs
+    computed, hash-pinned vs the oracle's identical expression."""
     from taxi_trips_etl_spark.dataprep.similarity import cosine
     from taxi_trips_etl_spark.sources.localrel import local_rows
 
@@ -126,48 +129,51 @@ def q_mmr_diversify_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_MMR_SHORTLIST)
         .cache()
     )
-    ids = [r.id for r in rel.select("id").collect()]
+    # r13 (guide §5 — the driver should do almost no data work, and
+    # the corollary: don't run a JOB per greedy step either): the old
+    # loop ran K orderBy-limit-collect jobs over the 8-row shortlist
+    # (≈10 driver round-trips of scheduling latency for microseconds
+    # of argmax). Collect the shortlist (8 rows) and its pairwise
+    # cosine matrix (56 rows, still computed by the SAME Spark
+    # `cosine` expression so every double is bit-identical) ONCE, and
+    # run the greedy argmax in plain Python — strictly less driver
+    # data than the per-step collects, and the selection rule
+    # (IEEE-double 0.7·rel − 0.3·max-sim, floor-milli, id tiebreak)
+    # is the identical arithmetic on the identical doubles.
+    rel_rows = rel.collect()
+    ids = [r.id for r in rel_rows]
     emb8 = emb.filter(F.col("vec_id").isin(ids))
     a = emb8.selectExpr("vec_id AS ia", "emb AS ea")
     b = emb8.selectExpr("vec_id AS ib", "emb AS eb")
-    sim = (
+    sim_rows = (
         a.join(b, F.col("ia") != F.col("ib"))
         .select("ia", "ib", cosine(F.col("ea"), F.col("eb")).alias("s"))
-        .cache()
+        .collect()
     )
+    rel.unpersist()
+    import math
+
+    rel_of = {r.id: r.rel for r in rel_rows}
+    sim_of: dict[tuple[int, int], float] = {
+        (r.ia, r.ib): r.s for r in sim_rows
+    }
     picked: list[tuple[int, int, int]] = []  # (rank, id, score_milli)
     sel_ids: list[int] = []
     for step in range(1, _MMR_K + 1):
-        if not sel_ids:
-            cand = rel.selectExpr(
-                "id",
-                "CAST(floor(1000.0 * (0.7 * rel) + 0.5) AS BIGINT)"
-                " AS score_milli",
-                "0.7 * rel AS score",
-            )
-        else:
-            maxsim = (
-                sim.filter(F.col("ib").isin(sel_ids))
-                .groupBy("ia")
-                .agg(F.max("s").alias("ms"))
-            )
-            cand = (
-                rel.filter(~F.col("id").isin(sel_ids))
-                .join(maxsim, rel["id"] == maxsim["ia"])
-                .selectExpr(
-                    "id",
-                    "CAST(floor(1000.0 * (0.7 * rel - 0.3 * ms) + 0.5)"
-                    " AS BIGINT) AS score_milli",
-                    "0.7 * rel - 0.3 * ms AS score",
-                )
-            )
-        (top,) = (
-            cand.orderBy(F.col("score").desc(), "id").limit(1).collect()
-        )
-        picked.append((step, top.id, top.score_milli))
-        sel_ids.append(top.id)
-    rel.unpersist()
-    sim.unpersist()
+        best = None
+        for cid in ids:
+            if cid in sel_ids:
+                continue
+            if sel_ids:
+                ms = max(sim_of[(cid, s)] for s in sel_ids)
+                score = 0.7 * rel_of[cid] - 0.3 * ms
+            else:
+                score = 0.7 * rel_of[cid]
+            if best is None or (-score, cid) < (-best[0], best[1]):
+                best = (score, cid)
+        score, cid = best
+        picked.append((step, cid, int(math.floor(1000.0 * score + 0.5))))
+        sel_ids.append(cid)
     return local_rows(
         spark, picked, "sel_rank long, id long, score_milli long"
     )
