@@ -50,16 +50,36 @@ def rouge_l_pairs(
         tokens_table,
     )
 
-    pairs = (
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    # ≤ limit_pairs rows; materialized because three consumers below
+    # (the two id projections and the final join) would each re-run
+    # the candidate-join spine.
+    pairs = materialize(
         ngram_jaccard_pairs(docs, text=text, threshold=jaccard_threshold)
         .select("doc_id_a", "doc_id_b")
         .orderBy("doc_id_a", "doc_id_b")
-        .limit(limit_pairs)
+        .limit(limit_pairs),
+        eager=False,
     )
-    toks = tokens_table(docs, text)
+    # Broadcast the SMALL side (guide §3.1): the old shape broadcast
+    # the whole corpus-sized tokens table TWICE to join against a
+    # ≤ limit_pairs-row pair list — a driver/executor OOM at any real
+    # scale (broadcast relations cap at 8 GB) and two tokenize passes.
+    # Instead, one tokenize pass semi-joined down to the ≤ 2·limit
+    # pair ids, and THAT (bounded) table broadcasts to both sides.
+    ids = (
+        pairs.select(F.col("doc_id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    toks_small = materialize(
+        tokens_table(docs, text).join(F.broadcast(ids), "doc_id", "left_semi"),
+        eager=False,
+    )
     joined = pairs.join(
         F.broadcast(
-            toks.select(
+            toks_small.select(
                 F.col("doc_id").alias("doc_id_a"),
                 F.col("toks").alias("toks_a"),
             )
@@ -67,7 +87,7 @@ def rouge_l_pairs(
         "doc_id_a",
     ).join(
         F.broadcast(
-            toks.select(
+            toks_small.select(
                 F.col("doc_id").alias("doc_id_b"),
                 F.col("toks").alias("toks_b"),
             )
