@@ -1039,8 +1039,17 @@ def bigram_lm_topk(
         .agg(F.count(F.lit(1)).cast("long").alias("pair_n"))
     )
     head_w = Window.partitionBy("w1")
-    with_head = pairs.withColumn(
-        "head_n", F.sum("pair_n").over(head_w).cast("long")
+    # ≤ vocab² rows, consumed by the top-heads probe AND the final
+    # semi-join: without a checkpoint the tokenize→bigram-agg→window
+    # spine re-executes per consumer — two corpus passes for one
+    # aggregate (r13; same fix as kneser_ney_bigram_topk's spine).
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    with_head = materialize(
+        pairs.withColumn(
+            "head_n", F.sum("pair_n").over(head_w).cast("long")
+        ),
+        eager=False,
     )
     # Top heads as a TakeOrderedAndProject limit (per-partition heaps,
     # no global sort) broadcast-semi-joined back — a global

@@ -158,7 +158,7 @@ LINEAGE_TRUNCATED = frozenset({
     # lorenz_curve_points, revenue_gini); unigram_logprob_buckets
     # materializes its vocab model + doc scores; hybrid_rrf_search its
     # query-token set; kmv_user_overlap its sketch.
-    "acctbal_decile_profile",
+    "acctbal_decile_profile", "bigram_lm_topk",
     "bpe_learn_merges", "bpe_learn_merges_distributed",
     "compact_small_files_audit", "corpus_prepare_pipeline",
     "corpus_prepare_v2", "corpus_prepare_v3", "dedup_canonicalize",
