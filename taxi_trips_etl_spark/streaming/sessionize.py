@@ -244,14 +244,25 @@ def run_streaming_sessionize(
                 cols.append(F.lit(None).cast(field.dataType).alias(field.name))
         sentinel.select(*cols).write.mode("append").parquet(staging)
 
-        q = (
-            streaming_sessionize(spark, staging, use_timeout=False)
-            .writeStream.format("memory")
-            .queryName(sink_table)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        # r13: pin the state-store width like every other stateful
+        # drive (streaming/state.py sizing rule — one state store per
+        # shuffle partition, each committing a checkpoint delta per
+        # micro-batch; the batch-width 32 here was the one unpinned
+        # stateful drive left). 8 matches the stream-join drives'
+        # measured sweet spot at this key cardinality.
+        from taxi_trips_etl_spark.streaming.state import (
+            state_partitions as _pin,
         )
+
+        with _pin(spark, 8):
+            q = (
+                streaming_sessionize(spark, staging, use_timeout=False)
+                .writeStream.format("memory")
+                .queryName(sink_table)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         if not q.awaitTermination(300):
             q.stop()
             raise TimeoutError("sessionize drive did not finish")
