@@ -70,14 +70,19 @@ def run_streaming_daypart_rollup(
     Output is flattened to plain columns (window start as a string) so
     downstream/batch consumers see a normal relational table.
     """
-    q = (
-        streaming_daypart_rollup(spark, events_dir)
-        .writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # r13: pin the state-store width (streaming/state.py sizing rule);
+    # the windowed aggregation keeps one store per shuffle partition.
+    from taxi_trips_etl_spark.streaming.state import state_partitions as _pin
+
+    with _pin(spark, 8):
+        q = (
+            streaming_daypart_rollup(spark, events_dir)
+            .writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(sink_table).select(
         F.date_format("day_window.start", "yyyy-MM-dd").alias("day"),

@@ -93,14 +93,19 @@ def run_streaming_static_enrich(
     final watermark); a continuous deployment uses append, where the
     watermark closes windows and bounds state.
     """
-    q = (
-        streaming_static_enrich(spark, events_dir, dim)
-        .writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
+    # r13: pin the state-store width (streaming/state.py sizing rule);
+    # the windowed aggregation keeps one store per shuffle partition.
+    from taxi_trips_etl_spark.streaming.state import state_partitions as _pin
+
+    with _pin(spark, 8):
+        q = (
+            streaming_static_enrich(spark, events_dir, dim)
+            .writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.table(sink_table).select(
         F.date_format("day_window.start", "yyyy-MM-dd").alias("day"),
