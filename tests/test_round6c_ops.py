@@ -174,12 +174,26 @@ def test_benford_covers_all_rows(spark):
         assert r.excess_milli == r.observed_milli - r.expected_milli
 
 
-def test_batch6_plan_shapes(spark):
+def test_batch6_plan_shapes(spark, monkeypatch):
     """Positive plan assertions: the decile rank rides the two-pass
     RangePartitioning scheme (not a global-sort ntile window over the
-    data), and the basket build broadcasts the brand dim."""
-    import __spark_entry__ as entry
+    data), and the basket build broadcasts the brand dim.
 
+    The r13 ranked-frame checkpoint (operators/ids.py) truncates the
+    shipped plan at Scan ExistingRDD, hiding the range shuffle from the
+    final explain — so the scheme is pinned with the ids-module
+    materialize patched to identity (exposing the spine), and the
+    shipped plan is separately pinned to actually root on the
+    checkpoint."""
+    import __spark_entry__ as entry
+    from taxi_trips_etl_spark.operators import ids
+
+    shipped = entry.queries()["acctbal_decile_profile"](spark, SF_DIR)
+    splan = shipped._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in splan  # the r13 checkpoint is in place
+    assert "rangepartitioning" not in splan.lower()  # …and hides the spine
+
+    monkeypatch.setattr(ids, "materialize", lambda df, eager=False: df)
     decile = entry.queries()["acctbal_decile_profile"](spark, SF_DIR)
     dplan = decile._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in dplan.lower()
