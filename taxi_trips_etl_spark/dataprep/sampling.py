@@ -63,6 +63,23 @@ def stratified_sample(
     return df.filter(bucket < threshold)
 
 
+def split_expr(
+    key: Column, test_rate: float = 0.2, salt: str = "split"
+) -> Column:
+    """The train/test label as a pure expression of ``key`` — split
+    membership is content-hash only (see :func:`train_test_split`), so
+    consumers that already hold the key column (pair tables, audit
+    joins) can derive the label inline instead of joining the
+    corpus-side assignment back in (r13: split_leakage_audit dropped
+    two corpus-sized join passes this way)."""
+    if not 0.0 <= test_rate <= 1.0:
+        raise ValueError(f"test_rate must be in [0, 1], got {test_rate}")
+    bucket = _key_bucket(key, salt)
+    return F.when(
+        bucket < int(test_rate * _HASH_SPACE), "test"
+    ).otherwise("train")
+
+
 def train_test_split(
     df: DataFrame, key: str, test_rate: float = 0.2, salt: str = "split"
 ) -> DataFrame:
@@ -72,13 +89,7 @@ def train_test_split(
     membership, and dedup-then-split pipelines can't leak a near-dup
     pair across the boundary if they split on the canonical doc key.
     """
-    if not 0.0 <= test_rate <= 1.0:
-        raise ValueError(f"test_rate must be in [0, 1], got {test_rate}")
-    bucket = _key_bucket(F.col(key), salt)
-    return df.withColumn(
-        "split",
-        F.when(bucket < int(test_rate * _HASH_SPACE), "test").otherwise("train"),
-    )
+    return df.withColumn("split", split_expr(F.col(key), test_rate, salt))
 
 
 def domain_mixture_sample(

@@ -970,21 +970,20 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     reason dedup-then-split must key on the canonical id). One number
     to alert on per corpus build; the pair side reuses the SimHash
     candidate shuffle, the split side is a scan-side hash expression."""
-    from taxi_trips_etl_spark.dataprep.sampling import train_test_split
+    from taxi_trips_etl_spark.dataprep.sampling import split_expr
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_duplicates(docs)
-    split = train_test_split(docs, key="doc_id").select("doc_id", "split")
+    # split is a PURE content-hash of doc_id (train_test_split keyed on
+    # doc_id), so both members' labels derive inline from the pair
+    # columns — the old shape joined the corpus-side split assignment
+    # back in TWICE (2 documents scans + 2 corpus-sized join passes at
+    # the 100 TB posture; the inner joins never dropped rows because
+    # every pair id comes from the same docs table).
     return (
-        pairs.join(
-            split.select(F.col("doc_id").alias("doc_id_a"),
-                         F.col("split").alias("split_a")),
-            "doc_id_a",
-        )
-        .join(
-            split.select(F.col("doc_id").alias("doc_id_b"),
-                         F.col("split").alias("split_b")),
-            "doc_id_b",
+        pairs.select(
+            split_expr(F.col("doc_id_a")).alias("split_a"),
+            split_expr(F.col("doc_id_b")).alias("split_b"),
         )
         .agg(
             F.count(F.lit(1)).alias("n_near_dup_pairs"),

@@ -636,11 +636,20 @@ def q_tpch_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         ((F.col("l_suppkey") % 45) > (F.col("l_partkey") % 30)).alias("late"),
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # Two-level aggregate instead of the double countDistinct: Spark
+    # plans multi-distinct via Expand (every row duplicated per
+    # distinct group → 2× the shuffle bytes). The (orderkey, suppkey)
+    # grain with max(late) is partial-aggregable map-side, and the two
+    # counts fall out of it exactly — count(*) of the grain IS
+    # countDistinct(suppkey), and a supplier is late iff any of its
+    # lines is (max over booleans), so sum(late) IS
+    # countDistinct(when(late, suppkey)).
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("late").cast("long")).alias("n_late_supp"),
     )
     o = (
         _t(spark, sf_dir, "orders")

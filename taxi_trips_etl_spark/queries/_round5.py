@@ -97,6 +97,13 @@ def q_tpch_promotion_candidates(
     share arithmetic).
     """
     li = _t(spark, sf_dir, "lineitem")
+    # shipped feeds both the per-part total and the final join (two
+    # lineitem passes in the lazy plan). Deliberately NOT checkpointed
+    # (r13 measured the materialize at 1.24 → 1.65 s, both interleaved
+    # A/B rounds lost): the (partkey, suppkey) grain barely collapses
+    # this fact table, so filling a near-fact-sized checkpoint costs
+    # more than re-scanning three column-pruned parquet columns — the
+    # same math holds at 100 TB.
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty")
     )

@@ -550,8 +550,11 @@ FORBID = {
     "unpivot_metrics": ["BatchEvalPython", "CartesianProduct"],
     "event_transition_matrix": ["BatchEvalPython", "CartesianProduct"],
     "kfold_assignment": ["BatchEvalPython", "CartesianProduct"],
+    # r13: the split labels derive inline from the pair columns
+    # (sampling.split_expr) — the corpus-side split table must never
+    # re-enter the final plan (it was two corpus join passes).
     "split_leakage_audit": ["CartesianProduct", "BatchEvalPython",
-                            "SortMergeJoin"],
+                            "SortMergeJoin", "documents.parquet"],
     # Round-4 batch.
     "scd2_customer_history": ["BatchEvalPython", "CartesianProduct"],
     "cdc_upsert_apply": ["BatchEvalPython", "CartesianProduct"],
@@ -585,8 +588,10 @@ FORBID = {
                         "SinglePartition"],
     "graph_triangles": ["BatchEvalPython", "CartesianProduct",
                         "BroadcastNestedLoopJoin"],
+    # r13: the two per-order countDistincts became a two-level
+    # aggregate — the Expand (2x shuffle rows) must not come back.
     "tpch_suppliers_waiting": ["BatchEvalPython", "CartesianProduct",
-                               "Exchange rangepartitioning"],
+                               "Exchange rangepartitioning", "Expand"],
     "quality_classifier_score": ["BatchEvalPython", "CartesianProduct",
                                  "Join"],
     # Quarantine is scan+filter+project only: any shuffle is a bug.
