@@ -342,7 +342,7 @@ def repetition_scores(docs: DataFrame, text: str = "text") -> DataFrame:
 
     toks = tokens_table(docs, text)
 
-    def grams(n: int) -> DataFrame:
+    def gram_structs(n: int):
         idx = F.sequence(F.lit(0), F.size("toks") - n)
         gram = lambda i: F.concat_ws(
             " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
@@ -350,13 +350,27 @@ def repetition_scores(docs: DataFrame, text: str = "text") -> DataFrame:
         arr = F.when(
             F.size("toks") >= n, F.transform(idx, gram)
         ).otherwise(F.array().cast("array<string>"))
-        return toks.select(
-            "doc_id", F.lit(n).alias("gram_n"), F.explode(arr).alias("gram")
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(n).alias("gram_n"), g.alias("gram")
+            ),
         )
 
+    # ONE tokenize pass for both gram sizes: the old unionAll of
+    # grams(2) and grams(3) re-ran the whole scan→tokenize spine per
+    # branch (r13: documents scans 3 → 2, tokenize passes 2 → 1) —
+    # instead both tagged gram arrays concatenate per row and explode
+    # once; the (doc_id, gram_n, gram) rows reaching the aggregate are
+    # identical, just not branch-ordered, which groupBy ignores.
     counts = (
-        grams(2)
-        .unionAll(grams(3))
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.concat(gram_structs(2), gram_structs(3))
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.gram_n").alias("gram_n"), F.col("g.gram").alias("gram"))
         .groupBy("doc_id", "gram_n", "gram")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -894,9 +908,18 @@ def bm25_search(
     doc_id. Nothing touches non-query terms after the filter; the
     global stats (N, avg length) broadcast as a one-row cross join.
     """
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     toks = tokens_col(text)
-    lens = docs.select(
-        "doc_id", F.size(toks).cast("double").alias("dl")
+    # lens feeds the global stats AND the per-doc score join; tf feeds
+    # the df aggregate AND the score join — with no ReusedExchange the
+    # lazy plan ran FOUR tokenize passes over the corpus (r13:
+    # documents scans 4 → 2, one per remaining tokenize). Both
+    # checkpoints are tiny next to a corpus re-read: lens is two
+    # numbers per doc, tf is ≤ |docs|·|query_terms| posting rows.
+    lens = materialize(
+        docs.select("doc_id", F.size(toks).cast("double").alias("dl")),
+        eager=False,
     )
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -905,8 +928,11 @@ def bm25_search(
         docs.select("doc_id", F.explode(toks).alias("term"))
         .filter(F.col("term").isin(query_terms))
     )
-    tf = posting.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
+    tf = materialize(
+        posting.groupBy("doc_id", "term").agg(
+            F.count(F.lit(1)).cast("double").alias("tf")
+        ),
+        eager=False,
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = df_.crossJoin(F.broadcast(stats)).select(

@@ -126,6 +126,7 @@ def q_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring + two windows over the same partitioning (one shuffle);
     margins subtract two round-4 doubles and re-round, so both
     engines land on identical values."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
     from taxi_trips_etl_spark.dataprep.text import quality_scores
 
     docs = _t(spark, sf_dir, "documents")
@@ -133,7 +134,11 @@ def q_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "source", "lang"), "doc_id"
     )
     grp = Window.partitionBy("source", "lang")
-    ranked = q.select(
+    # ranked feeds the best AND worst picks — without a checkpoint the
+    # quality-scoring join + double-rank window spine re-ran under each
+    # (r13: documents scans 4 → 2, both inside the one checkpoint
+    # fill; the frame is seven narrow columns per doc).
+    ranked = materialize(q.select(
         "source", "lang", "doc_id", F.col("quality_score").alias("q"),
         F.row_number().over(
             grp.orderBy(F.col("quality_score").desc(), "doc_id")
@@ -142,7 +147,7 @@ def q_dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             grp.orderBy(F.col("quality_score").asc(), "doc_id")
         ).alias("rk_worst"),
         F.count(F.lit(1)).over(grp).alias("n_group"),
-    )
+    ), eager=False)
     best = ranked.filter(F.col("rk_best") == 1).select(
         "source", "lang", F.col("doc_id").alias("chosen_id"),
         F.col("q").alias("q_best"), "n_group",

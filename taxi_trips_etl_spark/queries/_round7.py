@@ -413,20 +413,33 @@ def q_ngram_novelty_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from taxi_trips_etl_spark.dataprep.dedup import tokens_table, word_ngrams
 
     docs = _t(spark, sf_dir, "documents")
-    b = docs.select(
+    # The per-doc gram count is size(word_ngrams(toks, 3)) — a narrow
+    # per-row expression — so it rides the SAME pass as the vigintile
+    # assignment instead of a second tokenize→explode→groupBy spine
+    # (r13: documents scans 3 → 2, gram explode+shuffle passes 2 → 1;
+    # explode drops empty-gram docs from `g`, so counting its rows per
+    # doc equals the array length for every doc the old left join
+    # could see a row for, and the coalesce(0) covers the rest either
+    # way).
+    per = tokens_table(docs).select(
         "doc_id",
-        F.ntile(20).over(Window.orderBy("doc_id")).cast("long").alias("bucket"),
+        F.size(word_ngrams(F.col("toks"), 3)).cast("long").alias("n_grams"),
+    )
+    # n_grams is projected BELOW the ntile window so the
+    # single-partition ordering exchange carries two longs per doc,
+    # never the token arrays.
+    b = per.withColumn(
+        "bucket",
+        F.ntile(20).over(Window.orderBy("doc_id")).cast("long"),
     )
     g = (
         tokens_table(docs)
         .select("doc_id", F.explode(word_ngrams(F.col("toks"), 3)).alias("gram"))
     )
-    per = g.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
     fg = g.groupBy("gram").agg(F.min("doc_id").alias("doc_id"))
     nw = fg.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_new"))
     d = (
-        b.join(per, "doc_id", "left")
-        .join(nw, "doc_id", "left")
+        b.join(nw, "doc_id", "left")
         .select(
             "bucket",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),

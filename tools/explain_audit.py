@@ -158,12 +158,13 @@ LINEAGE_TRUNCATED = frozenset({
     # lorenz_curve_points, revenue_gini); unigram_logprob_buckets
     # materializes its vocab model + doc scores; hybrid_rrf_search its
     # query-token set; kmv_user_overlap its sketch.
-    "acctbal_decile_profile", "bigram_lm_topk",
+    "acctbal_decile_profile", "bigram_lm_topk", "bm25_keyword_search",
     "bpe_learn_merges", "bpe_learn_merges_distributed",
     "compact_small_files_audit", "corpus_prepare_pipeline",
     "corpus_prepare_v2", "corpus_prepare_v3", "dedup_canonicalize",
     "dedup_components", "dedup_components_star", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_weighted_jaccard",
+    "dpo_preference_pairs",
     "dynamic_partition_pruning_join", "embedding_canonicalize",
     "embedding_truncation_recall",
     "flagship_known_zones", "flagship_most_populars",
@@ -433,7 +434,10 @@ EXPECT = {
     "negative_sample_table": ["BroadcastNestedLoopJoin", "Window"],
     "sft_pair_format": ["Project"],
     "semdedup_prune": ["FlatMapGroupsInPandas"],
-    "dpo_preference_pairs": ["Window"],
+    # r13: the double-rank window moved inside the ranked-frame
+    # checkpoint (its spine re-ran under both the best and worst
+    # picks) — the shipped plan roots on the checkpoint read.
+    "dpo_preference_pairs": ["Scan ExistingRDD"],
     "skewed_distinct_count": ["HashAggregate"],
     "unigram_viterbi_segment": ["MapInPandas", "HashAggregate"],
     "bucketed_colocated_join": ["Bucketed: true", "HashAggregate"],
