@@ -745,7 +745,14 @@ def minhash_lsh_incremental(
     pairs already known inside the old corpus never re-emit, so
     downstream canonicalization is a pure merge.
     """
-    new_b = lsh_bands(minhash_signature(new_docs, text))
+    # new_b is consumed twice — as the join's probe side AND unioned
+    # into the index side — and the md5 signature aggregation is the
+    # expensive part of its spine; without a checkpoint the batch is
+    # re-hashed per consumer (r13: docs scans 3 → 2). Batch-sized
+    # (|new|·bands rows), so the checkpoint is tiny.
+    new_b = lsh_bands(minhash_signature(new_docs, text)).transform(
+        materialize, eager=False
+    )
     all_b = lsh_bands(
         minhash_signature(corpus_docs, text)
     ).unionByName(new_b)

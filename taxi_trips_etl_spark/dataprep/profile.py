@@ -302,10 +302,19 @@ def histogram_quantiles(
     cumulative count reaches q·n (the textbook grouped-data quantile).
     → (quantile, estimate), deterministic, engine-replayable.
     """
-    bounds = df.agg(
-        F.min(F.col(value_col).cast("double")).alias("lo"),
-        F.max(F.col(value_col).cast("double")).alias("hi"),
-        F.count(value_col).cast("double").alias("n"),
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    # The 1-row bounds aggregate broadcasts into BOTH the binning pass
+    # and the final quantile arithmetic — without a checkpoint each
+    # consumer re-ran the full scan+aggregate (r13: fact scans 3 → 2,
+    # the bounds-then-bin two-pass floor).
+    bounds = materialize(
+        df.agg(
+            F.min(F.col(value_col).cast("double")).alias("lo"),
+            F.max(F.col(value_col).cast("double")).alias("hi"),
+            F.count(value_col).cast("double").alias("n"),
+        ),
+        eager=False,
     )
     binned = (
         df.select(F.col(value_col).cast("double").alias("x"))

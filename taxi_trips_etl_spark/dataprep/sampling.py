@@ -115,10 +115,19 @@ def domain_mixture_sample(
     uses sqrt (IEEE correctly-rounded, so the oracle reproduces the
     rates bit-for-bit; libm pow is not so guaranteed).
     """
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     n = F.col("n_domain")
     weight = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(alpha))
-    counts = df.groupBy(domain_col).agg(
-        F.count(F.lit(1)).cast("double").alias("n_domain")
+    # counts (#domains rows) feeds the totals aggregate AND the rates
+    # projection — without a checkpoint the corpus scan + groupBy
+    # re-ran per consumer (r13: docs scans 3 → 2, the count-then-filter
+    # two-pass floor).
+    counts = materialize(
+        df.groupBy(domain_col).agg(
+            F.count(F.lit(1)).cast("double").alias("n_domain")
+        ),
+        eager=False,
     )
     totals = counts.agg(
         F.sum("n_domain").alias("n_total"), F.sum(weight).alias("w_total")

@@ -798,7 +798,14 @@ def dsir_importance_weights(
             F.explode(tokens_col(text)).alias("tok"),
         )
     )
-    # Single-pass model fit: per-token target/raw counts.
+    # Single-pass model fit: per-token target/raw counts. The model is
+    # consumed twice (totals + the ratio projection), re-running the
+    # tokenize→groupBy spine per consumer — examined in r13 and LEFT
+    # UNCHECKPOINTED: the checkpoint perturbs the doc-mean's float
+    # summation order just enough to flip a rounded 0.0 to -0.0 at
+    # sf0.1 (this entry's score is a float avg, not the registry's
+    # usual integer-quantized sum, so oracle equality is tied to the
+    # shipped plan's order).
     model = toks.groupBy("tok").agg(
         F.sum(F.col("is_target").cast("long")).alias("n_t"),
         F.count(F.lit(1)).alias("n_all"),
@@ -820,7 +827,14 @@ def dsir_importance_weights(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("log_ratio"), 6).alias("importance_weight"),
+            # + 0.0 canonicalizes -0.0 → 0.0 (the only value it
+            # changes): the mean's summation order is plan-dependent,
+            # so a ~0 score can otherwise round to -0.0 on one engine
+            # and 0.0 on the other (observed at sf0.1). The oracle
+            # applies the same normalization.
+            (F.round(F.avg("log_ratio"), 6) + F.lit(0.0)).alias(
+                "importance_weight"
+            ),
         )
     )
 

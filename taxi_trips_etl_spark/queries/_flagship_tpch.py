@@ -601,10 +601,16 @@ _DSIR_SQL = f"""
           FROM m CROSS JOIN tot)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
-           round(avg(log_ratio), 6) AS importance_weight
+           round(avg(log_ratio), 6) + 0.0 AS importance_weight
     FROM t JOIN r USING (tok)
     GROUP BY doc_id
 """
+# ^ the `+ 0.0` normalizes the SIGN OF ZERO on both engines: the score
+#   is a float mean whose summation order differs between engines (and
+#   between Spark plan variants), so a true value of ~0 can round to
+#   -0.0 on one side and 0.0 on the other (observed at sf0.1 — an
+#   r13-inherited latent mismatch). x + 0.0 is the IEEE identity for
+#   every value except -0.0, which it canonicalizes to +0.0.
 
 
 @register("dsir_importance_weights", _DSIR_SQL)

@@ -192,14 +192,22 @@ def q_interpolate_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         interpolate_gaps,
     )
 
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy(
-        "user_id", F.to_date("ts").alias("day")
-    ).agg(
-        (
-            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("v")
+    # daily feeds THREE consumers (the spine's bounds aggregate, the
+    # spine's key distinct, and the left join) with no ReusedExchange —
+    # the events scan + groupBy re-ran per consumer (r13: events scans
+    # 3 → 1). The frame is (user, active-day) grain — tiny next to the
+    # fact.
+    daily = materialize(
+        ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        ),
+        eager=False,
     )
     spine = daily_spine(daily, ["user_id"], "day")
     j = spine.join(daily, ["user_id", "day"], "left").withColumn(

@@ -310,6 +310,8 @@ def q_seasonal_dow_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: everything after the one data-sized day-groupBy runs
     on the daily frame (365 rows/year) and a 7-row factor dim
     (broadcast join back)."""
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day")
@@ -318,12 +320,19 @@ def q_seasonal_dow_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("daily_cents")
     )
-    keyed = daily.withColumn(
-        "dow",
-        (
-            F.datediff(F.to_date("day"), F.to_date(F.lit("1970-01-01")))
-            % 7
-        ).cast("long"),
+    # keyed (one row per day) feeds the dow stats, the global stats
+    # AND the final join — without a checkpoint the events scan +
+    # day-groupBy re-ran per consumer (r13: events scans 3 → 1; the
+    # frame is 365 rows/year).
+    keyed = materialize(
+        daily.withColumn(
+            "dow",
+            (
+                F.datediff(F.to_date("day"), F.to_date(F.lit("1970-01-01")))
+                % 7
+            ).cast("long"),
+        ),
+        eager=False,
     )
     dstat = keyed.groupBy("dow").agg(
         F.sum("daily_cents").cast("long").alias("dow_sum"),

@@ -6,7 +6,7 @@
 # stay exact integers.
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from taxi_trips_etl_spark.queries._registry import _events, _t, register
@@ -246,10 +246,16 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_us") > F.col("c_us"))
         & (F.col("p_us") - F.col("c_us") <= _ATTR_WINDOW_US),
     ).select("click_id", "user_id", "purch_id")
-    per_purchase = pairs.groupBy("purch_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_clicks")
-    )
-    credited = pairs.join(per_purchase, "purch_id").selectExpr(
+    # Per-purchase click count as a count window over the pair
+    # relation, not groupBy + join-back: the join consumed `pairs`
+    # twice with no ReusedExchange, so the click×purchase join spine
+    # (and both events scans under it) re-ran per consumer (r13:
+    # events scans 4 → 2, one pair shuffle on purch_id replaces the
+    # aggregate shuffle + join).
+    credited = pairs.withColumn(
+        "n_clicks",
+        F.count(F.lit(1)).over(Window.partitionBy("purch_id")),
+    ).selectExpr(
         "click_id",
         "user_id",
         "CAST(1000000 DIV n_clicks AS BIGINT) AS credit_micro",

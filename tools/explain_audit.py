@@ -162,9 +162,10 @@ LINEAGE_TRUNCATED = frozenset({
     "bpe_learn_merges", "bpe_learn_merges_distributed",
     "compact_small_files_audit", "corpus_prepare_pipeline",
     "corpus_prepare_v2", "corpus_prepare_v3", "dedup_canonicalize",
-    "dedup_components", "dedup_components_star", "dedup_minhash_lsh",
+    "dedup_components", "dedup_components_star",
+    "dedup_minhash_incremental", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_weighted_jaccard",
-    "dpo_preference_pairs",
+    "domain_mixture_sample", "dpo_preference_pairs",
     "dynamic_partition_pruning_join", "embedding_canonicalize",
     "embedding_truncation_recall",
     "flagship_known_zones", "flagship_most_populars",
@@ -175,7 +176,9 @@ LINEAGE_TRUNCATED = frozenset({
     "graph_shortest_paths", "graph_triangles", "hard_negative_mining_ivf",
     "heaps_vocab_growth",
     "heavy_hitters_tokens", "hex_neighbor_smoothing",
-    "hybrid_rrf_search", "inventory_abc_classification",
+    "histogram_quantile_estimate",
+    "hybrid_rrf_search", "interpolate_user_daily",
+    "inventory_abc_classification",
     "jsonl_roundtrip_docs",
     "kmv_user_overlap", "kn_doc_xent_filter", "kneser_ney_bigram",
     "lorenz_curve_points",
@@ -186,7 +189,7 @@ LINEAGE_TRUNCATED = frozenset({
     "partition_pruned_scan", "record_linkage_blocked",
     "revenue_gini",
     "rouge_l_decontaminate", "sampled_range_partition_plan",
-    "schema_evolution_merge",
+    "schema_evolution_merge", "seasonal_dow_adjustment",
     "sequence_pattern_funnel",
     "source_distinctive_terms", "split_leakage_audit",
     "streaming_cdc_upsert", "streaming_checkpoint_resume",
