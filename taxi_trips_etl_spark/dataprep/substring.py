@@ -90,8 +90,19 @@ def duplicated_spans(
     a[a_start … a_start+span_tokens−1] == b[b_start …] under the
     W-window hash (see module docstring on collisions).
     """
-    post = window_postings(
-        docs, w=w, text=text, doc_id=doc_id, max_postings=max_postings
+    from taxi_trips_etl_spark.dataprep.materialize import materialize
+
+    # Both self-join sides consume the postings — the same
+    # no-ReusedExchange trap the simhash/minhash candidate generators
+    # checkpoint: without it the tokenize → W-window hash → hot-cap
+    # window spine runs TWICE (r13: docs scans 2 → 0 in-plan, the
+    # whole spine once). The frame is three narrow columns per token
+    # position, far smaller than re-reading and re-hashing the text.
+    post = materialize(
+        window_postings(
+            docs, w=w, text=text, doc_id=doc_id, max_postings=max_postings
+        ),
+        eager=False,
     )
     a = post.select(
         F.col("doc_id").alias("doc_a"),

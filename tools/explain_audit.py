@@ -166,6 +166,7 @@ LINEAGE_TRUNCATED = frozenset({
     "dedup_minhash_incremental", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_simhash_pairs", "dedup_weighted_jaccard",
     "domain_mixture_sample", "dpo_preference_pairs",
+    "duplicated_substring_spans",
     "dynamic_partition_pruning_join", "embedding_canonicalize",
     "embedding_truncation_recall",
     "flagship_known_zones", "flagship_most_populars",
