@@ -436,14 +436,44 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # Empty as of round 13: the round-12 plan-shape change
-    # (tfidf_cosine_pairs lazy materialize of the sparse TF-IDF vector
-    # table, sparse_sim.py) came back hash-green on the post-materialize
-    # plan — first row of CORRECTNESS_r12.json — and was folded into
-    # _R12_VERIFIED above, closing the last stale-hash window. Add a
-    # name here whenever its implementation (or oracle) changes after
-    # its latest driver-green row; remove it once a CORRECTNESS file
-    # shows the post-change hash-green row.
+    # Round-13 optimization pass: every entry whose PLAN changed this
+    # round (shared-spine checkpoints, fused passes, broadcast-side
+    # fixes, state-width pins, the Expand removal, the inline split
+    # labels, the dsir ±0.0 normalization — see OPTIMIZATION_r13.md).
+    # All were oracle-validated at sf0.001/0.01/0.1 in-round; they
+    # front the driver's CORRECTNESS_r13 window so the post-change
+    # hashes get driver-green rows. (tfidf_cosine_pairs, the r12
+    # occupant, was folded into _R12_VERIFIED — that window closed.)
+    # Batches 1–5 (most-populars fact pass, baskets, funnels, FK
+    # audit, LM spines, two-pass ranks, planners):
+    "flagship_most_populars", "flagship_known_zones",
+    "most_populars_flat", "market_basket_triples",
+    "market_basket_brand_rules", "funnel_conversion",
+    "sequence_pattern_funnel", "funnel_latency_stats",
+    "referential_integrity_audit", "kneser_ney_bigram",
+    "kn_doc_xent_filter", "source_distinctive_terms",
+    "acctbal_decile_profile", "global_ids_orders",
+    "inventory_abc_classification", "lorenz_curve_points",
+    "revenue_gini", "unigram_logprob_buckets", "hybrid_rrf_search",
+    "kmv_user_overlap", "sampled_range_partition_plan",
+    "range_partition_plan",
+    # Batches 6–12 (hex, heaps, truncation audit, corpus v1/v2/v3,
+    # MMR, ROUGE-L, MLE LM, streaming state-width pins):
+    "hex_neighbor_smoothing", "corpus_prepare_pipeline",
+    "heaps_vocab_growth", "embedding_truncation_recall",
+    "corpus_prepare_v2", "corpus_prepare_v3", "mmr_diversify_rerank",
+    "rouge_l_decontaminate", "bigram_lm_topk",
+    "streaming_sessionize_stateful", "streaming_daypart_rollup",
+    "streaming_static_enrich",
+    # Batches 13–16 (Expand removal, inline split labels, tokenize
+    # fan-outs, small-grain checkpoints, postings checkpoint, dsir):
+    "tpch_suppliers_waiting", "split_leakage_audit",
+    "text_repetition_scores", "ngram_novelty_decay",
+    "bm25_keyword_search", "dpo_preference_pairs",
+    "dedup_minhash_incremental", "interpolate_user_daily",
+    "multitouch_attribution", "histogram_quantile_estimate",
+    "seasonal_dow_adjustment", "domain_mixture_sample",
+    "dsir_importance_weights", "duplicated_substring_spans",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
