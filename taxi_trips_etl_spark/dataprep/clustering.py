@@ -44,6 +44,7 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_dists: bool = False,
+    with_vec: bool = False,
 ) -> DataFrame:
     """→ (vec_id, cluster_id, sq_dist): Lloyd's with deterministic init.
 
@@ -123,21 +124,23 @@ def kmeans_assign(
     # Final assignment against the last centroid set — the in-loop
     # `assigned` lags one update when the budget is exhausted.
     final = assign(centroids)
+    cols = [
+        F.col(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.round("sq_dist", 6).alias("sq_dist"),
+    ]
     if with_dists:
         # Silhouette and other cluster-quality metrics need the full
         # k-distance vector, not just the argmin; the projection is
         # already computed, so exposing it costs nothing.
-        return final.select(
-            id_col,
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.round("sq_dist", 6).alias("sq_dist"),
-            F.col("_d").alias("sq_dists"),
-        )
-    return final.select(
-        id_col,
-        F.col("cluster_id").cast("long").alias("cluster_id"),
-        F.round("sq_dist", 6).alias("sq_dist"),
-    )
+        cols.append(F.col("_d").alias("sq_dists"))
+    if with_vec:
+        # The double-cast vector rides along so consumers that score
+        # cluster members (semdedup's within-cluster matmul) need no
+        # join back onto the embeddings table — the join was a full
+        # corpus shuffle of the vectors on both sides (r13).
+        cols.append(F.col("v"))
+    return final.select(*cols)
 
 
 def cluster_summary(assigned: DataFrame) -> DataFrame:

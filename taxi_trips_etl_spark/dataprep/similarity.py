@@ -1337,18 +1337,17 @@ def semdedup_prune(
 
     from taxi_trips_etl_spark.dataprep.clustering import kmeans_assign
 
-    assigned = kmeans_assign(
+    # with_vec: the assignment projection already carries the
+    # double-cast vector, so no join back onto the embeddings table —
+    # the old shape shuffled the full vector corpus on both join sides
+    # (and scanned embeddings twice) just to re-attach a column the
+    # k-means pass had in hand (r13: embeddings scans 2 → 1, join
+    # gone; the only remaining shuffle is the per-cluster cogroup).
+    vecs = kmeans_assign(
         embeddings, k=k, iterations=iterations, id_col=id_col,
-        vec_col=vec_col,
-    ).select(id_col, "cluster_id")
-    vecs = embeddings.select(
-        F.col(id_col).cast("long").alias("vec_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    ).join(
-        assigned.select(
-            F.col(id_col).cast("long").alias("vec_id"), "cluster_id"
-        ),
-        "vec_id",
+        vec_col=vec_col, with_vec=True,
+    ).select(
+        F.col(id_col).cast("long").alias("vec_id"), "v", "cluster_id"
     )
 
     def _prune_cluster(pdf):

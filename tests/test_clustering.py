@@ -217,3 +217,30 @@ def test_pca_project_matches_numpy_and_orders_variance(spark, sf_dir):
     M = np.array([out[i] for i in sorted(out)])
     v = M.var(axis=0)
     assert all(v[i] >= v[i + 1] - 1e-12 for i in range(len(v) - 1)), v
+
+
+def test_kmeans_with_vec_rides_assignment(spark):
+    """with_vec returns the double-cast input vector on the assignment
+    row itself (r13: lets semdedup skip the join back onto the
+    embeddings table), identical to the plain assignment otherwise."""
+    vecs = _separable(spark)
+    plain = {r.vec_id: (r.cluster_id, r.sq_dist)
+             for r in kmeans_assign(vecs, k=3, iterations=3).collect()}
+    withv = kmeans_assign(vecs, k=3, iterations=3, with_vec=True).collect()
+    assert {r.vec_id: (r.cluster_id, r.sq_dist) for r in withv} == plain
+    src = {r.vec_id: [float(x) for x in r.embedding]
+           for r in vecs.collect()}
+    assert all([float(x) for x in r.v] == src[r.vec_id] for r in withv)
+
+
+def test_semdedup_plan_has_no_join(spark, sf_dir):
+    """semdedup rides the assignment's with_vec column — the final
+    plan must carry NO join (the old shape re-joined the vector corpus
+    onto itself by id; r13 pin)."""
+    from taxi_trips_etl_spark.dataprep.similarity import semdedup_prune
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semdedup_prune(emb, k=8, iterations=3, threshold_milli=350)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
