@@ -90,10 +90,18 @@ def run_tws_running_totals(
     spark: SparkSession,
     events_dir: str,
     sink_table: str = "tws_totals_run",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """AvailableNow drive of the transformWithStateInPandas operator;
     returns the FINAL running total per user (largest-n emission),
-    which must equal the batch GROUP BY twin."""
+    which must equal the batch GROUP BY twin. ``state_partitions``
+    pins the state-store width (r13: this was the last stateful drive
+    running at the 32-store batch default — one RocksDB instance per
+    shuffle partition, each committing per micro-batch; grouping is
+    logical, so the width never changes the output)."""
+    from taxi_trips_etl_spark.streaming.state import (
+        state_partitions as _pin,
+    )
     from taxi_trips_etl_spark.streaming.static_enrich import _event_stream
 
     stream = _event_stream(spark, events_dir).select(
@@ -106,14 +114,15 @@ def run_tws_running_totals(
         outputMode="append",
         timeMode="none",
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(sink_table)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pin(spark, state_partitions):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink_table)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     sink = spark.table(sink_table)
     # Final emission per user: n_events strictly increases per
     # emission for a key, so max(n) identifies it; cents rides along
