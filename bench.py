@@ -54,6 +54,11 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     parser.add_argument("--queries", default=None, help="comma-separated subset")
+    parser.add_argument(
+        "--no-summary",
+        action="store_true",
+        help="never write bench_summary.json (ad-hoc full runs)",
+    )
     args = parser.parse_args()
 
     from taxi_trips_etl_spark.queries import all_queries
@@ -71,7 +76,7 @@ def main() -> None:
         # to an isolated run and round-over-round diffs measure the
         # PLAN, not the query's position in the suite. JVM startup
         # (~8 s × 9 chunks) is orchestration overhead, never timed.
-        run_chunked(list(qs), args.sf_dir)
+        run_chunked(list(qs), args.sf_dir, no_summary=args.no_summary)
         return
 
     subset = args.queries.split(",")
@@ -126,6 +131,13 @@ def main() -> None:
             samples[name].append(round(time.monotonic() - t0, 3))
             scrub()
 
+    sc = spark.sparkContext
+    parallelism = {
+        "master": sc.master,
+        "default_parallelism": sc.defaultParallelism,
+        "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+    }
+
     timings = {n: min(s) for n, s in samples.items()}
     # Spread over WARM samples only (drop sample 0): the first execution
     # pays codegen/footer-cache warm-up, which is startup cost, not
@@ -136,10 +148,12 @@ def main() -> None:
         for n, s in samples.items()
         if len(s) > 2
     }
-    emit(timings, spreads, args.sf_dir, full_run=False)
+    emit(timings, spreads, args.sf_dir, full_run=False, parallelism=parallelism)
 
 
-def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
+def run_chunked(
+    names: list[str], sf_dir: str, chunk: int = 36, no_summary: bool = False
+) -> None:
     """Fresh-JVM worker subprocess per ``chunk`` queries; merge timings."""
     import subprocess
 
@@ -216,9 +230,12 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     chunks_retried: list[str] = []
+    parallelism: dict | None = None
     for lo in range(0, len(names), chunk):
         part = names[lo : lo + chunk]
         payload = run_worker(part, lo)
+        if parallelism is None:
+            parallelism = payload.get("parallelism")
         t, s = payload["queries"], payload.get("spread", {})
         churned = retry_spread > 0 and any(
             s[n] > retry_spread * t[n] for n in s if t.get(n, 0) > 0
@@ -255,6 +272,8 @@ def run_chunked(names: list[str], sf_dir: str, chunk: int = 36) -> None:
             "retry_spread_threshold": retry_spread,
             "chunks_retried": chunks_retried,
         },
+        parallelism=parallelism,
+        no_summary=no_summary,
     )
 
 
@@ -264,6 +283,8 @@ def emit(
     sf_dir: str,
     full_run: bool,
     retry_meta: dict | None = None,
+    parallelism: dict | None = None,
+    no_summary: bool = False,
 ) -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -292,6 +313,15 @@ def emit(
     }
     if retry_meta is not None:
         payload["retry"] = retry_meta
+    # Effective-parallelism provenance (VERDICT r13 #2): the driver's
+    # 8-vs-32-core scaling probe read ratio ≈ 1 across the board and
+    # the artifact carried nothing to attribute it — the contract
+    # (master local[$SPARK_GRAFT_CPUS], session.py) is honored in code,
+    # but "honored and overhead-bound at sf0.1" was indistinguishable
+    # from "env ignored". Record what the timing sessions actually ran
+    # with so an ≈1 ratio is attributable from the artifact alone.
+    if parallelism is not None:
+        payload["parallelism"] = parallelism
     print(json.dumps(payload))
     # The driver records only the TAIL of stdout; with 175+ queries the
     # full line above overflows that window and arrives unparseable
@@ -312,8 +342,16 @@ def emit(
     # Compact, always-parseable artifact for round-over-round diffs —
     # the driver's stdout capture can truncate the line above. Subset
     # runs (--queries) are ad-hoc measurements; only a full-registry run
-    # may replace the committed summary.
-    if full_run:
+    # may replace the committed summary — and only one at the machine's
+    # full core width (VERDICT r13 #3: the driver's 8-core scaling probe
+    # is a full-registry run too, and it kept clobbering the committed
+    # canonical summary with non-comparable low-core numbers). A run
+    # with SPARK_GRAFT_CPUS set below the hardware width still prints
+    # both JSON lines (the probe's own artifact); it just doesn't
+    # replace the canonical file. --no-summary opts any run out.
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+    non_default_cores = cpus_env is not None and cpus_env != str(os.cpu_count())
+    if full_run and not no_summary and not non_default_cores:
         summary_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_summary.json"
         )

@@ -48,6 +48,14 @@ def kmeans_assign(
 ) -> DataFrame:
     """→ (vec_id, cluster_id, sq_dist): Lloyd's with deterministic init.
 
+    Optional output columns (ADVICE r13 — documented contract):
+    ``with_dists=True`` appends ``sq_dists`` (the full k-distance
+    array); ``with_vec=True`` appends ``vec`` (the double-cast input
+    vector, so consumers need no join back onto the embeddings table).
+    The names ``v`` and ``_d`` are reserved for the internal
+    projection — don't pass an ``id_col``/``vec_col`` literally named
+    either.
+
     Init: the k lowest-id vectors, selected by sort — so sparse or
     offset id spaces still seed exactly k clusters. Ties in argmin
     break toward the lower cluster_id, so the whole trajectory is
@@ -138,8 +146,11 @@ def kmeans_assign(
         # The double-cast vector rides along so consumers that score
         # cluster members (semdedup's within-cluster matmul) need no
         # join back onto the embeddings table — the join was a full
-        # corpus shuffle of the vectors on both sides (r13).
-        cols.append(F.col("v"))
+        # corpus shuffle of the vectors on both sides (r13). Exposed
+        # under the documented name `vec`, not the internal `v`
+        # (ADVICE r13: callers shouldn't need the magic internal name,
+        # and an id_col named `v` must not collide with the output).
+        cols.append(F.col("v").alias("vec"))
     return final.select(*cols)
 
 

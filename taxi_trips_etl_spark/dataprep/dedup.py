@@ -296,6 +296,12 @@ def simhash_near_duplicates(
     )
     # Same no-ReusedExchange trap as minhash_lsh_candidates: checkpoint
     # the banded fingerprints so the self-join computes simhash ONCE.
+    # GATE COUPLING (ADVICE r13): tools/explain_audit.py FORBIDs any
+    # `documents.parquet` scan in split_leakage_audit's final plan; that
+    # pin holds BECAUSE this checkpoint truncates the docs scan out of
+    # the shipped plan string. Dropping or renaming this materialize
+    # will fail that audit spuriously — update the FORBID entry together
+    # with any change here (mirrors the dpo EXPECT annotation).
     banded = banded.transform(materialize, eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     # Hamming-verify INSIDE the join, before the pair distinct: a

@@ -35,6 +35,18 @@ def materialize(df: DataFrame, *, eager: bool = False) -> DataFrame:
     Reliable ``checkpoint`` iff ``sc.setCheckpointDir`` was called
     (always eager in Spark's API when materialized — the ``eager``
     flag is honored as given for both paths).
+
+    Reliable-path cost note (ADVICE r13): every shared-spine call site
+    was A/B-measured on the ``localCheckpoint`` path (no checkpoint dir
+    — the local/bench posture). On a session WITH a checkpoint dir,
+    ``df.checkpoint`` inherits the upstream ``RDD.checkpoint`` caveat:
+    unless the RDD is also persisted, its lineage is computed once to
+    produce rows and once more for the checkpoint-file write — one
+    extra pass over the spine being deduplicated. The scan-count wins
+    still hold (N consumers re-reading the spine collapse to the
+    checkpoint either way), but a cluster session that sets a
+    checkpoint dir should budget that extra fill pass or persist the
+    spine before checkpointing it.
     """
     sc = df.sparkSession.sparkContext
     try:

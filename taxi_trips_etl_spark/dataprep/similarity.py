@@ -1347,7 +1347,9 @@ def semdedup_prune(
         embeddings, k=k, iterations=iterations, id_col=id_col,
         vec_col=vec_col, with_vec=True,
     ).select(
-        F.col(id_col).cast("long").alias("vec_id"), "v", "cluster_id"
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col("vec").alias("v"),  # documented with_vec output column
+        "cluster_id",
     )
 
     def _prune_cluster(pdf):

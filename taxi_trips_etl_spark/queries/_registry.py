@@ -139,14 +139,44 @@ _PROVENANCE: dict[str, tuple[str, str]] = {}
 # already proven green, and within each group older proofs come first.
 # Round history (name → rounds in which the driver recorded a green
 # rows+schema+hash row; see CORRECTNESS_r01.json for round 1).
-# MAINTENANCE (next round): fold the names green in CORRECTNESS_r13.json
-# into this map as (…, 13) so the rotation keeps cycling fairly.
+# MAINTENANCE (next round): fold the names green in CORRECTNESS_r14.json
+# into this map as (…, 14) so the rotation keeps cycling fairly.
 # REVIEW CHECKLIST for every new mirrored-formula entry (the chi²
 # double-division bug proved the shared-expression-text blind spot is
 # real — a bug mirrored into both the Spark builder and the oracle SQL
 # passes the hash gate): ship an independent pytest that recomputes the
 # statistic from raw data in plain Python/numpy (see
 # tests/test_round6p_ops.py), not by re-running either engine's SQL.
+_R13_VERIFIED: tuple[str, ...] = (
+    # hash-green rows in CORRECTNESS_r13.json (all 50 sampled entries,
+    # zero err, zero rows-only — the window was deliberately fronted
+    # with the 48 round-13 plan-changed _REVERIFY names, all of which
+    # came back hash-green on their post-optimization plans, closing
+    # those stale-hash windows; benford/cusum filled the remainder).
+    "acctbal_decile_profile", "benford_first_digit", "bigram_lm_topk",
+    "bm25_keyword_search", "corpus_prepare_pipeline",
+    "corpus_prepare_v2", "corpus_prepare_v3", "cusum_change_days",
+    "dedup_minhash_incremental", "domain_mixture_sample",
+    "dpo_preference_pairs", "dsir_importance_weights",
+    "duplicated_substring_spans", "embedding_truncation_recall",
+    "flagship_known_zones", "flagship_most_populars",
+    "funnel_conversion", "funnel_latency_stats", "global_ids_orders",
+    "heaps_vocab_growth", "hex_neighbor_smoothing",
+    "histogram_quantile_estimate", "hybrid_rrf_search",
+    "interpolate_user_daily", "inventory_abc_classification",
+    "kmv_user_overlap", "kn_doc_xent_filter", "kneser_ney_bigram",
+    "lorenz_curve_points", "market_basket_brand_rules",
+    "market_basket_triples", "mmr_diversify_rerank",
+    "most_populars_flat", "multitouch_attribution",
+    "ngram_novelty_decay", "range_partition_plan",
+    "referential_integrity_audit", "revenue_gini",
+    "rouge_l_decontaminate", "sampled_range_partition_plan",
+    "seasonal_dow_adjustment", "sequence_pattern_funnel",
+    "source_distinctive_terms", "split_leakage_audit",
+    "streaming_daypart_rollup", "streaming_sessionize_stateful",
+    "streaming_static_enrich", "text_repetition_scores",
+    "tpch_suppliers_waiting", "unigram_logprob_buckets",
+)
 _R12_VERIFIED: tuple[str, ...] = (
     # hash-green rows in CORRECTNESS_r12.json (all 50 sampled entries,
     # zero err, zero rows-only — includes the round-12 _REVERIFY name:
@@ -419,6 +449,7 @@ def _mark_verified(round_no: int, names: tuple[str, ...]) -> None:
         _VERIFIED_ROUNDS[n] = _VERIFIED_ROUNDS.get(n, ()) + (round_no,)
 
 
+_mark_verified(13, _R13_VERIFIED)
 _mark_verified(12, _R12_VERIFIED)
 _mark_verified(11, _R11_VERIFIED)
 _mark_verified(10, _R10_VERIFIED)
@@ -436,44 +467,19 @@ _mark_verified(4, _R4_VERIFIED)
 # (Round 7 cleared tokenizer_fertility_by_source and
 # sampled_range_partition_plan: both hash-green in CORRECTNESS_r07.json.)
 _REVERIFY: frozenset[str] = frozenset({
-    # Round-13 optimization pass: every entry whose PLAN changed this
-    # round (shared-spine checkpoints, fused passes, broadcast-side
-    # fixes, state-width pins, the Expand removal, the inline split
-    # labels, the dsir ±0.0 normalization — see OPTIMIZATION_r13.md).
-    # All were oracle-validated at sf0.001/0.01/0.1 in-round; they
-    # front the driver's CORRECTNESS_r13 window so the post-change
-    # hashes get driver-green rows. (tfidf_cosine_pairs, the r12
-    # occupant, was folded into _R12_VERIFIED — that window closed.)
-    # Batches 1–5 (most-populars fact pass, baskets, funnels, FK
-    # audit, LM spines, two-pass ranks, planners):
-    "flagship_most_populars", "flagship_known_zones",
-    "most_populars_flat", "market_basket_triples",
-    "market_basket_brand_rules", "funnel_conversion",
-    "sequence_pattern_funnel", "funnel_latency_stats",
-    "referential_integrity_audit", "kneser_ney_bigram",
-    "kn_doc_xent_filter", "source_distinctive_terms",
-    "acctbal_decile_profile", "global_ids_orders",
-    "inventory_abc_classification", "lorenz_curve_points",
-    "revenue_gini", "unigram_logprob_buckets", "hybrid_rrf_search",
-    "kmv_user_overlap", "sampled_range_partition_plan",
-    "range_partition_plan",
-    # Batches 6–12 (hex, heaps, truncation audit, corpus v1/v2/v3,
-    # MMR, ROUGE-L, MLE LM, streaming state-width pins):
-    "hex_neighbor_smoothing", "corpus_prepare_pipeline",
-    "heaps_vocab_growth", "embedding_truncation_recall",
-    "corpus_prepare_v2", "corpus_prepare_v3", "mmr_diversify_rerank",
-    "rouge_l_decontaminate", "bigram_lm_topk",
-    "streaming_sessionize_stateful", "streaming_daypart_rollup",
-    "streaming_static_enrich",
-    # Batches 13–16 (Expand removal, inline split labels, tokenize
-    # fan-outs, small-grain checkpoints, postings checkpoint, dsir):
-    "tpch_suppliers_waiting", "split_leakage_audit",
-    "text_repetition_scores", "ngram_novelty_decay",
-    "bm25_keyword_search", "dpo_preference_pairs",
-    "dedup_minhash_incremental", "interpolate_user_daily",
-    "multitouch_attribution", "histogram_quantile_estimate",
-    "seasonal_dow_adjustment", "domain_mixture_sample",
-    "dsir_importance_weights", "duplicated_substring_spans",
+    # semdedup_prune's round-13 plan change (the with_vec assignment
+    # ride-along that removed the corpus-vector re-join, commit
+    # 68aecf9, batch 17) landed AFTER the round-13 _REVERIFY fronting
+    # commit and the name rotated OUT of the r13 window — its last
+    # driver-green row (CORRECTNESS_r12) hashes the OLD plan. It was
+    # oracle-validated at sf0.001/0.01/0.1 in-round and carries two
+    # pytest pins (with_vec equivalence + the no-Join plan), but the
+    # stale-hash rule stands: front it until a CORRECTNESS file shows
+    # the post-change hash-green row (VERDICT r13, "What's wrong" #1).
+    "semdedup_prune",
+    # Round-14 optimization pass: every entry whose PLAN changes this
+    # round is appended here IN THE SAME COMMIT as the plan change
+    # (the semdedup lesson — see OPTIMIZATION_r14.md).
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

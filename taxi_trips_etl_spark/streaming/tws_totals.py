@@ -98,7 +98,16 @@ def run_tws_running_totals(
     pins the state-store width (r13: this was the last stateful drive
     running at the 32-store batch default — one RocksDB instance per
     shuffle partition, each committing per micro-batch; grouping is
-    logical, so the width never changes the output)."""
+    logical, so the width never changes the output).
+
+    Concurrency caveat (ADVICE r13): the pin sets the session-global
+    ``spark.sql.shuffle.partitions`` for the whole start→awaitTermination
+    span, so any BATCH query planned concurrently on this SparkSession
+    silently inherits the 8-partition width — the same session-level
+    hazard the ops runbook flags for bench contamination. This drive
+    (like every registered streaming drive) must not overlap other
+    planning on its session; Spark exposes no per-stream width option
+    to scope it tighter (SPARK-45419 discussion)."""
     from taxi_trips_etl_spark.streaming.state import (
         state_partitions as _pin,
     )

@@ -230,7 +230,7 @@ def test_kmeans_with_vec_rides_assignment(spark):
     assert {r.vec_id: (r.cluster_id, r.sq_dist) for r in withv} == plain
     src = {r.vec_id: [float(x) for x in r.embedding]
            for r in vecs.collect()}
-    assert all([float(x) for x in r.v] == src[r.vec_id] for r in withv)
+    assert all([float(x) for x in r.vec] == src[r.vec_id] for r in withv)
 
 
 def test_semdedup_plan_has_no_join(spark, sf_dir):
