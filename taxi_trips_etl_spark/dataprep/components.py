@@ -28,7 +28,7 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from taxi_trips_etl_spark.dataprep.materialize import materialize
+from taxi_trips_etl_spark.dataprep.materialize import materialize, static_rounds
 
 log = logging.getLogger(__name__)
 
@@ -124,6 +124,8 @@ def connected_components_star(
     b_col: str = "doc_id_b",
     max_rounds: int = 30,
     assume_canonical: bool = False,
+    min_broadcast_cap: int = 4_000_000,
+    rows_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """→ (doc_id, component_id) via alternating large-star/small-star
     contraction — O(log n) rounds regardless of component diameter.
@@ -208,61 +210,90 @@ def connected_components_star(
         ).collect()[0]
         return int(row["n"]), int(row["h"])
 
-    sig = signature(edges)
-    for _ in range(max_rounds):
-        # large-star: symmetrize, per-u closed-neighborhood min, link
-        # strictly larger neighbors to it.
-        sym = edges.select("a", "b").unionByName(
-            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        )
-        mins = sym.groupBy("a").agg(
-            F.least(F.min("b"), F.first("a")).alias("m")
-        )
-        # eager=False: the lazy checkpoint still deduplicates the two
-        # downstream consumers (smallest + the join read the SAME
-        # materialized blocks at the small-star action), but skips the
-        # extra per-round job an eager checkpoint runs just to fill
-        # them — one action per round instead of two.
-        # no distinct: |large| ≤ |E| already (see docstring), and the
-        # small-star min-aggregates don't care about multiplicity —
-        # the checkpoint still dedups the TWO consumers below onto one
-        # computation.
-        large = (
-            sym.join(mins, "a")
-            .filter(F.col("b") > F.col("a"))
-            .select(F.col("m").alias("a"), F.col("b").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .transform(materialize, eager=False)
-        )
-        # small-star: edges oriented large→small; u and its smaller
-        # neighbors all link to the smallest.
-        directed = large.select(
-            F.col("b").alias("u"), F.col("a").alias("v")
-        )
-        smallest = directed.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
-            directed.join(smallest, "u")
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .unionByName(
-                smallest.select(
-                    F.col("m").alias("a"), F.col("u").alias("b")
-                )
+    # static_rounds (r14): each contraction round plans once and runs
+    # as ONE job instead of AQE's job-per-exchange cadence, under two
+    # preconditions measured in the interleaved A/B (see
+    # materialize.static_rounds and OPTIMIZATION_r14.md):
+    # - counted broadcast gates on both phase-min sides (|mins| =
+    #   |V(sym)| ≤ 2·|E|, |smallest| ≤ |E|, with |E| = sig[0] the EXACT
+    #   count the previous signature collected) — without them the
+    #   phase joins fall back to static sort-merge and LOSE;
+    # - a counted in-loop shuffle width (ceil(|E|/rows_per_partition),
+    #   clamped to the session default) — AQE was coalescing the tiny
+    #   per-round exchanges to 1-2 partitions; a static session-default
+    #   width re-runs every round stage at full fan-out for rows that
+    #   fit one task. Both gates degrade to the session posture (no
+    #   hint, default width) the moment the counted state outgrows
+    #   them — the web-scale shape is unchanged.
+    spark = pairs.sparkSession
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def loop_width(n_rows: int) -> int:
+        return max(1, min(default_width, -(-n_rows // rows_per_partition)))
+
+    with static_rounds(spark):
+        sig = signature(edges)
+        for _ in range(max_rounds):
+            hint = sig[0] <= min_broadcast_cap // 2
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(loop_width(sig[0]))
             )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            # eager=False: the signature collect right below is the
-            # action that fills the checkpoint — one job per round,
-            # not a checkpoint job plus the signature job (same
-            # measured pattern as kcore/bfs/sssp).
-            .transform(materialize, eager=False)
-        )
-        edges = small
-        # per-round signature: the ONE action that fills both lazy
-        # checkpoints (see docstring for why the every-2 cadence lost).
-        new_sig = signature(edges)
-        if new_sig == sig:
-            break
-        sig = new_sig
+            # large-star: symmetrize, per-u closed-neighborhood min,
+            # link strictly larger neighbors to it.
+            sym = edges.select("a", "b").unionByName(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            mins = sym.groupBy("a").agg(
+                F.least(F.min("b"), F.first("a")).alias("m")
+            )
+            # eager=False: the lazy checkpoint still deduplicates the
+            # two downstream consumers (smallest + the join read the
+            # SAME materialized blocks at the small-star action), but
+            # skips the extra per-round job an eager checkpoint runs
+            # just to fill them — one action per round instead of two.
+            # no distinct: |large| ≤ |E| already (see docstring), and
+            # the small-star min-aggregates don't care about
+            # multiplicity — the checkpoint still dedups the TWO
+            # consumers below onto one computation.
+            large = (
+                sym.join(F.broadcast(mins) if hint else mins, "a")
+                .filter(F.col("b") > F.col("a"))
+                .select(F.col("m").alias("a"), F.col("b").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .transform(materialize, eager=False)
+            )
+            # small-star: edges oriented large→small; u and its smaller
+            # neighbors all link to the smallest.
+            directed = large.select(
+                F.col("b").alias("u"), F.col("a").alias("v")
+            )
+            smallest = directed.groupBy("u").agg(F.min("v").alias("m"))
+            small = (
+                directed.join(
+                    F.broadcast(smallest) if hint else smallest, "u"
+                )
+                .select(F.col("m").alias("a"), F.col("v").alias("b"))
+                .unionByName(
+                    smallest.select(
+                        F.col("m").alias("a"), F.col("u").alias("b")
+                    )
+                )
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                # eager=False: the signature collect right below is the
+                # action that fills the checkpoint — one job per round,
+                # not a checkpoint job plus the signature job (same
+                # measured pattern as kcore/bfs/sssp).
+                .transform(materialize, eager=False)
+            )
+            edges = small
+            # per-round signature: the ONE action that fills both lazy
+            # checkpoints (see docstring for why the every-2 cadence
+            # lost).
+            new_sig = signature(edges)
+            if new_sig == sig:
+                break
+            sig = new_sig
     # Fixpoint edge list is (component_min, node) stars; nodes can also
     # BE a minimum — map them to themselves.
     star = edges.select(

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from taxi_trips_etl_spark.sources.localrel import local_rows
 
-from taxi_trips_etl_spark.dataprep.materialize import materialize
+from taxi_trips_etl_spark.dataprep.materialize import materialize, static_rounds
 
 TOTAL = 10**12
 
@@ -93,31 +93,52 @@ def pagerank_distributed(
     out = out.transform(materialize, eager=False)
     ranks = nodes.select("node", F.lit(TOTAL // n_nodes).alias("rank_e12"))
     done = 0
-    while done < iters:
-        step = min(5, iters - done)
-        for _ in range(step):
-            side = F.broadcast(ranks) if small else ranks
-            insum = (
-                out.join(side, out["src"] == side["node"])
-                .select(
-                    F.col("dst").alias("node"),
-                    F.expr("rank_e12 div d").alias("contrib"),
+    # static_rounds (r14): the contrib join is already explicitly
+    # hinted (broadcast under the cap) and the nodes left join keys two
+    # checkpointed relations — no in-loop join relies on AQE's runtime
+    # downgrade, so AQE only adds its job-per-exchange cadence here.
+    # The batch fills turn EAGER inside the context: pagerank has no
+    # convergence action, so without an eager fill the whole loop would
+    # execute lazily under the caller's action OUTSIDE this scope.
+    # In-loop shuffle width: counted from n_nodes (the per-round
+    # exchanges carry map-side-partial-aggregated contrib sums and the
+    # rank table, both ~n_nodes rows), clamped to the session default —
+    # AQE's coalescing did this at runtime; without it the static
+    # default width fans tiny rounds out for nothing. Interleaved A/B
+    # at sf0.1 in OPTIMIZATION_r14.md. Final plan still roots at the
+    # checkpoint.
+    spark = edges.sparkSession
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_rounds(spark):
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, min(default_width, -(-n_nodes // 2_000_000)))),
+        )
+        while done < iters:
+            step = min(5, iters - done)
+            for _ in range(step):
+                side = F.broadcast(ranks) if small else ranks
+                insum = (
+                    out.join(side, out["src"] == side["node"])
+                    .select(
+                        F.col("dst").alias("node"),
+                        F.expr("rank_e12 div d").alias("contrib"),
+                    )
+                    .groupBy("node")
+                    .agg(F.sum("contrib").alias("insum"))
                 )
-                .groupBy("node")
-                .agg(F.sum("contrib").alias("insum"))
-            )
-            ranks = (
-                nodes.join(insum, "node", "left")
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.expr("85 * coalesce(insum, 0L) div 100")
-                    ).alias("rank_e12"),
+                ranks = (
+                    nodes.join(insum, "node", "left")
+                    .select(
+                        "node",
+                        (
+                            F.lit(base)
+                            + F.expr("85 * coalesce(insum, 0L) div 100")
+                        ).alias("rank_e12"),
+                    )
                 )
-            )
-        ranks = ranks.transform(materialize, eager=False)
-        done += step
+            ranks = ranks.transform(materialize, eager=True)
+            done += step
     return ranks.select("node", F.col("rank_e12").cast("long").alias("rank_e12"))
 
 
@@ -216,6 +237,7 @@ def kcore(
     rounds: int = 10,
     src: str = "src",
     dst: str = "dst",
+    keep_broadcast_cap: int = 4_000_000,
 ) -> DataFrame:
     """Bounded-round k-core: iteratively peel nodes of degree < k from
     the undirected simple graph, ``rounds`` times → (node, degree)
@@ -252,21 +274,43 @@ def kcore(
         canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).transform(materialize, eager=False)
     n_prev = live.count()
-    for _ in range(rounds):
-        if n_prev == 0:
-            break
-        deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.filter(F.col("d") >= k).select("a")
-        live = (
-            live.join(keep, "a", "left_semi")
-            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-            .select("a", "b")
-            .transform(materialize, eager=False)
-        )
-        n_now = live.count()
-        if n_now == n_prev:
-            break  # fixpoint: further rounds are identity
-        n_prev = n_now
+    # static_rounds (r14): the peeling rounds plan once and run as one
+    # job each, under the two measured preconditions (see
+    # materialize.static_rounds and the star loop): an explicit counted
+    # gate on the keep side — the blanket AQE-off A/B without it LOST
+    # (2.5→5.5 s: the semi joins fell back to static sort-merge) — and
+    # a counted in-loop shuffle width replacing AQE's coalescing. Both
+    # are sound at any scale: |keep| ≤ |live|/k ≤ n_prev/k rows of one
+    # long, with n_prev the EXACT count the fixpoint check already
+    # collected; over the caps the hint is withheld and the width stays
+    # at the session default (the web-scale posture).
+    spark = edges.sparkSession
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_rounds(spark):
+        for _ in range(rounds):
+            if n_prev == 0:
+                break
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(default_width, -(-n_prev // 2_000_000)))),
+            )
+            deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.filter(F.col("d") >= k).select("a")
+            hint = n_prev // max(k, 1) <= keep_broadcast_cap
+            keep_a = F.broadcast(keep) if hint else keep
+            keep_b = keep.withColumnRenamed("a", "b")
+            if hint:
+                keep_b = F.broadcast(keep_b)
+            live = (
+                live.join(keep_a, "a", "left_semi")
+                .join(keep_b, "b", "left_semi")
+                .select("a", "b")
+                .transform(materialize, eager=False)
+            )
+            n_now = live.count()
+            if n_now == n_prev:
+                break  # fixpoint: further rounds are identity
+            n_prev = n_now
     return live.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )

@@ -26,6 +26,8 @@ decommissioning). One call site to flip, no operator changes.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 
@@ -58,6 +60,46 @@ def materialize(df: DataFrame, *, eager: bool = False) -> DataFrame:
     if has_dir:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+@contextmanager
+def static_rounds(spark):
+    """Plan iterative-loop round actions WITHOUT adaptive execution.
+
+    AQE materializes every exchange as its own job (replan → submit →
+    await, per stage): an iterative operator whose round is one lazy-
+    checkpoint-filling action still books 5-7 driver jobs per round,
+    and at the small per-round state sizes these loops carry, the
+    replanning/scheduling cadence — not task work — is the measured
+    cost (r13 profiler: dedup_components_star 57 jobs for ~8 rounds,
+    8-vs-32-core ratio ≈ 1). With AQE off a round plans once and runs
+    as ONE job of pipelined stages.
+
+    PRECONDITION (measured r14, interleaved A/B): only wrap a loop
+    whose in-loop join strategies are EXPLICIT — a broadcast hint or a
+    counted-size gate on every join side that would otherwise rely on
+    AQE's runtime shuffle-size downgrade. Wrapping a loop with
+    stats-less un-hinted joins makes every round a static sort-merge
+    join (the planner sees LogicalRDD defaults) and LOSES: kcore
+    2.5→5.5 s, star 6.8→10.6 s in the blanket-wrap A/B; with hints it
+    wins (pagerank 4.6→4.0 s). Scope it to the loop body only: the
+    upstream derivation and the returned final plan execute outside,
+    keeping AQE's coalescing/skew handling where data is corpus-sized.
+
+    Also saves/restores ``spark.sql.shuffle.partitions``: without AQE
+    coalescing, a loop may pin a counted per-round width inside the
+    scope (star contraction does); the exit restores the session width
+    whatever the loop set.
+    """
+    conf = spark.conf
+    old = conf.get("spark.sql.adaptive.enabled", "true")
+    old_width = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old)
+        conf.set("spark.sql.shuffle.partitions", old_width)
 
 
 def release(df: DataFrame) -> None:

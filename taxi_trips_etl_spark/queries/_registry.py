@@ -480,6 +480,10 @@ _REVERIFY: frozenset[str] = frozenset({
     # Round-14 optimization pass: every entry whose PLAN changes this
     # round is appended here IN THE SAME COMMIT as the plan change
     # (the semdedup lesson — see OPTIMIZATION_r14.md).
+    # Batch 2 — iterative loops under static_rounds (AQE off in-loop,
+    # counted broadcast gates, counted per-round shuffle width; final
+    # plans unchanged, in-loop execution changed):
+    "dedup_components_star", "graph_pagerank_distributed", "graph_kcore",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

@@ -233,3 +233,47 @@ def test_assume_canonical_skips_exactly_one_full_edge_distinct(spark, monkeypatc
     n_slow = len(counts)
     assert n_slow == n_fast + 1, (n_fast, n_slow)
     assert sorted(map(tuple, out_fast)) == sorted(map(tuple, out_slow))
+
+
+def test_static_rounds_restores_session_confs(spark):
+    """static_rounds (r14) must restore BOTH the AQE flag and the
+    shuffle width on exit — the iterative loops pin a counted per-round
+    width inside the scope, and a leak would contaminate every batch
+    query planned afterwards on the same session (the width-pin hazard
+    the streaming runbook already flags)."""
+    from taxi_trips_etl_spark.dataprep.materialize import static_rounds
+
+    conf = spark.conf
+    aqe0 = conf.get("spark.sql.adaptive.enabled")
+    w0 = conf.get("spark.sql.shuffle.partitions")
+    with static_rounds(spark):
+        assert conf.get("spark.sql.adaptive.enabled") == "false"
+        conf.set("spark.sql.shuffle.partitions", "1")
+    assert conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert conf.get("spark.sql.shuffle.partitions") == w0
+    # ... including when the loop body raises.
+    try:
+        with static_rounds(spark):
+            conf.set("spark.sql.shuffle.partitions", "2")
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert conf.get("spark.sql.adaptive.enabled") == aqe0
+    assert conf.get("spark.sql.shuffle.partitions") == w0
+
+
+def test_star_counted_gates_match_unhinted_result(spark):
+    """The r14 counted broadcast gates + in-loop width never change the
+    star mapping: force the over-cap posture (hints withheld, width at
+    session default) and compare against the hinted run."""
+    from taxi_trips_etl_spark.dataprep.components import (
+        connected_components_star,
+    )
+
+    rows = [(i, i + 1) for i in range(1, 40)] + [(100, 200), (200, 300)]
+    pairs = spark.createDataFrame(rows, "doc_id_a long, doc_id_b long")
+    hinted = connected_components_star(pairs).collect()
+    unhinted = connected_components_star(
+        pairs, min_broadcast_cap=0, rows_per_partition=1
+    ).collect()
+    assert sorted(map(tuple, hinted)) == sorted(map(tuple, unhinted))
