@@ -484,6 +484,9 @@ _REVERIFY: frozenset[str] = frozenset({
     # counted broadcast gates, counted per-round shuffle width; final
     # plans unchanged, in-loop execution changed):
     "dedup_components_star", "graph_pagerank_distributed", "graph_kcore",
+    # Batch 3 — banded levenshtein verify (threshold form, provably
+    # identical survivors and distances; plan expression changed):
+    "fuzzy_match_fastss", "fuzzy_match_fastss2", "record_linkage_blocked",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)

@@ -225,8 +225,14 @@ def q_record_linkage_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.block_key").alias("block_key"),
             (F.col("a.mult") * F.col("b.mult")).alias("cand"),
+            # Banded verify (r14): levenshtein(threshold=1) computes the
+            # O(len) DP band and returns −1 past the threshold, so
+            # `thr ≥ 0` ⟺ `full ≤ 1` — identical predicate, ~len× less
+            # per-pair work (same rewrite as dedup.fastss_pairs).
             F.when(
-                F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1,
+                F.levenshtein(
+                    F.col("a.c_name"), F.col("b.c_name"), 1
+                ) >= 0,
                 F.col("a.mult") * F.col("b.mult"),
             )
             .otherwise(0)

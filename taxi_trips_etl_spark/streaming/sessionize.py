@@ -19,7 +19,14 @@ Scale notes: state is keyed by user_id → shuffle partitions bound
 parallelism; state size is O(active users), not O(events); the state
 store checkpoints per micro-batch. RocksDB state store is the knob to
 flip (`spark.sql.streaming.stateStore.providerClass`) when active-user
-cardinality outgrows executor heap.
+cardinality outgrows executor heap — and ONLY then: the r14
+interleaved A/B pinned RocksDB onto the four heaviest drives (this
+one, late_data, rollup, static_enrich) and it LOST or washed on all
+four at bench state sizes (round 1: 7.92 vs 7.74 s total; round 2:
+3.59/3.08/1.37/1.30 vs 3.26/2.77/1.21/1.20 s) — per-store native
+instance setup + per-batch snapshot upload exceeds the HDFS-backed
+provider's small-delta fsync when state is KB-sized. Rejected,
+numbers in OPTIMIZATION_r14.md.
 """
 
 from __future__ import annotations

@@ -935,3 +935,32 @@ def test_text_window_params_guarded(spark):
     # valid calls unchanged
     assert text.chunk_documents(docs, chunk_tokens=4, overlap=1).count() >= 2
     assert text.winnowing_fingerprints(docs, k=3, w=2).count() > 0
+
+
+def test_banded_levenshtein_identity(spark):
+    """r14 banded-verify pin: levenshtein(a, b, k) must return the
+    EXACT distance when it is ≤ k and −1 otherwise, so the fastss /
+    record-linkage rewrite (`thr ≥ 0` for `full ≤ k`) is an identity —
+    including at the threshold boundary and across length gaps."""
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("kitten", "sitting"),  # dist 3
+        ("abc", "abc"),         # 0
+        ("abc", "abd"),         # 1 (substitution)
+        ("abc", "ab"),          # 1 (deletion)
+        ("ab", "abcd"),         # 2 (two inserts)
+        ("abc", "xbcz"),        # 2
+        ("", "ab"),             # 2, empty side
+    ]
+    df = spark.createDataFrame(cases, "a string, b string")
+    for k in (1, 2):
+        rows = df.select(
+            F.levenshtein("a", "b").alias("full"),
+            F.levenshtein("a", "b", k).alias("thr"),
+        ).collect()
+        for r in rows:
+            if r.full <= k:
+                assert r.thr == r.full, (k, r)
+            else:
+                assert r.thr == -1, (k, r)
