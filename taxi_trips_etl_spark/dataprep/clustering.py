@@ -63,6 +63,8 @@ def kmeans_assign(
     the FINAL centroid set (one extra lazy projection), including when
     the iteration budget runs out mid-trajectory.
     """
+    from taxi_trips_etl_spark.dataprep.materialize import static_rounds
+
     vecs = embeddings.select(
         F.col(id_col), F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v")
     )
@@ -104,30 +106,45 @@ def kmeans_assign(
             "_d",  # full k-distance vector; pruned unless with_dists
         )
 
-    for _ in range(iterations):
-        assigned = assign(centroids)
-        # New centroids: per-cluster mean, one partial-agg shuffle of
-        # k×d sums; collected to the driver (k·d doubles).
-        dim = len(centroids[0])
-        sums = (
-            assigned.groupBy("cluster_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.expr(f"sum(element_at(v, {i + 1})) AS s{i}")
-                    for i in range(dim)
-                ],
-            )
-            .collect()
+    # static_rounds (r14): each Lloyd iteration is one scan → narrow
+    # argmin projection → partial-agg collect; there is no in-loop join
+    # (the static_rounds hint precondition is vacuous) and the
+    # aggregate output is exactly ≤ k rows at ANY corpus size, so the
+    # in-loop reduce width pins to min(default, k) — counted, not a
+    # local tune. AQE otherwise books an extra stage-job per iteration
+    # for a k-row exchange. The final assignment below is lazy and
+    # executes outside the scope, under the session posture.
+    spark = embeddings.sparkSession
+    with static_rounds(spark):
+        default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(1, min(default_width, k))),
         )
-        new_centroids = list(centroids)
-        for r in sums:
-            new_centroids[r["cluster_id"]] = [
-                r[f"s{i}"] / r["n"] for i in range(dim)
-            ]
-        if new_centroids == centroids:
-            break
-        centroids = new_centroids
+        for _ in range(iterations):
+            assigned = assign(centroids)
+            # New centroids: per-cluster mean, one partial-agg shuffle
+            # of k×d sums; collected to the driver (k·d doubles).
+            dim = len(centroids[0])
+            sums = (
+                assigned.groupBy("cluster_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[
+                        F.expr(f"sum(element_at(v, {i + 1})) AS s{i}")
+                        for i in range(dim)
+                    ],
+                )
+                .collect()
+            )
+            new_centroids = list(centroids)
+            for r in sums:
+                new_centroids[r["cluster_id"]] = [
+                    r[f"s{i}"] / r["n"] for i in range(dim)
+                ]
+            if new_centroids == centroids:
+                break
+            centroids = new_centroids
 
     # Final assignment against the last centroid set — the in-loop
     # `assigned` lags one update when the budget is exhausted.

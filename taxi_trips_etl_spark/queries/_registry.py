@@ -487,6 +487,11 @@ _REVERIFY: frozenset[str] = frozenset({
     # Batch 3 — banded levenshtein verify (threshold form, provably
     # identical survivors and distances; plan expression changed):
     "fuzzy_match_fastss", "fuzzy_match_fastss2", "record_linkage_blocked",
+    # Batch 4 — Lloyd loop under static_rounds (k-row counted width;
+    # centroid literals bit-identical at the gated SFs, trajectory
+    # unperturbed — see plans/r14/embedding_kmeans_{before,after}.txt;
+    # semdedup_prune also rides this loop and already fronts above):
+    "embedding_kmeans", "kmeans_silhouette",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
