@@ -79,32 +79,42 @@ def learn_bpe_distributed(
     )
     vocab = vocab.transform(materialize, eager=False)
     out = []
-    for rank in range(1, n_merges + 1):
-        pairs = (
-            vocab.filter(F.size("toks") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(toks) - 1), "
-                        "i -> struct(element_at(toks, i) as a, "
-                        "element_at(toks, i + 1) as b))"
-                    )
-                ).alias("p"),
-                "freq",
+    # static_rounds (r14): each merge iteration is one explode →
+    # partial-agg → TakeOrdered collect over the (corpus-independent)
+    # vocabulary table — no in-loop join, so the static_rounds hint
+    # precondition is vacuous and AQE only adds its per-exchange
+    # stage-job cadence (profiler: 22 → 14 jobs for 8 merges). No
+    # width pin: the pair aggregate is vocabulary-bounded but not
+    # counted in-loop, so the exchanges stay at the session default.
+    from taxi_trips_etl_spark.dataprep.materialize import static_rounds
+
+    with static_rounds(spark):
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                vocab.filter(F.size("toks") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(toks) - 1), "
+                            "i -> struct(element_at(toks, i) as a, "
+                            "element_at(toks, i + 1) as b))"
+                        )
+                    ).alias("p"),
+                    "freq",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not pairs:
-            break
-        a, b, cnt = pairs[0]["a"], pairs[0]["b"], pairs[0]["cnt"]
-        out.append((rank, a, b, int(cnt)))
-        vocab = vocab.select(
-            F.expr(_merge_fold_expr(a, b)).alias("toks"), "freq"
-        ).transform(materialize, eager=False)
+            if not pairs:
+                break
+            a, b, cnt = pairs[0]["a"], pairs[0]["b"], pairs[0]["cnt"]
+            out.append((rank, a, b, int(cnt)))
+            vocab = vocab.select(
+                F.expr(_merge_fold_expr(a, b)).alias("toks"), "freq"
+            ).transform(materialize, eager=False)
     from taxi_trips_etl_spark.sources.localrel import local_rows
 
     return local_rows(

@@ -492,6 +492,8 @@ _REVERIFY: frozenset[str] = frozenset({
     # unperturbed — see plans/r14/embedding_kmeans_{before,after}.txt;
     # semdedup_prune also rides this loop and already fronts above):
     "embedding_kmeans", "kmeans_silhouette",
+    # Batch 5 — BPE merge loop under static_rounds (no width pin):
+    "bpe_learn_merges", "bpe_learn_merges_distributed",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
