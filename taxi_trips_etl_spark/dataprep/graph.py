@@ -381,43 +381,43 @@ def bfs_hops(
             .agg(F.min("hops").cast("long").alias("hops"))
         )
 
-    # TWO logical relaxations per materialization: min-propagation
-    # composes, so labels after relax(relax(d)) equal two oracle
-    # rounds exactly. Each relax consumes its input TWICE (join side +
-    # union branch), so recompute doubles per unmaterialized level —
-    # batch 2 is the measured sweet spot (batch 5 regressed 15% from
-    # exactly that blowup). The checkpoint is LAZY — the fixpoint
-    # agg's own action materializes it, so each iteration is ONE job,
-    # not a checkpoint job plus an agg job.
+    # ONE relaxation per materialization under static_rounds (r14).
+    # History: batch-2 (two relaxes per lazy checkpoint) was the r8
+    # sweet spot UNDER AQE, because halving the driver syncs halved
+    # AQE's job-per-exchange cadence — at the price that the batch's
+    # second relax had an uncounted input and needed AQE's runtime
+    # downgrade for its join. With static_rounds the cadence cost per
+    # round is one job regardless, and batch-1 makes EVERY relax's
+    # input the exactly counted fixpoint aggregate — so every join is
+    # soundly hinted (broadcast under the cap, shuffle join over it)
+    # and nothing relies on runtime replanning. The fixpoint agg's own
+    # action still fills the lazy checkpoint: one job per round. The
+    # in-loop width is counted from the reached-set size, clamped to
+    # the session default (the web-scale posture past the cap).
     n_prev, sum_prev = 1, 0
     done = 0
-    while done < rounds:
-        step = min(2, rounds - done)
-        relaxed = dist
-        for i in range(step):
-            # auto mode: the FIRST relax of the batch broadcasts iff
-            # the counted reached-set (its exact input) is under the
-            # cap; the second relax's input is uncounted (it grew by
-            # an unknown fanout inside this batch), so it gets NO
-            # hint — its dist side ends in a shuffle whose size AQE
-            # measures at runtime, downgrading to a broadcast join
-            # when it is in fact small. No static guess ever
-            # broadcasts an unbounded frontier.
+    spark = edges.sparkSession
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_rounds(spark):
+        while done < rounds:
             small = (
                 broadcast_frontier
                 if broadcast_frontier is not None
-                else i == 0 and n_prev <= frontier_broadcast_cap
+                else n_prev <= frontier_broadcast_cap
             )
-            relaxed = relax(relaxed, small)
-        relaxed = relaxed.transform(materialize, eager=False)
-        done += step
-        agg = relaxed.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("hops").alias("s")
-        ).collect()[0]
-        dist = relaxed
-        if (agg["n"], agg["s"]) == (n_prev, sum_prev):
-            break  # fixpoint: labels are monotone, no further change
-        n_prev, sum_prev = agg["n"], agg["s"]
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(default_width, -(-n_prev // 2_000_000)))),
+            )
+            relaxed = relax(dist, small).transform(materialize, eager=False)
+            done += 1
+            agg = relaxed.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("hops").alias("s")
+            ).collect()[0]
+            dist = relaxed
+            if (agg["n"], agg["s"]) == (n_prev, sum_prev):
+                break  # fixpoint: labels are monotone, no further change
+            n_prev, sum_prev = agg["n"], agg["s"]
     return dist
 
 
@@ -480,30 +480,31 @@ def shortest_paths(
             .agg(F.min("dist").cast("long").alias("dist"))
         )
 
-    # Two relaxations per LAZY materialization — same batching and
-    # one-job-per-iteration argument as bfs_hops (min composes;
-    # fixpoint exit stays valid).
+    # ONE relaxation per materialization under static_rounds — same
+    # counted-hint + counted-width argument as bfs_hops (see there);
+    # min composes, the fixpoint exit stays valid.
     n_prev, sum_prev = 1, 0
     done = 0
-    while done < rounds:
-        step = min(2, rounds - done)
-        relaxed = dist
-        for i in range(step):
-            # same auto gate as bfs_hops: exact count for the first
-            # relax, AQE runtime sizing (no hint) for the second
+    spark = edges.sparkSession
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with static_rounds(spark):
+        while done < rounds:
             small = (
                 broadcast_frontier
                 if broadcast_frontier is not None
-                else i == 0 and n_prev <= frontier_broadcast_cap
+                else n_prev <= frontier_broadcast_cap
             )
-            relaxed = relax(relaxed, small)
-        relaxed = relaxed.transform(materialize, eager=False)
-        done += step
-        agg = relaxed.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
-        ).collect()[0]
-        dist = relaxed
-        if (agg["n"], agg["s"]) == (n_prev, sum_prev):
-            break
-        n_prev, sum_prev = agg["n"], agg["s"]
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(max(1, min(default_width, -(-n_prev // 2_000_000)))),
+            )
+            relaxed = relax(dist, small).transform(materialize, eager=False)
+            done += 1
+            agg = relaxed.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+            ).collect()[0]
+            dist = relaxed
+            if (agg["n"], agg["s"]) == (n_prev, sum_prev):
+                break
+            n_prev, sum_prev = agg["n"], agg["s"]
     return dist

@@ -494,6 +494,9 @@ _REVERIFY: frozenset[str] = frozenset({
     "embedding_kmeans", "kmeans_silhouette",
     # Batch 5 — BPE merge loop under static_rounds (no width pin):
     "bpe_learn_merges", "bpe_learn_merges_distributed",
+    # Batch 6 — bfs/sssp relaxations: batch-1 + counted hints + counted
+    # width under static_rounds:
+    "graph_bfs_hops", "graph_shortest_paths",
 })
 _mark_verified(3, _R3_VERIFIED)
 _mark_verified(2, _R2_VERIFIED)
